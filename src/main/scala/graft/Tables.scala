@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed access to the driver-generated TESTDATA tables (TESTDATA.md).
+  *
+  * All readers are plain parquet scans so Catalyst predicate pushdown /
+  * column pruning apply to every downstream query. At 100 TB these reads
+  * would be partitioned-parquet scans on a cluster; nothing here assumes
+  * local mode.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame    = t("region")
+  def nation: DataFrame    = t("nation")
+  def customer: DataFrame  = t("customer")
+  def supplier: DataFrame  = t("supplier")
+  def part: DataFrame      = t("part")
+  def orders: DataFrame    = t("orders")
+  def lineitem: DataFrame  = t("lineitem")
+  /** The events table carries a TIMESTAMP(NANOS) parquet column, which
+    * Spark's schema converter rejects outright. We read it as a raw
+    * nanosecond long (`nanosAsLong`) and expose both:
+    *   - `ts_ns`: epoch nanoseconds (exact — matches DuckDB `epoch_ns`)
+    *   - `ts`:    microsecond-truncated TimestampType for humans
+    * All oracle-checked time arithmetic uses `ts_ns`.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

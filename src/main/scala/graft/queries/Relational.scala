@@ -1,0 +1,362 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator kernel (SURVEY.md §2.9): scan / project / filter /
+  * group-agg / broadcast join / shuffle join / semi / anti / distinct /
+  * union / order-by / limit / window / sessionize.
+  *
+  * Every query is paired with a DuckDB oracle (same column names, same
+  * deterministic ORDER BY on a unique key). Numeric discipline for
+  * hash-stable comparison:
+  *   - money sums go through DECIMAL (exact, associative) then CAST to
+  *     DOUBLE — bit-identical regardless of aggregation order;
+  *   - averages are written as decimal-sum / count, never float avg;
+  *   - event time is computed on raw nanosecond longs (Spark reads the
+  *     ns parquet column via `nanosAsLong`; DuckDB via `epoch_ns`).
+  *
+  * Scale notes (100 TB design): dimension tables (region, nation,
+  * supplier, part, customer-at-small-SF) get explicit broadcast hints —
+  * on a real cluster the fact-side scan never shuffles for those joins.
+  * Fact-fact joins (lineitem ⋈ orders) shuffle on the join key, which is
+  * the partitioning a cluster would want anyway (AQE handles skew).
+  */
+object Relational {
+
+  /** Decimal-exact sum of a 2-dp money column, emitted as double. */
+  private def moneySum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  // ---------------------------------------------------------------- q01
+  /** Scan + filter + project: pushdown showcase. Filter and the 4-column
+    * projection both reach the parquet reader (PushedFilters/ReadSchema). */
+  def q01ScanFilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q01Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** TPC-H Q1-style pricing summary: partial (map-side) aggregation +
+    * final hash aggregate; one shuffle on the tiny group key. */
+  def q02AggPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum("l_quantity").as("sum_qty"), // integral doubles: exact
+        moneySum("l_extendedprice").as("sum_price"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_qty")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q02Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS cnt,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** Fact ⋈ two broadcast dimensions; revenue per brand. At cluster scale
+    * part/supplier stay far under the broadcast threshold per executor. */
+  def q03JoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("cnt"),
+        moneySum("l_extendedprice").as("revenue")
+      )
+      .orderBy("p_brand")
+  }
+
+  val q03Sql: String =
+    """SELECT p_brand, count(*) AS cnt,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Snowflake join region→nation→customer→orders, rollup by geography.
+    * region/nation broadcast; customer⋈orders shuffles on custkey. */
+  def q04JoinGeo(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        moneySum("o_totalprice").as("total_price")
+      )
+      .orderBy("r_name", "n_name")
+  }
+
+  val q04Sql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** Left-semi join: customers that have at least one order. Spark plans
+    * a broadcast/shuffled semi join — no duplication of the left side. */
+  def q05SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** Left-anti join: orders with no lineitems (non-empty on TESTDATA). */
+  def q06AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val q06Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Global distinct over a compound key (shuffle distinct = partial +
+    * final HashAggregate, the distributed replacement for the
+    * reference's driver-side `set()` vocabulary idiom). */
+  def q07Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select("o_orderpriority", "o_orderstatus")
+      .distinct()
+      .orderBy("o_orderpriority", "o_orderstatus")
+
+  val q07Sql: String =
+    """SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Union + distinct across two tables (reference S1 pos ∪ neg). */
+  def q08Union(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .union(t.supplier.select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+  }
+
+  val q08Sql: String =
+    """SELECT DISTINCT nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier)
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Order-by + limit (top-k): Spark plans TakeOrderedAndProject — a
+    * per-partition top-k then a k-row merge, no global sort at scale. */
+  def q09TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(10)
+
+  val q09Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Window rank: first 3 events per user (row_number over a unique
+    * ordering key — deterministic across engines). */
+  def q10WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables(spark, dir).events
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("user_id", "rn", "event_id", "event_type")
+      .orderBy("user_id", "rn")
+  }
+
+  val q10Sql: String =
+    """SELECT user_id, rn, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS rn
+      |  FROM events)
+      |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Running (cumulative) sum per user — decimal-exact then double. */
+  def q11WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("event_id", "user_id", "running_value")
+      .orderBy("event_id")
+  }
+
+  val q11Sql: String =
+    """SELECT event_id, user_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Filter + group + having. */
+  def q12GroupHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        moneySum("value").as("purchase_value")
+      )
+      .filter(col("n_purchases") >= 3)
+      .orderBy("user_id")
+
+  val q12Sql: String =
+    """SELECT user_id, count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id HAVING count(*) >= 3
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Tumbling 1-hour event-time window (batch twin of the Structured
+    * Streaming windowed aggregation in graft.streaming). Bucketing is
+    * integer division on epoch nanoseconds — exact in both engines. */
+  def q13HourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("hour_start_sec", expr("(ts_ns DIV 3600000000000) * 3600"))
+      .groupBy("hour_start_sec")
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum("value").as("hour_value")
+      )
+      .withColumn("hour_ts",
+        date_format(timestamp_seconds(col("hour_start_sec")), "yyyy-MM-dd HH:mm:ss"))
+      .select("hour_start_sec", "hour_ts", "n_events", "hour_value")
+      .orderBy("hour_start_sec")
+
+  val q13Sql: String =
+    """SELECT hour_start_sec,
+      |  strftime(make_timestamp(hour_start_sec * 1000000), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+      |FROM (SELECT *, (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start_sec FROM events)
+      |GROUP BY hour_start_sec
+      |ORDER BY hour_start_sec""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Gap-based sessionization (30-min idle timeout): lag → new-session
+    * flag → running count = session index → per-session rollup. The
+    * batch twin of flatMapGroupsWithState sessionization; all time math
+    * on ns longs. */
+  def q14Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .withColumn("prev_ns", lag("ts_ns", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > 1800000000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum("new_sess").over(cum).cast("long"))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("min(ts_ns) DIV 1000000000").as("session_start_sec"),
+        moneySum("value").as("session_value")
+      )
+      .orderBy("user_id", "session_idx")
+  }
+
+  val q14Sql: String =
+    """SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(ns) // 1000000000 AS session_start_sec,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM (
+      |  SELECT user_id, value, ns,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM (
+      |    SELECT user_id, event_id, value, epoch_ns(ts) AS ns,
+      |      CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+      |             OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) > 1800000000000
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** name → query */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter_project" -> (q01ScanFilterProject _),
+    "q02_agg_pricing"         -> (q02AggPricing _),
+    "q03_join_broadcast"      -> (q03JoinBroadcast _),
+    "q04_join_geo"            -> (q04JoinGeo _),
+    "q05_semi_join"           -> (q05SemiJoin _),
+    "q06_anti_join"           -> (q06AntiJoin _),
+    "q07_distinct"            -> (q07Distinct _),
+    "q08_union"               -> (q08Union _),
+    "q09_topk"                -> (q09TopK _),
+    "q10_window_rank"         -> (q10WindowRank _),
+    "q11_window_running"      -> (q11WindowRunning _),
+    "q12_group_having"        -> (q12GroupHaving _),
+    "q13_hourly_rollup"       -> (q13HourlyRollup _),
+    "q14_sessionize"          -> (q14Sessionize _)
+  )
+
+  /** name → DuckDB oracle SQL */
+  val oracles: Map[String, String] = Map(
+    "q01_scan_filter_project" -> q01Sql,
+    "q02_agg_pricing"         -> q02Sql,
+    "q03_join_broadcast"      -> q03Sql,
+    "q04_join_geo"            -> q04Sql,
+    "q05_semi_join"           -> q05Sql,
+    "q06_anti_join"           -> q06Sql,
+    "q07_distinct"            -> q07Sql,
+    "q08_union"               -> q08Sql,
+    "q09_topk"                -> q09Sql,
+    "q10_window_rank"         -> q10Sql,
+    "q11_window_running"      -> q11Sql,
+    "q12_group_having"        -> q12Sql,
+    "q13_hourly_rollup"       -> q13Sql,
+    "q14_sessionize"          -> q14Sql
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("q01 scan/filter/project pushes filter and prunes columns") {
+    val df = Relational.q01ScanFilterProject(spark, sf)
+    assert(df.columns.toSeq ==
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+    assert(df.count() > 0)
+    // every surviving row satisfies the predicate
+    assert(df.filter(col("l_quantity") <= 45).count() == 0)
+    // the filter must reach the parquet scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"filter not pushed down:\n$plan")
+  }
+
+  test("q02 pricing summary groups are complete and disjoint") {
+    val df = Relational.q02AggPricing(spark, sf).cache()
+    val total = df.agg(sum("cnt")).first().getLong(0)
+    val liCount = Tables(spark, sf).lineitem.count()
+    assert(total == liCount)
+  }
+
+  test("q03 broadcast join plans a BroadcastHashJoin") {
+    val df = Relational.q03JoinBroadcast(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("q05/q06 semi+anti partition orders exactly") {
+    val t = Tables(spark, sf)
+    val semi = t.orders.join(t.lineitem,
+      col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    val anti = Relational.q06AntiJoin(spark, sf).count()
+    assert(semi + anti == t.orders.count())
+  }
+
+  test("q09 top-k is ordered desc and bounded") {
+    val rows = Relational.q09TopK(spark, sf).collect()
+    assert(rows.length == 10)
+    val bals = rows.map(_.getAs[Double]("c_acctbal"))
+    assert(bals.sameElements(bals.sorted.reverse))
+  }
+
+  test("q10 rank never exceeds 3 and starts at 1 per user") {
+    val df = Relational.q10WindowRank(spark, sf).cache()
+    assert(df.agg(max("rn")).first().getLong(0) <= 3)
+    assert(df.filter(col("rn") === 1).count() ==
+      df.select("user_id").distinct().count())
+  }
+
+  test("q11 running sum final value equals user total") {
+    val df = Relational.q11WindowRunning(spark, sf)
+    val lastPerUser = df.groupBy("user_id")
+      .agg(max("running_value").as("final"))
+    val totals = Tables(spark, sf).events.groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+    val joined = lastPerUser.join(totals, "user_id")
+      .filter(abs(col("final") - col("total")) > 1e-9)
+    assert(joined.count() == 0)
+  }
+
+  test("q13 hourly rollup covers all events") {
+    val df = Relational.q13HourlyRollup(spark, sf)
+    val n = df.agg(sum("n_events")).first().getLong(0)
+    assert(n == Tables(spark, sf).events.count())
+  }
+
+  test("q14 sessions: session count within [1, events] per user") {
+    val df = Relational.q14Sessionize(spark, sf).cache()
+    val n = df.agg(sum("n_events")).first().getLong(0)
+    assert(n == Tables(spark, sf).events.count())
+    // session indexes are 1..k contiguous per user
+    val bad = df.groupBy("user_id")
+      .agg(max("session_idx").as("mx"), count(lit(1)).as("k"))
+      .filter(col("mx") =!= col("k"))
+    assert(bad.count() == 0)
+  }
+}
