@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives, all pure Catalyst expressions (no UDFs → whole-stage
+  * codegen end to end). Re-expresses the reference's Python text ops
+  * (SURVEY.md §2.2-2.3: cleanLower `script1.py:37-38`, wordpunct
+  * tokenization `transformers.py:34-36`, n-grams `script3.py:52-54`,
+  * per-doc dedup `main_reglogit.py:60`) plus the training-data-pipeline
+  * additions (fingerprinting, MinHash, SimHash, language ID, quality).
+  *
+  * Determinism note: everything here is integer/string-exact, so results
+  * are reproducible across engines — the oracle SQL in
+  * graft.queries.TextQueries mirrors these formulas in DuckDB.
+  */
+object TextFunctions {
+
+  /** NLTK English stopword list (127 words) — the reference applies
+    * NLTK's list (`script1.py:49-51`), not Spark's default, so we pin it
+    * as a constant shared by the Scala side and the generated oracle SQL. */
+  val NltkStopwords: Seq[String] = Seq(
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his",
+    "himself", "she", "her", "hers", "herself", "it", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had", "having",
+    "do", "does", "did", "doing", "a", "an", "the", "and", "but", "if",
+    "or", "because", "as", "until", "while", "of", "at", "by", "for",
+    "with", "about", "against", "between", "into", "through", "during",
+    "before", "after", "above", "below", "to", "from", "up", "down", "in",
+    "out", "on", "off", "over", "under", "again", "further", "then",
+    "once", "here", "there", "when", "where", "why", "how", "all", "any",
+    "both", "each", "few", "more", "most", "other", "some", "such", "no",
+    "nor", "not", "only", "own", "same", "so", "than", "too", "very",
+    "s", "t", "can", "will", "just", "don", "should", "now")
+
+  /** Tiny per-language function-word lexicons for the n-gram-free
+    * language-ID heuristic (langId). Deliberately small so the oracle SQL
+    * stays readable; extendable without changing the argmax logic. */
+  val LangLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "un", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un", "est", "que"))
+
+  /** Reference P1: `<br /><br />`→replacement then lowercase
+    * (`script1.py:37-38`; P2 variant uses ""). */
+  def cleanLower(c: Column, brReplacement: String = " "): Column =
+    lower(regexp_replace(c, "<br /><br />", brReplacement))
+
+  /** Reference P3 intent: strip all HTML tags. */
+  def htmlStrip(c: Column): Column = regexp_replace(c, "<[^>]+>", " ")
+
+  /** Reference T3: raw whitespace split (professor's tokenizer). */
+  def whitespaceTokens(c: Column): Column = split(c, " ")
+
+  /** Reference T2 core regex `\w+|[^\w\s]+` (NLTK wordpunct). */
+  def wordPunctTokens(c: Column): Column =
+    regexp_extract_all(c, lit("""\w+|[^\w\s]+"""), lit(0))
+
+  /** Stopword removal preserving duplicates (array_except would dedup —
+    * the reference keeps non-stopword duplicates, `transformers.py:34-36`). */
+  def removeStopwords(tokens: Column, stopwords: Seq[String] = NltkStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    filter(tokens, t => !array_contains(sw, lower(t)))
+  }
+
+  /** Reference P9: per-document distinct tokens. */
+  def distinctTokens(tokens: Column): Column = array_distinct(tokens)
+
+  /** Reference T4/T5: n-grams as space-joined consecutive token runs.
+    * Guarded: Spark's `sequence(1, 0)` counts DOWN, so short docs must
+    * short-circuit to an empty array. */
+  def ngrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(
+        sequence(lit(1), size(tokens) - lit(n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct k-shingles — the MinHash/Jaccard input set. */
+  def shingles(tokens: Column, k: Int): Column =
+    array_distinct(ngrams(tokens, k))
+
+  /** Content fingerprint: md5 of the lowercased text — the exact-dedup
+    * key. (Both Spark and DuckDB emit lowercase-hex md5.) */
+  def fingerprint(c: Column): Column = md5(lower(c))
+
+  /** A 60-bit integer hash derived from md5 — the one string→int hash
+    * both engines can compute bit-identically (15 hex chars < 2^63).
+    * Used for MinHash and SimHash so signatures are oracle-checkable. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash value for one seeded hash function over a token set:
+    * min over tokens of md5Hash60(seed || '|' || token). */
+  def minhashValue(tokens: Column, seed: Int): Column =
+    array_min(transform(tokens, t => md5Hash60(concat(lit(s"$seed|"), t))))
+
+  /** Full k-element MinHash signature as array<long>. */
+  def minhashSignature(tokens: Column, k: Int): Column =
+    array((0 until k).map(s => minhashValue(tokens, s)): _*)
+
+  /** SimHash over the low 32 bits of the token hashes: for each bit,
+    * sign of sum(token present ? +1 : -1). Returns a long bitmask.
+    * Integer-only → engine-portable. */
+  def simhash32(tokens: Column, distinct: Boolean = true): Column = {
+    val toks = if (distinct) array_distinct(tokens) else tokens
+    val hashes = transform(toks, t => md5Hash60(t))
+    val bits = (0 until 32).map { b =>
+      val votes = aggregate(
+        hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L) * pow2(b)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def pow2(b: Int): Column = lit(1L << b)
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(whitespaceTokens(text))
+
+  /** Type-token ratio: distinct tokens / total tokens (lexical richness
+    * component of quality scoring). */
+  def typeTokenRatio(tokens: Column): Column =
+    size(array_distinct(tokens)).cast("double") / size(tokens)
+
+  /** Mean token length: integer sum of lengths / count. */
+  def meanTokenLen(tokens: Column): Column =
+    aggregate(tokens, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / size(tokens)
+
+  /** Stopword ratio — fraction of tokens that are (NLTK) stopwords. */
+  def stopwordRatio(tokens: Column, stopwords: Seq[String] = NltkStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens, t => array_contains(sw, lower(t)))).cast("double") / size(tokens)
+  }
+
+  /** Lexicon-hit count for one language. */
+  def lexiconHits(tokens: Column, lexicon: Seq[String]): Column = {
+    val lex = array(lexicon.map(lit): _*)
+    size(filter(tokens, t => array_contains(lex, t)))
+  }
+
+  /** Language-ID heuristic: argmax of lexicon hits, ties broken by
+    * lexicon declaration order (en > es > de > fr), 'und' if no hits. */
+  def langId(tokens: Column): Column = {
+    val hits = LangLexicons.map { case (lang, lex) => lang -> lexiconHits(tokens, lex) }
+    val best = hits.tail.foldLeft((hits.head._1: String, lit(hits.head._1), hits.head._2)) {
+      case ((_, bestLang, bestHits), (lang, h)) =>
+        (lang, when(h > bestHits, lit(lang)).otherwise(bestLang),
+          when(h > bestHits, h).otherwise(bestHits))
+    }
+    when(best._3 === 0, lit("und")).otherwise(best._2)
+  }
+}

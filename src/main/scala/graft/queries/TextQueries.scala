@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table — the distributed,
+  * oracle-checked re-expression of the reference's text pipeline
+  * (tokenize → vocabulary → vectorize, SURVEY.md §2.3-2.4) plus the
+  * training-data-pipeline operators (dedup, fingerprinting, quality,
+  * language ID).
+  *
+  * Scale notes: everything is per-row narrow work (codegen'd expressions)
+  * until the explicit aggregations; the vocabulary build (q21) is the
+  * distributed replacement for the reference's driver-side
+  * `collect→set→enumerate` (`script3.py:60-69`) — explode + hash
+  * aggregate, map-side partial aggregation included. At 100 TB none of
+  * these collect to the driver.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+
+  private def toks: Column = whitespaceTokens(col("text"))
+
+  /** Shared stopword list rendered as a SQL array literal, so the oracle
+    * uses the exact same constant as the Scala side. */
+  private val swSql: String =
+    NltkStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // ---------------------------------------------------------------- q20
+  /** Token statistics per document (T3 + P9). */
+  def q20TokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+
+  val q20Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Distributed vocabulary build with document frequency (V1): explode
+    * per-doc distinct tokens → two-level hash aggregate. Top 100 by df. */
+  def q21VocabDf(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(100)
+
+  val q21Sql: String =
+    """SELECT token, count(*) AS df FROM (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY df DESC, token ASC LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Corpus-level bigram counts (T4 distributed): ngram expansion is a
+    * narrow per-row transform; the count is one shuffle. */
+  def q22BigramTop(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(ngrams(toks, 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(50)
+
+  val q22Sql: String =
+    """SELECT bigram, count(*) AS cnt FROM (
+      |  SELECT unnest(list_transform(range(1, len(l)),
+      |                i -> l[i] || ' ' || l[i + 1])) AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS l FROM documents))
+      |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Stopword removal (T2's stopword half): duplicate-preserving filter
+    * against the pinned NLTK list. */
+  def q23StopwordFilter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(removeStopwords(toks)).cast("long").as("n_content"))
+      .orderBy("doc_id")
+
+  val q23Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |       t -> NOT list_contains($swSql, lower(t)))) AS BIGINT) AS n_content
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Quality scoring: token count, type-token ratio, mean token length,
+    * stopword ratio. All integer-derived → exact doubles. */
+  def q24Quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        typeTokenRatio(toks).as("type_token_ratio"),
+        meanTokenLen(toks).as("mean_token_len"),
+        stopwordRatio(toks).as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  val q24Sql: String =
+    s"""SELECT doc_id, n_chars,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+       |  CAST(list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+       |    / len(toks) AS mean_token_len,
+       |  CAST(len(list_filter(toks, t -> list_contains($swSql, lower(t)))) AS DOUBLE)
+       |    / len(toks) AS stopword_ratio
+       |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Language ID: per-language lexicon hits + deterministic argmax,
+    * compared against the table's `lang` column for an accuracy rollup. */
+  def q25LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        langId(toks).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "predicted")
+
+  val q25Sql: String = {
+    val hitExprs = LangLexicons.map { case (lang, lex) =>
+      val arr = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, t -> list_contains($arr, t))) AS ${lang}_hits"
+    }.mkString(", ")
+    // Sequential argmax (first-wins on ties) == CASE in reverse priority:
+    // a later language wins only with STRICTLY more hits than all before it.
+    s"""SELECT lang, predicted, count(*) AS cnt FROM (
+       |  SELECT lang,
+       |    CASE
+       |      WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'und'
+       |      WHEN fr_hits > greatest(en_hits, es_hits, de_hits) THEN 'fr'
+       |      WHEN de_hits > greatest(en_hits, es_hits) THEN 'de'
+       |      WHEN es_hits > en_hits THEN 'es'
+       |      ELSE 'en'
+       |    END AS predicted
+       |  FROM (SELECT lang, $hitExprs
+       |        FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)))
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Content fingerprint (md5 of lowercased text). */
+  def q26Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val q26Sql: String =
+    """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Exact deduplication: group by fingerprint, keep min doc_id as the
+    * canonical representative. One shuffle on the hash — at 100 TB this
+    * is the standard exact-dedup pass (hash is 32 bytes/row, not the
+    * document body). */
+  def q27DedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(
+        min("doc_id").as("canonical_id"),
+        count(lit(1)).as("copies"))
+      .orderBy("fp")
+
+  val q27Sql: String =
+    """SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_id,
+      |  count(*) AS copies
+      |FROM documents GROUP BY fp ORDER BY fp""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** N-gram Jaccard near-dup scoring over adjacent-id document pairs
+    * (a deterministic, oracle-checkable pairing; the LSH variant that
+    * finds *all* pairs at scale is q41/minhash). */
+  def q28ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val a = d.select(col("doc_id").as("id_a"), shingles(whitespaceTokens(col("text")), 3).as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), shingles(whitespaceTokens(col("text")), 3).as("sh_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(
+        col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  val q28Sql: String =
+    """SELECT a.id_a, b.id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |FROM
+      | (SELECT doc_id AS id_a, list_distinct(list_transform(range(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)) a
+      |JOIN
+      | (SELECT doc_id AS id_b, list_distinct(list_transform(range(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)) b
+      |ON b.id_b = a.id_a + 1
+      |ORDER BY a.id_a""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** MinHash signatures (k=8) over distinct tokens, exploded to
+    * (doc_id, seed, minhash) rows. Hash = 60-bit md5 slice, identical in
+    * both engines → the signature itself is oracle-checked, not just its
+    * shape. The banded-LSH near-dup join built on these is q41 (rows-only). */
+  def q29MinhashSig(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), array_distinct(toks).as("toks"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("seed"), col("toks"))
+      .select(
+        col("doc_id"), col("seed").cast("long").as("seed_id"),
+        array_min(transform(col("toks"),
+          t => conv(substring(md5(concat(col("seed").cast("string"), lit("|"), t)), 1, 15), 16, 10)
+            .cast("long"))).as("minhash"))
+      .select("doc_id", "seed_id", "minhash")
+      .orderBy("doc_id", "seed_id")
+
+  val q29Sql: String =
+    """SELECT doc_id, CAST(seed AS BIGINT) AS seed_id,
+      |  list_min(list_transform(toks,
+      |    t -> CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || t), 1, 15)) AS BIGINT))) AS minhash
+      |FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      |     range(0, 8) r(seed)
+      |ORDER BY doc_id, seed_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_token_stats"     -> (q20TokenStats _),
+    "q21_vocab_df"        -> (q21VocabDf _),
+    "q22_bigram_top"      -> (q22BigramTop _),
+    "q23_stopword_filter" -> (q23StopwordFilter _),
+    "q24_quality"         -> (q24Quality _),
+    "q25_langid"          -> (q25LangId _),
+    "q26_fingerprint"     -> (q26Fingerprint _),
+    "q27_dedup_exact"     -> (q27DedupExact _),
+    "q28_shingle_jaccard" -> (q28ShingleJaccard _),
+    "q29_minhash_sig"     -> (q29MinhashSig _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats"     -> q20Sql,
+    "q21_vocab_df"        -> q21Sql,
+    "q22_bigram_top"      -> q22Sql,
+    "q23_stopword_filter" -> q23Sql,
+    "q24_quality"         -> q24Sql,
+    "q25_langid"          -> q25Sql,
+    "q26_fingerprint"     -> q26Sql,
+    "q27_dedup_exact"     -> q27Sql,
+    "q28_shingle_jaccard" -> q28Sql,
+    "q29_minhash_sig"     -> q29Sql
+  )
+}

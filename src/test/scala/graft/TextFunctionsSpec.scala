@@ -1,0 +1,120 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class TextFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tok1(text: String): Seq[String] = {
+    val df = Seq(text).toDF("text")
+    df.select(whitespaceTokens(col("text"))).first().getSeq[String](0)
+  }
+
+  test("cleanLower replaces <br /><br /> and lowercases (P1)") {
+    val df = Seq("Good MOVIE<br /><br />Loved IT").toDF("review")
+    val out = df.select(cleanLower(col("review"))).first().getString(0)
+    assert(out == "good movie loved it")
+  }
+
+  test("cleanLower with empty replacement matches P2 variant") {
+    val df = Seq("a<br /><br />b").toDF("review")
+    assert(df.select(cleanLower(col("review"), "")).first().getString(0) == "ab")
+  }
+
+  test("htmlStrip removes arbitrary tags (P3)") {
+    val df = Seq("<p>Hello <b>world</b></p>").toDF("t")
+    val out = df.select(htmlStrip(col("t"))).first().getString(0)
+    assert(out.replaceAll("\\s+", " ").trim == "Hello world")
+  }
+
+  test("wordPunctTokens splits words and punctuation runs (T2 regex)") {
+    val df = Seq("Good, isn't it?! yes...").toDF("t")
+    val out = df.select(wordPunctTokens(col("t"))).first().getSeq[String](0)
+    assert(out == Seq("Good", ",", "isn", "'", "t", "it", "?!", "yes", "..."))
+  }
+
+  test("removeStopwords preserves non-stopword duplicates") {
+    val df = Seq(Tuple1(Seq("The", "movie", "the", "movie", "is", "great")))
+      .toDF("toks")
+    val out = df.select(removeStopwords(col("toks"))).first().getSeq[String](0)
+    assert(out == Seq("movie", "movie", "great")) // dups kept, case-insensitive match
+  }
+
+  test("ngram length law: |ngrams(n)| == max(0, len - n + 1)") {
+    val rnd = new Random(42)
+    val cases = for {
+      n <- 1 to 4
+      len <- 0 to 12
+    } yield (n, Seq.fill(len)(rnd.alphanumeric.take(3).mkString))
+    // one Spark job for all cases: (n, toks) rows → ngram arrays
+    val df = cases.toDF("n", "toks")
+    val out = (1 to 4).flatMap { n =>
+      df.filter(col("n") === n)
+        .select(col("toks"), ngrams(col("toks"), n).as("grams"))
+        .collect()
+        .map(r => (n, r.getSeq[String](0), r.getSeq[String](1)))
+    }
+    out.foreach { case (n, toks, grams) =>
+      assert(grams.length == math.max(0, toks.length - n + 1), s"n=$n toks=$toks")
+      assert(grams.forall(_.count(_ == ' ') == n - 1), s"n=$n grams=$grams")
+    }
+  }
+
+  test("bigrams are consecutive space-joined pairs (T4)") {
+    val df = Seq(Tuple1(Seq("to", "be", "or", "not"))).toDF("toks")
+    val out = df.select(ngrams(col("toks"), 2)).first().getSeq[String](0)
+    assert(out == Seq("to be", "be or", "or not"))
+  }
+
+  test("minhash signature is invariant under token duplication & order") {
+    val a = Seq(Tuple1(Seq("x", "y", "z"))).toDF("toks")
+    val b = Seq(Tuple1(Seq("z", "x", "y", "x", "z"))).toDF("toks")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select(minhashSignature(array_distinct(col("toks")), 8)).first().getSeq[Long](0)
+    assert(sig(a) == sig(b))
+    assert(sig(a).length == 8)
+  }
+
+  test("identical token sets share simhash; disjoint sets differ") {
+    val df = Seq(
+      (1, Seq("spark", "fast", "engine")),
+      (2, Seq("engine", "spark", "fast")),
+      (3, Seq("totally", "different", "words", "here"))
+    ).toDF("id", "toks")
+    val out = df.select(col("id"), simhash32(col("toks")).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(1) == out(2))
+    assert(out(1) != out(3))
+  }
+
+  test("langId picks the lexicon with most hits, und when none") {
+    val df = Seq(
+      (1, "the cat sat on the mat"),
+      (2, "el perro de la casa es grande y que bonito"),
+      (3, "zzz qqq www")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), langId(whitespaceTokens(col("text"))).as("l"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "en", 2 -> "es", 3 -> "und"))
+  }
+
+  test("quality metrics: exact on a known sentence") {
+    val df = Seq("the quick quick fox").toDF("text")
+    val r = df.select(
+      typeTokenRatio(whitespaceTokens(col("text"))).as("ttr"),
+      meanTokenLen(whitespaceTokens(col("text"))).as("mtl"),
+      stopwordRatio(whitespaceTokens(col("text"))).as("swr")).first()
+    assert(r.getDouble(0) == 3.0 / 4.0)
+    assert(r.getDouble(1) == (3 + 5 + 5 + 3) / 4.0)
+    assert(r.getDouble(2) == 1.0 / 4.0)
+  }
+
+  test("text queries stay fully codegen'd (no UDFs in the plan)") {
+    val plan = graft.queries.TextQueries.q24Quality(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+}
