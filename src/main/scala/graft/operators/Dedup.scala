@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators — the distributed forms a 100 TB
+  * training-data pipeline needs. All hashing is md5-derived and
+  * engine-portable, so candidate generation is reproducible (and, for
+  * the md5 variants, oracle-checkable in DuckDB).
+  *
+  * Scale shape of [[minhashNearDups]]: signatures are one narrow pass
+  * over documents (no shuffle); banding explodes to `bands` rows/doc and
+  * groups by (band, signature) — a shuffle whose payload is ~32 bytes ×
+  * bands per document, NOT the document text; candidate pairs then join
+  * back to shingle sets only for the (rare) colliding ids. This is the
+  * standard shuffle-light LSH join: the full-text crossJoin never
+  * happens.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical id per identical (normalized) text. */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("copies"))
+
+  /** (doc_id, shingles) projection used by the MinHash path. */
+  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), shingles(whitespaceTokens(col("text")), k).as("sh"))
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * @param numHashes total minhash functions (k)
+    * @param bands     number of LSH bands; rows per band = k / bands
+    * @param threshold exact-Jaccard verification floor applied to
+    *                  candidates (set 0 to see raw candidates)
+    * Output: id_a < id_b, jaccard.
+    */
+  def minhashNearDups(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
+                      threshold: Double = 0.8, shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = shingleSets(docs, shingleK).filter(size(col("sh")) > 0)
+
+    val sig = sh.withColumn("mh", minhashSignature(col("sh"), numHashes))
+    // band signature: rows consecutive minhashes joined to one string
+    val banded = sig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until rows).map(r => element_at(col("mh"), b * rows + r + 1)): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup candidates: identical 32-bit simhash over distinct
+    * tokens. (Hamming-radius>0 probing would union rotations; radius 0
+    * keeps the query oracle-simple.) */
+  def simhashClusters(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash32(whitespaceTokens(col("text"))).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("canonical_id"))
+
+  /** Embedding-cosine near-dup pairs over adjacent buckets — delegates
+    * to Similarity.signLshKnn with a high threshold. */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95,
+                        bits: Int = 8): DataFrame =
+    Similarity.signLshKnn(embeddings, embeddings, k = 5, bits = bits)
+      .filter(col("cos_sim") >= threshold && col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("cos_sim"))
+}

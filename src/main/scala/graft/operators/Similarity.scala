@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `embedding: array<float>` column.
+  *
+  * Two paths, as a 100 TB pipeline needs both:
+  *  - [[bruteForceKnn]]: exact top-k. The query side is broadcast
+  *    (BroadcastNestedLoopJoin); the corpus is scanned once, never
+  *    shuffled. Cost O(|corpus| · |queries| · dim) — right when the
+  *    query set is small or as the ground-truth baseline.
+  *  - [[signLshKnn]]: approximate top-k via random-hyperplane sign LSH.
+  *    Corpus is bucketed by a b-bit signature (one narrow pass), queries
+  *    probe only their own bucket — the per-query cost drops by ~2^b.
+  *    Hyperplanes are pseudo-random but fully deterministic (hash of
+  *    (plane, dim)), so results are reproducible with no driver-side
+  *    randomness and no model state to ship.
+  *
+  * All arithmetic is double (floats upcast once) and every fold is
+  * sequential in array order, so scores are deterministic.
+  */
+object Similarity {
+
+  /** Upcast array<float> → array<double> once, at the scan. */
+  def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors of `queries` within `corpus`.
+    * Both frames must carry (`vec_id`, `embedding`). Self-pairs excluded.
+    * Output: query_id, rank (1-based), neighbor_id, cos_sim.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(
+      col("vec_id"),
+      asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived integer mapped to [-1, 1). No RNG, no driver state. */
+  private def planeComponent(plane: Int, d: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$plane|"), d.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 10000L).cast("double") / 10000.0
+
+  /** b-bit sign-LSH signature of an embedding (array<double>). */
+  def lshSignature(emb: Column, bits: Int): Column = {
+    val terms = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Approximate top-k: bucket corpus and queries by sign-LSH signature,
+    * rank only within the shared bucket. One shuffle on the signature —
+    * the scale path when |queries| is large. Recall < 1 by construction;
+    * callers wanting guarantees multi-probe (union over several `bits`
+    * prefixes) or fall back to [[bruteForceKnn]].
+    */
+  def signLshKnn(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("sig", lshSignature(col("emb"), bits))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("sig", lshSignature(col("q_emb"), bits))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    c.join(q, Seq("sig"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+}

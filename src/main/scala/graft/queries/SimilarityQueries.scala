@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+
+/** Similarity-search and near-dup queries over `embeddings` and
+  * `documents`. q30/q31/q40/q41 are fully oracle-checked (all hashing is
+  * md5-derived; all float math is double with identical fold order in
+  * both engines). q42 is the approximate scale path — rows-only check,
+  * its recall is asserted against q30 in SimilaritySpec.
+  */
+object SimilarityQueries {
+
+  // ---------------------------------------------------------------- q30
+  /** Exact brute-force top-5 cosine neighbors for query vectors
+    * vec_id < 20. cos_sim is emitted raw: both engines upcast float →
+    * double and fold sequentially, so the doubles are bit-identical. */
+  def q30KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 20), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val q30Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, emb,
+      |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+      |      / (q.nrm * c.nrm) AS cos_sim
+      |  FROM n q, n c
+      |  WHERE q.vec_id < 20 AND c.vec_id != q.vec_id)
+      |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Per-vector L2 norm — the scalar kernel under every cosine. */
+  def q31EmbedNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        Similarity.l2Norm(Similarity.asDouble(col("embedding"))).as("l2_norm"))
+      .orderBy("vec_id")
+
+  val q31Sql: String =
+    """SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** MinHash-LSH near-duplicate detection, end to end: 3-shingles →
+    * 8 minhashes → 4 bands × 2 rows → banded candidate join → exact
+    * Jaccard verification ≥ 0.8. Fully oracle-checked — both engines
+    * compute the identical md5-slice hashes. */
+  def q40LshNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables(spark, dir).documents,
+        numHashes = 8, bands = 4, threshold = 0.8, shingleK = 3)
+      .orderBy("id_a", "id_b")
+
+  val q40Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      |  WHERE len(l) >= 3),
+      |mh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 8), s -> list_min(list_transform(sh,
+      |      t -> CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '|' || t), 1, 15)) AS BIGINT)))) AS mhs
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band,
+      |    CAST(mhs[2*b + 1] AS VARCHAR) || '_' || CAST(mhs[2*b + 2] AS VARCHAR) AS sig
+      |  FROM mh, range(0, 4) r(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+      |FROM pairs
+      |JOIN sh x ON x.doc_id = id_a
+      |JOIN sh y ON y.doc_id = id_b
+      |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** SimHash clusters over distinct tokens (radius-0 near-dup buckets). */
+  def q41Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashClusters(Tables(spark, dir).documents)
+      .orderBy("simhash")
+
+  val q41Sql: String = {
+    // 32 generated bit terms: bit b set iff sum over distinct-token
+    // hashes of ±1 votes is positive (exactly TextFunctions.simhash32)
+    val bitTerms = (0 until 32).map { b =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |    h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN CAST(${1L << b} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""SELECT simhash, count(*) AS cluster_size, min(doc_id) AS canonical_id
+       |FROM (
+       |  SELECT doc_id, $bitTerms AS simhash
+       |  FROM (
+       |    SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+       |      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+       |    FROM documents))
+       |GROUP BY simhash ORDER BY simhash""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q42
+  /** Approximate ANN via sign-LSH bucketing — the 100 TB scale path
+    * (rows-only check here; recall vs q30 asserted in SimilaritySpec). */
+  def q42KnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.signLshKnn(e, e.filter(col("vec_id") < 20), k = 5, bits = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_knn_brute"   -> (q30KnnBrute _),
+    "q31_embed_norm"  -> (q31EmbedNorm _),
+    "q40_lsh_neardup" -> (q40LshNearDups _),
+    "q41_simhash"     -> (q41Simhash _),
+    "q42_knn_lsh"     -> (q42KnnLsh _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_knn_brute"   -> q30Sql,
+    "q31_embed_norm"  -> q31Sql,
+    "q40_lsh_neardup" -> q40Sql,
+    "q41_simhash"     -> q41Sql
+  )
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sf).embeddings
+  private lazy val docs = Tables(spark, sf).documents
+
+  test("brute-force knn: rank 1..k, no self pairs, cos within [-1,1]") {
+    val knn = Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), 5).cache()
+    assert(knn.count() == 50)
+    assert(knn.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(knn.filter(abs(col("cos_sim")) > 1.0 + 1e-9).count() == 0)
+    // ranks are contiguous per query
+    val perQ = knn.groupBy("query_id").agg(max("rank").as("mx"), count(lit(1)).as("k"))
+    assert(perQ.filter(col("mx") =!= col("k")).count() == 0)
+  }
+
+  test("knn is symmetric with itself as ground truth on identical vectors") {
+    // a vector duplicated must be its own nearest neighbor (cos = 1)
+    val dup = emb.limit(1).select(lit(99999L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(dup)
+    val knn = Similarity.bruteForceKnn(corpus, dup, 1)
+    val top = knn.first()
+    assert(top.getAs[Long]("neighbor_id") == emb.first().getAs[Long]("vec_id"))
+    assert(math.abs(top.getAs[Double]("cos_sim") - 1.0) < 1e-12)
+  }
+
+  test("sign-LSH knn results are a subset of allowed ids with decent recall") {
+    val exact = Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 20), 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.signLshKnn(emb, emb.filter(col("vec_id") < 20), 5, bits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every approx neighbor is a real vector, not fabricated
+    assert(approx.forall { case (q, n) => q != n })
+    // recall is data-dependent; require non-trivial overlap at 4 bits
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.1, s"recall=$recall")
+  }
+
+  test("minhash LSH finds all exact duplicates (jaccard 1.0 pairs)") {
+    // plant two exact dup docs; LSH must surface the pair
+    val planted = docs.limit(2)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = docs.unionByName(planted)
+    val pairs = Dedup.minhashNearDups(corpus, 8, 4, threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((0L, 1000000L)) && ids.contains((1L, 1000001L)),
+      s"planted dup pairs missing from $ids")
+  }
+
+  test("minhash candidate generation never misses band-identical docs") {
+    val sig = Dedup.shingleSets(docs, 3).filter(size(col("sh")) > 0)
+    assert(sig.count() == docs.count()) // all test docs have >= 3 tokens
+  }
+
+  test("simhash clusters cover all docs exactly once") {
+    val cl = Dedup.simhashClusters(docs)
+    val total = cl.agg(sum("cluster_size")).first().getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("embedding near-dups only returns pairs above threshold") {
+    val nd = Dedup.embeddingNearDups(emb, threshold = 0.9, bits = 4)
+    assert(nd.filter(col("cos_sim") < 0.9).count() == 0)
+    assert(nd.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+}
