@@ -60,12 +60,16 @@ object TextFunctions {
   def wordPunctTokens(c: Column): Column =
     regexp_extract_all(c, lit("""\w+|[^\w\s]+"""), lit(0))
 
+  /** Case-insensitive stopword membership. `isInCollection` compiles to
+    * Catalyst InSet (hash-set lookup) — O(1) per token vs the O(|list|)
+    * scan an array_contains over a literal array would do. */
+  def isStopword(t: Column, stopwords: Seq[String] = NltkStopwords): Column =
+    lower(t).isInCollection(stopwords)
+
   /** Stopword removal preserving duplicates (array_except would dedup —
     * the reference keeps non-stopword duplicates, `transformers.py:34-36`). */
-  def removeStopwords(tokens: Column, stopwords: Seq[String] = NltkStopwords): Column = {
-    val sw = array(stopwords.map(lit): _*)
-    filter(tokens, t => !array_contains(sw, lower(t)))
-  }
+  def removeStopwords(tokens: Column, stopwords: Seq[String] = NltkStopwords): Column =
+    filter(tokens, t => !isStopword(t, stopwords))
 
   /** Reference P9: per-document distinct tokens. */
   def distinctTokens(tokens: Column): Column = array_distinct(tokens)
@@ -94,31 +98,57 @@ object TextFunctions {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** MinHash value for one seeded hash function over a token set:
-    * min over tokens of md5Hash60(seed || '|' || token). */
-  def minhashValue(tokens: Column, seed: Int): Column =
-    array_min(transform(tokens, t => md5Hash60(concat(lit(s"$seed|"), t))))
+  /** 32-bit base hash (low 32 bits of the md5 slice). Universal-hash
+    * seeds build on this so md5 runs ONCE per token, not once per seed. */
+  def md5Hash32(c: Column): Column = md5Hash60(c) % lit(1L << 32)
 
-  /** Full k-element MinHash signature as array<long>. */
+  /** Precompute per-token base hashes — callers materialize this as a
+    * column so the k seeded rehashes below share one md5 pass. */
+  def tokenHashes(tokens: Column): Column = transform(tokens, t => md5Hash32(t))
+
+  /** Smallest prime > 2^32: universal-hash modulus. a·h+b stays under
+    * 2^62 (a < 2^30, h < 2^32) — no signed-64 overflow in either engine. */
+  val MinhashPrime: Long = 4294967311L
+
+  /** Deterministic (a, b) per seed — Knuth multiplicative constants,
+    * identical on the oracle side (generated from this list). */
+  val MinhashParams: Seq[(Long, Long)] = (0 until 16).map { s =>
+    val a = ((2654435761L * (s + 1)) % (1L << 30)) | 1L
+    val b = (40503L * (s + 7) * (s + 7)) % (1L << 30)
+    (a, b)
+  }
+
+  /** MinHash signature (array<long>, length k) from precomputed hashes. */
+  def minhashFromHashes(hs: Column, k: Int): Column =
+    array((0 until k).map { s =>
+      val (a, b) = MinhashParams(s)
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(MinhashPrime)))
+    }: _*)
+
+  /** Full k-element MinHash signature as array<long> (convenience —
+    * for hot paths materialize tokenHashes first). */
   def minhashSignature(tokens: Column, k: Int): Column =
-    array((0 until k).map(s => minhashValue(tokens, s)): _*)
+    minhashFromHashes(tokenHashes(tokens), k)
 
-  /** SimHash over the low 32 bits of the token hashes: for each bit,
-    * sign of sum(token present ? +1 : -1). Returns a long bitmask.
-    * Integer-only → engine-portable. */
-  def simhash32(tokens: Column, distinct: Boolean = true): Column = {
-    val toks = if (distinct) array_distinct(tokens) else tokens
-    val hashes = transform(toks, t => md5Hash60(t))
+  /** SimHash bitmask from precomputed token hashes: for each of the low
+    * 32 bits, sign of sum(bit set ? +1 : -1). Integer-only →
+    * engine-portable. Callers materialize the hash array so md5 runs
+    * once, not 32 times. */
+  def simhashFromHashes(hs: Column): Column = {
     val bits = (0 until 32).map { b =>
       val votes = aggregate(
-        hashes, lit(0L),
+        hs, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L) * pow2(b)).otherwise(0L)
+      when(votes > 0, lit(1L << b)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
 
-  private def pow2(b: Int): Column = lit(1L << b)
+  /** SimHash over (by default distinct) tokens — convenience wrapper. */
+  def simhash32(tokens: Column, distinct: Boolean = true): Column = {
+    val toks = if (distinct) array_distinct(tokens) else tokens
+    simhashFromHashes(transform(toks, t => md5Hash60(t)))
+  }
 
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(whitespaceTokens(text))
@@ -134,16 +164,12 @@ object TextFunctions {
       .cast("double") / size(tokens)
 
   /** Stopword ratio — fraction of tokens that are (NLTK) stopwords. */
-  def stopwordRatio(tokens: Column, stopwords: Seq[String] = NltkStopwords): Column = {
-    val sw = array(stopwords.map(lit): _*)
-    size(filter(tokens, t => array_contains(sw, lower(t)))).cast("double") / size(tokens)
-  }
+  def stopwordRatio(tokens: Column, stopwords: Seq[String] = NltkStopwords): Column =
+    size(filter(tokens, t => isStopword(t, stopwords))).cast("double") / size(tokens)
 
-  /** Lexicon-hit count for one language. */
-  def lexiconHits(tokens: Column, lexicon: Seq[String]): Column = {
-    val lex = array(lexicon.map(lit): _*)
-    size(filter(tokens, t => array_contains(lex, t)))
-  }
+  /** Lexicon-hit count for one language (InSet lookup). */
+  def lexiconHits(tokens: Column, lexicon: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(lexicon)))
 
   /** Language-ID heuristic: argmax of lexicon hits, ties broken by
     * lexicon declaration order (en > es > de > fr), 'und' if no hits. */

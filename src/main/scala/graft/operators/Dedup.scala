@@ -42,7 +42,10 @@ object Dedup {
     val rows = numHashes / bands
     val sh = shingleSets(docs, shingleK).filter(size(col("sh")) > 0)
 
-    val sig = sh.withColumn("mh", minhashSignature(col("sh"), numHashes))
+    // materialize the base hashes so the k seeded rehashes share ONE
+    // md5 pass per shingle (universal hashing, not per-seed md5)
+    val sig = sh.withColumn("hs", tokenHashes(col("sh")))
+      .withColumn("mh", minhashFromHashes(col("hs"), numHashes))
     // band signature: rows consecutive minhashes joined to one string
     val banded = sig.select(
       col("doc_id"),
@@ -73,7 +76,11 @@ object Dedup {
     * tokens. (Hamming-radius>0 probing would union rotations; radius 0
     * keeps the query oracle-simple.) */
   def simhashClusters(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash32(whitespaceTokens(col("text"))).as("simhash"))
+    docs
+      .select(col("doc_id"),
+        transform(array_distinct(whitespaceTokens(col("text"))),
+          t => md5Hash60(t)).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("canonical_id"))
 

@@ -69,17 +69,22 @@ object SimilarityQueries {
         numHashes = 8, bands = 4, threshold = 0.8, shingleK = 3)
       .orderBy("id_a", "id_b")
 
-  val q40Sql: String =
-    """WITH sh AS (
+  val q40Sql: String = {
+    // the 8 seeded universal-hash minhash expressions, generated from the
+    // SAME MinhashParams constants the Scala side uses
+    val mhExprs = MinhashParams.take(8).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashPrime))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(l) - 1),
       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
       |  WHERE len(l) >= 3),
       |mh AS (
-      |  SELECT doc_id,
-      |    list_transform(range(0, 8), s -> list_min(list_transform(sh,
-      |      t -> CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '|' || t), 1, 15)) AS BIGINT)))) AS mhs
-      |  FROM sh),
+      |  SELECT doc_id, $mhExprs AS mhs
+      |  FROM (SELECT doc_id, list_transform(sh,
+      |          t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 4294967296) AS hs
+      |        FROM sh)),
       |banded AS (
       |  SELECT doc_id, b AS band,
       |    CAST(mhs[2*b + 1] AS VARCHAR) || '_' || CAST(mhs[2*b + 2] AS VARCHAR) AS sig
@@ -97,6 +102,7 @@ object SimilarityQueries {
       |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
       |    len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q41
   /** SimHash clusters over distinct tokens (radius-0 near-dup buckets). */
