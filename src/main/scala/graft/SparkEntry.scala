@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.MlQueries.queries
+      graft.queries.MlQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
-      graft.queries.MlQueries.oracles
+      graft.queries.MlQueries.oracles ++
+      graft.queries.MultimodalQueries.oracles
 }

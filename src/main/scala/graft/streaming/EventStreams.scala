@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events schema
+  * (event_id, ts timestamp, user_id, event_type, value).
+  *
+  * The transforms are plain DataFrame functions, so the exact same code
+  * runs batch (Tables.events) and streaming (readStream / MemoryStream);
+  * only the source/sink differ. Watermarks bound state at scale: an
+  * unbounded-state streaming agg is the streaming equivalent of a
+  * driver-side collect.
+  */
+object EventStreams {
+
+  /** Tumbling-window rollup with a watermark (the streaming twin of
+    * batch q13). State per (window × event_type) only; late data beyond
+    * the watermark is dropped deterministically. */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window per-type rate (10 min windows every 5 min). */
+  def slidingRate(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  // ------------------------------------------------- stateful sessions
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization with custom state
+    * (flatMapGroupsWithState) — the streaming twin of batch q14. Emits a
+    * session when the idle gap exceeds `gapMillis` or on state timeout.
+    * State is O(1) per active user. */
+  def sessionize(events: Dataset[Event], gapMillis: Long = 30 * 60 * 1000L)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, new Timestamp(s.start), s.nEvents, s.total))
+      }
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastSeen <= gapMillis =>
+            cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            out += SessionOut(userId, new Timestamp(s.start), s.nEvents, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastSeen + gapMillis)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}
