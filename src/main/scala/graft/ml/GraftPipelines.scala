@@ -26,6 +26,11 @@ object GraftPipelines {
       .setPattern("\\w+|[^\\w\\s]+").setGaps(false)
       .setToLowercase(true)
 
+  /** T1: the reference's plain ml Tokenizer — lowercase + whitespace
+    * split (`script2.py:50`, `script3.py:46`). */
+  def simpleTokenizer(in: String, out: String): Tokenizer =
+    new Tokenizer().setInputCol(in).setOutputCol(out)
+
   /** T3: raw whitespace split (professor's tokenizer, no lowering). */
   def whitespaceTokenizer(in: String, out: String): RegexTokenizer =
     new RegexTokenizer()
@@ -64,6 +69,16 @@ object GraftPipelines {
   /** T6: L2 normalizer. */
   def l2Normalizer(in: String, out: String): Normalizer =
     new Normalizer().setInputCol(in).setOutputCol(out).setP(2.0)
+
+  /** F2: top-k χ² feature selector — the working form of the selector
+    * the reference abandoned ("STOP : CA NE MARCHE PAS",
+    * `featureSelection.ipynb cell 9-12`). */
+  def topKChiSqSelector(featuresCol: String, labelCol: String, out: String,
+                        k: Int = 6000): UnivariateFeatureSelector =
+    new UnivariateFeatureSelector()
+      .setFeatureType("categorical").setLabelType("categorical")
+      .setSelectionMode("numTopFeatures").setSelectionThreshold(k)
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol).setOutputCol(out)
 
   /** V6: label indexer. The reference's frequencyDesc ordering is
     * tie-broken arbitrarily on a balanced corpus (SURVEY §1.3) — we pin
