@@ -153,6 +153,22 @@ object TextFunctions {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(whitespaceTokens(text))
 
+  /** BPE-ish subword-count estimator: alpha runs chunked at 4 chars,
+    * digit runs as one token, punctuation char-wise — the cheap
+    * LLM-token budget proxy. Pattern is deliberately RE2/Java-portable. */
+  val BpePattern = "[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Order-sensitive rolling fingerprint over token hashes:
+    * h ← (h·31 + hash32(token)) mod 2^31-1. Unlike the md5-of-text
+    * fingerprint it survives whitespace normalization differences, and
+    * unlike MinHash it is order-sensitive — a cheap sequence identity. */
+  def rollingFingerprint(tokens: Column): Column =
+    aggregate(transform(tokens, t => md5Hash32(t)), lit(0L),
+      (acc, h) => (acc * 31L + h) % lit(2147483647L))
+
   /** Type-token ratio: distinct tokens / total tokens (lexical richness
     * component of quality scoring). */
   def typeTokenRatio(tokens: Column): Column =

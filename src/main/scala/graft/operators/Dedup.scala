@@ -40,7 +40,10 @@ object Dedup {
                       threshold: Double = 0.8, shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingleSets(docs, shingleK).filter(size(col("sh")) > 0)
+    // the shingle frame is consumed three times (signatures + both sides
+    // of the verification join) — cache it; at 100 TB this becomes a
+    // persist(DISK_ONLY) or a checkpoint, same shape
+    val sh = shingleSets(docs, shingleK).filter(size(col("sh")) > 0).cache()
 
     // materialize the base hashes so the k seeded rehashes share ONE
     // md5 pass per shingle (universal hashing, not per-seed md5)

@@ -37,14 +37,16 @@ object TextQueries {
       .select(
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"))
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        bpeTokenCount(col("text")).cast("long").as("n_subtokens"))
       .orderBy("doc_id")
 
   val q20Sql: String =
-    """SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_subtokens
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q21
   /** Distributed vocabulary build with document frequency (V1): explode
@@ -162,11 +164,19 @@ object TextQueries {
   /** Content fingerprint (md5 of lowercased text). */
   def q26Fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        rollingFingerprint(toks).as("rolling_fp"))
       .orderBy("doc_id")
 
   val q26Sql: String =
-    """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""".stripMargin
+    """SELECT doc_id, md5(lower(text)) AS fp,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ' '),
+      |      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 4294967296)),
+      |    (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q27
   /** Exact deduplication: group by fingerprint, keep min doc_id as the
@@ -191,9 +201,14 @@ object TextQueries {
     * (a deterministic, oracle-checkable pairing; the LSH variant that
     * finds *all* pairs at scale is q41/minhash). */
   def q28ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // compute the shingle sets once; both sides of the adjacent-id join
+    // read the cached frame (a lag-window would avoid the join but
+    // forces a single-partition global sort — wrong at scale)
     val d = docs(spark, dir)
-    val a = d.select(col("doc_id").as("id_a"), shingles(whitespaceTokens(col("text")), 3).as("sh_a"))
-    val b = d.select(col("doc_id").as("id_b"), shingles(whitespaceTokens(col("text")), 3).as("sh_b"))
+      .select(col("doc_id"), shingles(whitespaceTokens(col("text")), 3).as("sh"))
+      .cache()
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_b") === col("id_a") + 1)
       .select(
         col("id_a"), col("id_b"),
