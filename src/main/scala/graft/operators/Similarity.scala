@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -74,6 +76,56 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     terms.reduce(_ + _)
+  }
+
+  /** IVF (inverted-file) ANN: a seeded KMeans coarse quantizer assigns
+    * every corpus vector to a cell; each query probes only its `nprobe`
+    * nearest cells. The centroid table is tiny (numCells rows) and
+    * broadcast; the only large shuffle is the corpus partition by cell —
+    * done once, amortized over all queries. With nprobe == numCells the
+    * result is EXACTLY bruteForceKnn (asserted in SimilaritySpec), which
+    * pins the plumbing correct; recall/latency trades via nprobe.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             numCells: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("fv", array_to_vector(col("emb")))
+    val km = new KMeans().setK(numCells).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c)
+      .select(col("vec_id"), col("emb"), l2Norm(col("emb")).as("nrm"), col("cell"))
+
+    // tiny centroid relation → broadcast; nprobe cells per query
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (v, i) => (i, v.toArray.toSeq)
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell", "centroid")
+
+    val q = queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    val probeW = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("dist",
+        aggregate(zip_with(col("q_emb"), col("centroid"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nprobe)
+      .select("query_id", "q_emb", "q_nrm", "cell")
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    assigned.join(probes, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
   /** Approximate top-k: bucket corpus and queries by sign-LSH signature,

@@ -137,12 +137,24 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q43
+  /** IVF ANN (KMeans coarse quantizer, nprobe=4 of 16 cells) — the
+    * second approximate scale path. Rows-only; exact-equivalence at
+    * nprobe=numCells is asserted in SimilaritySpec. */
+  def q43KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.ivfKnn(e, e.filter(col("vec_id") < 20), k = 5,
+        numCells = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute"   -> (q30KnnBrute _),
     "q31_embed_norm"  -> (q31EmbedNorm _),
     "q40_lsh_neardup" -> (q40LshNearDups _),
     "q41_simhash"     -> (q41Simhash _),
-    "q42_knn_lsh"     -> (q42KnnLsh _)
+    "q42_knn_lsh"     -> (q42KnnLsh _),
+    "q43_knn_ivf"     -> (q43KnnIvf _)
   )
 
   val oracles: Map[String, String] = Map(
