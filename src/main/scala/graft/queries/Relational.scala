@@ -324,6 +324,49 @@ object Relational {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q15
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * `props` column and aggregate on it. get_json_object stays inside
+    * codegen; at scale this is the schema-on-read path for event
+    * payloads (full from_json with a schema when fields are known). */
+  def q15JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_bucket", expr("k DIV 10"))
+      .groupBy("k_bucket")
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum("value").as("bucket_value"))
+      .orderBy("k_bucket")
+
+  val q15Sql: String =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+      |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Pivot: per-user event counts spread across event types. The type
+    * list is pinned (never inferred via an extra distinct scan) — at
+    * scale an inferred pivot is two jobs, a pinned one is one. */
+  val PivotTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def q16Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("user_id")
+      .pivot("event_type", PivotTypes)
+      .agg(coalesce(count(lit(1)), lit(0L)))
+      .na.fill(0L, PivotTypes)
+      .orderBy("user_id")
+
+  val q16Sql: String = {
+    val cols = PivotTypes.map(t =>
+      s"""count(*) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n      |  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
@@ -339,7 +382,9 @@ object Relational {
     "q11_window_running"      -> (q11WindowRunning _),
     "q12_group_having"        -> (q12GroupHaving _),
     "q13_hourly_rollup"       -> (q13HourlyRollup _),
-    "q14_sessionize"          -> (q14Sessionize _)
+    "q14_sessionize"          -> (q14Sessionize _),
+    "q15_json_extract"        -> (q15JsonExtract _),
+    "q16_pivot"               -> (q16Pivot _)
   )
 
   /** name → DuckDB oracle SQL */
@@ -357,6 +402,8 @@ object Relational {
     "q11_window_running"      -> q11Sql,
     "q12_group_having"        -> q12Sql,
     "q13_hourly_rollup"       -> q13Sql,
-    "q14_sessionize"          -> q14Sql
+    "q14_sessionize"          -> q14Sql,
+    "q15_json_extract"        -> q15Sql,
+    "q16_pivot"               -> q16Sql
   )
 }
