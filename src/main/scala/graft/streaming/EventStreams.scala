@@ -36,6 +36,15 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Streaming exact-dedup: drop repeated ids within the watermark
+    * horizon — the streaming twin of Dedup.exactDedup. State holds only
+    * ids newer than the watermark (bounded), which is the correct
+    * trade at scale: global forever-dedup belongs to the batch layer. */
+  def streamingDedup(events: DataFrame, idCol: String = "event_id",
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(idCol, "ts")
+
   // ------------------------------------------------- stateful sessions
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
