@@ -367,6 +367,81 @@ object Relational {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q17
+  /** Window-function suite: lag/lead (decimal-exact), rank over a
+    * unique ordering, ntile — one pass, one shuffle on user_id. */
+  def q17WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables(spark, dir).events
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .select(
+        col("event_id"), col("user_id"),
+        lag("v", 1).over(byUser).cast("double").as("prev_value"),
+        lead("v", 1).over(byUser).cast("double").as("next_value"),
+        rank().over(byUser).cast("long").as("value_rank"),
+        ntile(4).over(byUser).cast("long").as("quartile"))
+      .orderBy("event_id")
+  }
+
+  val q17Sql: String =
+    """SELECT event_id, user_id,
+      |  CAST(lag(CAST(value AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_value,
+      |  CAST(lead(CAST(value AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS next_value,
+      |  CAST(rank() OVER w AS BIGINT) AS value_rank,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** ROLLUP subtotals over the geography hierarchy — region, nation,
+    * and grand total in one pass (Catalyst expands then single-shuffles). */
+  def q18Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // rollup must take Column refs here: the string-name overload trips
+    // Spark 4.1's ambiguous-self-join detector on any join-derived frame
+    val base = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "o_totalprice")
+    base.rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), moneySum("o_totalprice").as("total_price"))
+      .sort(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  val q18Sql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Scalar-subquery predicate: customers above the global mean balance.
+    * The mean is one broadcast row — no per-row recomputation. */
+  def q19ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val mean = t.customer.agg(
+      (sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("mean_bal"))
+    t.customer.crossJoin(broadcast(mean))
+      .filter(col("c_acctbal") > col("mean_bal"))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val q19Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_acctbal > (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
@@ -384,7 +459,10 @@ object Relational {
     "q13_hourly_rollup"       -> (q13HourlyRollup _),
     "q14_sessionize"          -> (q14Sessionize _),
     "q15_json_extract"        -> (q15JsonExtract _),
-    "q16_pivot"               -> (q16Pivot _)
+    "q16_pivot"               -> (q16Pivot _),
+    "q17_window_suite"        -> (q17WindowSuite _),
+    "q18_rollup"              -> (q18Rollup _),
+    "q19_scalar_subquery"     -> (q19ScalarSubquery _)
   )
 
   /** name → DuckDB oracle SQL */
@@ -404,6 +482,9 @@ object Relational {
     "q13_hourly_rollup"       -> q13Sql,
     "q14_sessionize"          -> q14Sql,
     "q15_json_extract"        -> q15Sql,
-    "q16_pivot"               -> q16Sql
+    "q16_pivot"               -> q16Sql,
+    "q17_window_suite"        -> q17Sql,
+    "q18_rollup"              -> q18Sql,
+    "q19_scalar_subquery"     -> q19Sql
   )
 }
