@@ -442,6 +442,66 @@ object Relational {
       |  FROM customer)
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  /** String predicate pushdown: LIKE '%...%' compiles to a
+    * StringContains parquet filter; regexp match runs in codegen. */
+  def q33StringMatch(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part
+      .filter(col("p_name").like("%e%") && col("p_type").rlike("^[A-Z]+$"))
+      .select(col("p_partkey"), col("p_name"),
+        upper(substring(col("p_brand"), 1, 5)).as("brand_prefix"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
+  val q33Sql: String =
+    """SELECT p_partkey, p_name,
+      |  upper(substr(p_brand, 1, 5)) AS brand_prefix,
+      |  CAST(len(p_name) AS BIGINT) AS name_len
+      |FROM part
+      |WHERE p_name LIKE '%e%' AND regexp_matches(p_type, '^[A-Z]+$')
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Calendar rollup: orders per (year, month) — date_part extraction
+    * on both engines over the same naive/UTC timestamps. */
+  def q34DateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), moneySum("o_totalprice").as("month_price"))
+      .orderBy("o_year", "o_month")
+
+  val q34Sql: String =
+    """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(date_part('month', o_orderdate) AS BIGINT) AS o_month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_price
+      |FROM orders GROUP BY o_year, o_month ORDER BY o_year, o_month""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Set operations: nations having customers but no suppliers
+    * (EXCEPT) unioned with nations having both (INTERSECT), tagged. */
+  def q35SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val custN = t.customer.select(col("c_nationkey").as("nationkey"))
+    val suppN = t.supplier.select(col("s_nationkey").as("nationkey"))
+    val both = custN.intersect(suppN).withColumn("tag", lit("both"))
+    val custOnly = custN.except(suppN).withColumn("tag", lit("customers_only"))
+    both.unionByName(custOnly).orderBy("nationkey")
+  }
+
+  val q35Sql: String =
+    """SELECT nationkey, tag FROM (
+      |  SELECT nationkey, 'both' AS tag FROM
+      |    (SELECT c_nationkey AS nationkey FROM customer
+      |     INTERSECT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT nationkey, 'customers_only' AS tag FROM
+      |    (SELECT c_nationkey AS nationkey FROM customer
+      |     EXCEPT SELECT s_nationkey FROM supplier))
+      |ORDER BY nationkey""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
@@ -462,7 +522,10 @@ object Relational {
     "q16_pivot"               -> (q16Pivot _),
     "q17_window_suite"        -> (q17WindowSuite _),
     "q18_rollup"              -> (q18Rollup _),
-    "q19_scalar_subquery"     -> (q19ScalarSubquery _)
+    "q19_scalar_subquery"     -> (q19ScalarSubquery _),
+    "q33_string_match"        -> (q33StringMatch _),
+    "q34_date_parts"          -> (q34DateParts _),
+    "q35_set_ops"             -> (q35SetOps _)
   )
 
   /** name → DuckDB oracle SQL */
@@ -485,6 +548,9 @@ object Relational {
     "q16_pivot"               -> q16Sql,
     "q17_window_suite"        -> q17Sql,
     "q18_rollup"              -> q18Sql,
-    "q19_scalar_subquery"     -> q19Sql
+    "q19_scalar_subquery"     -> q19Sql,
+    "q33_string_match"        -> q33Sql,
+    "q34_date_parts"          -> q34Sql,
+    "q35_set_ops"             -> q35Sql
   )
 }
