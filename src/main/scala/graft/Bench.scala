@@ -32,7 +32,11 @@ object Bench {
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // some operators cache intermediates (shingle frames); drop them
+        // so storage memory can't accumulate across the query sweep
+        spark.catalog.clearCache()
+        dt
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

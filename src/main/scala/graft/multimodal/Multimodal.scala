@@ -51,7 +51,9 @@ object Multimodal {
   /** Right-size partitions by cumulative payload bytes so executors get
     * ~`targetBytes` of media each regardless of row count. */
   def repartitionForIo(media: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
-    val total = media.agg(sum(length(col("content")))).head().getLong(0)
+    // sum() is null on empty/all-null input — treat as zero bytes
+    val total = Option(media.agg(sum(length(col("content")))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val parts = math.max(1, math.min(10000, (total / targetBytes).toInt + 1))
     media.repartition(parts)
   }

@@ -87,11 +87,20 @@ object Dedup {
       .groupBy("simhash")
       .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("canonical_id"))
 
-  /** Embedding-cosine near-dup pairs over adjacent buckets — delegates
-    * to Similarity.signLshKnn with a high threshold. */
+  /** Embedding-cosine near-dup pairs over LSH buckets. Pairs are
+    * canonicalized (least, greatest) THEN deduplicated, so a pair found
+    * from either endpoint's kNN survives — filtering one orientation
+    * first would drop pairs inside dup-clusters larger than k (a
+    * cluster of c identical vectors needs k >= c-1 for full recovery;
+    * that bound is the caller's `k` knob, not a hardcoded constant). */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95,
-                        bits: Int = 8): DataFrame =
-    Similarity.signLshKnn(embeddings, embeddings, k = 5, bits = bits)
-      .filter(col("cos_sim") >= threshold && col("query_id") < col("neighbor_id"))
-      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("cos_sim"))
+                        bits: Int = 8, k: Int = 10): DataFrame =
+    Similarity.signLshKnn(embeddings, embeddings, k = k, bits = bits)
+      .filter(col("cos_sim") >= threshold)
+      .select(
+        least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"),
+        col("cos_sim"))
+      .groupBy("id_a", "id_b")
+      .agg(max("cos_sim").as("cos_sim"))
 }

@@ -63,8 +63,8 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * md5-derived integer mapped to [-1, 1). No RNG, no driver state. */
   private def planeComponent(plane: Int, d: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$plane|"), d.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 10000L).cast("double") / 10000.0
+    ((conv(substring(md5(concat(lit(s"plane$plane|"), d.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 20000L) - 10000L).cast("double") / 10000.0
 
   /** b-bit sign-LSH signature of an embedding (array<double>). */
   def lshSignature(emb: Column, bits: Int): Column = {

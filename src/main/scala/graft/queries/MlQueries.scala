@@ -39,8 +39,12 @@ object MlQueries {
     val sufCases = PosTagger.SuffixRules.map { case (suf, tag) =>
       s"WHEN len(t) > ${suf.length + 2} AND ends_with(lower(t), '$suf') THEN '$tag'"
     }.mkString("\n      ")
+    // ASCII caveat: tagToken's Unicode-aware isLetterOrDigit/isUpper are
+    // mirrored here with ASCII classes; the empty-token guard matches
+    // tagToken's early return (double spaces in text produce "" tokens)
     s"""SELECT tag, count(*) AS cnt FROM (
        |  SELECT CASE
+       |      WHEN t = '' THEN 'X'
        |      WHEN NOT regexp_matches(t, '[A-Za-z0-9]') THEN '.'
        |      WHEN regexp_matches(t, '^[0-9]+([.,][0-9]+)*$$') THEN 'NUM'
        |      $lexCases

@@ -355,7 +355,8 @@ object Relational {
     Tables(spark, dir).events
       .groupBy("user_id")
       .pivot("event_type", PivotTypes)
-      .agg(coalesce(count(lit(1)), lit(0L)))
+      .agg(count(lit(1)))
+      // absent (user, type) cells come out of the pivot itself as null
       .na.fill(0L, PivotTypes)
       .orderBy("user_id")
 

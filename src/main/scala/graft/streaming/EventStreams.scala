@@ -43,7 +43,7 @@ object EventStreams {
   def streamingDedup(events: DataFrame, idCol: String = "event_id",
                      watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates(idCol, "ts")
+      .dropDuplicatesWithinWatermark(idCol)
 
   // ------------------------------------------------- stateful sessions
 

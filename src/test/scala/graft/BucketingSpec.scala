@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 class BucketingSpec extends SparkSpec {
 
-  test("bucketed join on the bucket key plans no Exchange (co-located)") {
+  /** Shared fixture, created once for whichever test runs first — each
+    * test is standalone (review caught an inter-test dependency). */
+  private lazy val bucketedTables: Unit = {
     val t = Tables(spark, sf)
     Bucketing.writeBucketed(
       t.lineitem.select("l_orderkey", "l_quantity", "l_extendedprice")
@@ -15,6 +17,11 @@ class BucketingSpec extends SparkSpec {
       t.orders.select("o_orderkey", "o_totalprice")
         .withColumnRenamed("o_orderkey", "orderkey"),
       "ord_bucketed", "orderkey", buckets = 4)
+  }
+
+  test("bucketed join on the bucket key plans no Exchange (co-located)") {
+    val t = Tables(spark, sf)
+    bucketedTables
 
     // at test scale the planner would broadcast the small side (also
     // shuffle-free, but not the property under test) — disable it so a
@@ -38,6 +45,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("aggregation on the bucket key also skips the exchange") {
+    bucketedTables
     val agg = spark.table("li_bucketed")
       .groupBy("orderkey").agg(sum("l_quantity"))
     val plan = agg.queryExecution.executedPlan.toString

@@ -4,7 +4,6 @@ import java.nio.file.{Files, Path}
 import graft.ml.GraftPipelines
 import graft.sources.CorpusReader
 import org.apache.spark.sql.functions._
-import scala.util.Random
 
 /** FIXTURES.md §A1 end-to-end: a reference-shaped mini-corpus on disk
   * (one doc per file, `<br /><br />` breaks, mixed case, punctuation
@@ -16,30 +15,10 @@ class EndToEndSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def writeCorpus(root: Path): Unit = {
-    val rnd = new Random(13)
-    val posT = Seq("a WONDERFUL film!<br /><br />Loved every scene...",
-      "Superb acting, great plot.<br /><br />would watch AGAIN!",
-      "Excellent movie — truly amazing?!")
-    val negT = Seq("an AWFUL mess...<br /><br />terrible pacing!",
-      "Boring, dreadful plot.<br /><br />the worst film?!",
-      "Hated it. Terrible acting...")
-    val pos = root.resolve("train/pos"); val neg = root.resolve("train/neg")
-    val tst = root.resolve("test")
-    Files.createDirectories(pos); Files.createDirectories(neg); Files.createDirectories(tst)
-    (0 until 30).foreach { i =>
-      Files.writeString(pos.resolve(s"${i}_${7 + i % 3}.txt"),
-        posT(i % posT.size) + s" take $i " + Seq.fill(5)(posT(rnd.nextInt(3))).mkString(" "))
-      Files.writeString(neg.resolve(s"${i}_${1 + i % 3}.txt"),
-        negT(i % negT.size) + s" take $i " + Seq.fill(5)(negT(rnd.nextInt(3))).mkString(" "))
-    }
-    (0 until 10).foreach { i =>
-      val src = if (i % 2 == 0) posT else negT
-      // distribution-matched: several sentences per doc, like train
-      val t = Seq.fill(4)(src(rnd.nextInt(3))).mkString(" ")
-      Files.writeString(tst.resolve(f"$i%05d.txt"), t)
-    }
-  }
+  // single source of truth for the corpus shape — shared with the
+  // committed golden fixtures (review caught an em-dash drift between
+  // two copy-pasted generators)
+  private def writeCorpus(root: Path): Unit = FixtureGen.writeCorpus(root)
 
   test("script5 end-to-end: corpus dirs -> train -> predict -> TSV golden") {
     val root = Files.createTempDirectory("graft-e2e")

@@ -23,7 +23,8 @@ class StreamingDedupSpec extends SparkSpec {
 
     input.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(0), "a-dup"))
     q.processAllAvailable()
-    input.addData((1L, ts(0), "a-dup2"), (3L, ts(2), "c"))
+    // retransmission with a FRESH timestamp must also be dropped
+    input.addData((1L, ts(5), "a-retry"), (3L, ts(2), "c"))
     q.processAllAvailable()
     val ids = spark.table("dedup").select("event_id")
       .as[Long].collect().sorted.toSeq
