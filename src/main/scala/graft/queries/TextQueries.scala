@@ -234,28 +234,31 @@ object TextQueries {
 
   // ---------------------------------------------------------------- q29
   /** MinHash signatures (k=8) over distinct tokens, exploded to
-    * (doc_id, seed, minhash) rows. Hash = 60-bit md5 slice, identical in
-    * both engines → the signature itself is oracle-checked, not just its
-    * shape. The banded-LSH near-dup join built on these is q41 (rows-only). */
+    * (doc_id, seed, minhash) rows — the EXACT universal-hash scheme the
+    * LSH near-dup operator uses (one md5 pass, then a·h+b mod p per
+    * seed), oracle-checked value-for-value. */
   def q29MinhashSig(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), array_distinct(toks).as("toks"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("seed"), col("toks"))
-      .select(
-        col("doc_id"), col("seed").cast("long").as("seed_id"),
-        array_min(transform(col("toks"),
-          t => conv(substring(md5(concat(col("seed").cast("string"), lit("|"), t)), 1, 15), 16, 10)
-            .cast("long"))).as("minhash"))
-      .select("doc_id", "seed_id", "minhash")
+      .select(col("doc_id"), tokenHashes(array_distinct(toks)).as("hs"))
+      .select(col("doc_id"), minhashFromHashes(col("hs"), 8).as("mh"))
+      .select(col("doc_id"),
+        posexplode(col("mh")).as(Seq("seed_id", "minhash")))
+      .select(col("doc_id"), col("seed_id").cast("long").as("seed_id"), col("minhash"))
       .orderBy("doc_id", "seed_id")
 
-  val q29Sql: String =
-    """SELECT doc_id, CAST(seed AS BIGINT) AS seed_id,
-      |  list_min(list_transform(toks,
-      |    t -> CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || t), 1, 15)) AS BIGINT))) AS minhash
-      |FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-      |     range(0, 8) r(seed)
-      |ORDER BY doc_id, seed_id""".stripMargin
+  val q29Sql: String = {
+    val mhExprs = MinhashParams.take(8).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashPrime))"
+    }.mkString("[", ", ", "]")
+    s"""SELECT doc_id, CAST(s - 1 AS BIGINT) AS seed_id, mhs[s] AS minhash
+       |FROM (
+       |  SELECT doc_id, $mhExprs AS mhs
+       |  FROM (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+       |          t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 4294967296) AS hs
+       |        FROM documents)),
+       |     range(1, 9) r(s)
+       |ORDER BY doc_id, seed_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats"     -> (q20TokenStats _),
