@@ -260,6 +260,33 @@ object TextQueries {
        |ORDER BY doc_id, seed_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q36
+  /** Distributed TF-IDF weights for the top-100-df tokens: the document
+    * frequency scan is the same one IDF.fit runs (V5), here surfaced
+    * relationally. idf = ln((N+1)/(df+1)) over identical integer-derived
+    * doubles in both engines; rounded to 6dp to absorb the one-ulp
+    * libm difference ln() is allowed. */
+  def q36Idf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.count() // corpus size: scalar, exact
+    d.select(explode(array_distinct(toks)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        round(log(lit(n + 1.0) / (col("df") + lit(1.0))), 6))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(100)
+  }
+
+  val q36Sql: String =
+    """SELECT token, df, round(ln((n + 1.0) / (df + 1.0)), 6) AS idf FROM (
+      |  SELECT token, count(*) AS df,
+      |    (SELECT count(*) FROM documents) AS n
+      |  FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS token
+      |        FROM documents)
+      |  GROUP BY token)
+      |ORDER BY df DESC, token ASC LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats"     -> (q20TokenStats _),
     "q21_vocab_df"        -> (q21VocabDf _),
@@ -270,7 +297,8 @@ object TextQueries {
     "q26_fingerprint"     -> (q26Fingerprint _),
     "q27_dedup_exact"     -> (q27DedupExact _),
     "q28_shingle_jaccard" -> (q28ShingleJaccard _),
-    "q29_minhash_sig"     -> (q29MinhashSig _)
+    "q29_minhash_sig"     -> (q29MinhashSig _),
+    "q36_idf"             -> (q36Idf _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -283,6 +311,7 @@ object TextQueries {
     "q26_fingerprint"     -> q26Sql,
     "q27_dedup_exact"     -> q27Sql,
     "q28_shingle_jaccard" -> q28Sql,
-    "q29_minhash_sig"     -> q29Sql
+    "q29_minhash_sig"     -> q29Sql,
+    "q36_idf"             -> q36Sql
   )
 }

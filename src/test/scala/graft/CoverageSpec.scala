@@ -65,6 +65,17 @@ class CoverageSpec extends SparkSpec {
     assert(a1.join(b1, "doc_id").count() == 0)
   }
 
+  test("from_json parses event props into a typed struct") {
+    val parsed = Tables(spark, sf).events
+      .withColumn("p", from_json(col("props"), "k INT"))
+      .select(col("event_id"), col("p.k").as("k"))
+    assert(parsed.filter(col("k").isNull).count() == 0)
+    // spot-check against the string-path extraction
+    val viaString = Tables(spark, sf).events
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+    assert(parsed.exceptAll(viaString).count() == 0)
+  }
+
   test("P1-vs-P4 equivalence: clean-then-tokenize == tokenize-then-lower") {
     import graft.functions.TextFunctions._
     // on <br/>-free text, lowering before or after wordpunct tokenization
