@@ -67,7 +67,8 @@ class CoverageSpec extends SparkSpec {
 
   test("from_json parses event props into a typed struct") {
     val parsed = Tables(spark, sf).events
-      .withColumn("p", from_json(col("props"), "k INT"))
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
       .select(col("event_id"), col("p.k").as("k"))
     assert(parsed.filter(col("k").isNull).count() == 0)
     // spot-check against the string-path extraction
