@@ -87,10 +87,11 @@ object Similarity {
     * pins the plumbing correct; recall/latency trades via nprobe.
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             numCells: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+             numCells: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+             maxIter: Int = 20): DataFrame = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("fv", array_to_vector(col("emb")))
-    val km = new KMeans().setK(numCells).setSeed(seed)
+    val km = new KMeans().setK(numCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val model = km.fit(c)
     val assigned = model.transform(c)

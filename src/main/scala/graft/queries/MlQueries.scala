@@ -66,7 +66,9 @@ object MlQueries {
       .select(col("text").as("review"),
         when(col("n_chars") > 300, 1.0).otherwise(0.0).as("label"))
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), GraftPipelines.Seed)
-    val model = GraftPipelines.script5().fit(train)
+    // bounded vocab for the demo query: the full 2^18 default spends its
+    // time allocating vocabulary, not learning, on this corpus
+    val model = GraftPipelines.script5(vocabSize = 8192).fit(train)
     model.transform(test)
       .groupBy(col("label"), col("prediction"))
       .agg(count(lit(1)).as("cnt"))

@@ -144,7 +144,7 @@ object SimilarityQueries {
   def q43KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     Similarity.ivfKnn(e, e.filter(col("vec_id") < 20), k = 5,
-        numCells = 16, nprobe = 4)
+        numCells = 8, nprobe = 2, maxIter = 5)
       .orderBy("query_id", "rank")
   }
 
