@@ -80,6 +80,27 @@ class SimilaritySpec extends SparkSpec {
     assert(sig.count() == docs.count()) // all test docs have >= 3 tokens
   }
 
+  test("minhash canonicalization maps duplicate clusters to one label") {
+    // 5 exact copies of each of 40 docs, distinct id ranges
+    val base = docs.limit(40)
+    val corpus = (0 until 5).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    val labels = Dedup.minhashCanonicalize(corpus, iterations = 2)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 200)
+    // all 5 exact copies of a base doc must share one canonical label
+    // (base docs themselves may merge further — some are genuine
+    // near-dups of each other, which is correct behavior)
+    labels.groupBy(_._1 % 1000000L).foreach { case (origId, members) =>
+      val canons = members.map(_._2).toSet
+      assert(canons.size == 1, s"doc $origId split: $canons")
+      assert(canons.head <= origId) // min-label invariant
+    }
+    // output is linear: one row per doc, not a pair explosion
+    assert(labels.map(_._1).distinct.length == 200)
+  }
+
   test("simhash clusters cover all docs exactly once") {
     val cl = Dedup.simhashClusters(docs)
     val total = cl.agg(sum("cluster_size")).first().getLong(0)
