@@ -28,6 +28,22 @@ object Dedup {
   def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"), shingles(whitespaceTokens(col("text")), k).as("sh"))
 
+  /** Shared LSH banding: (doc_id, band, sig) rows from a (doc_id, sh)
+    * frame — ONE definition of the banding scheme for both the pair
+    * and canonicalize paths. */
+  private def bandedSignatures(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sh.withColumn("hs", tokenHashes(col("sh")))
+      .withColumn("mh", minhashFromHashes(col("hs"), numHashes))
+      .select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until rows).map(r =>
+              element_at(col("mh"), b * rows + r + 1)): _*).as("sig"))
+        }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * @param numHashes total minhash functions (k)
@@ -39,24 +55,13 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
                       threshold: Double = 0.8, shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // the shingle frame is consumed three times (signatures + both sides
     // of the verification join) — cache it; at 100 TB this becomes a
-    // persist(DISK_ONLY) or a checkpoint, same shape
+    // persist(DISK_ONLY) or a checkpoint, same shape. Lifecycle: the
+    // cache lives until the caller's session clears it (Verify/Bench
+    // clearCache between queries).
     val sh = shingleSets(docs, shingleK).filter(size(col("sh")) > 0).cache()
-
-    // materialize the base hashes so the k seeded rehashes share ONE
-    // md5 pass per shingle (universal hashing, not per-seed md5)
-    val sig = sh.withColumn("hs", tokenHashes(col("sh")))
-      .withColumn("mh", minhashFromHashes(col("hs"), numHashes))
-    // band signature: rows consecutive minhashes joined to one string
-    val banded = sig.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until rows).map(r => element_at(col("mh"), b * rows + r + 1)): _*).as("sig"))
-      }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val banded = bandedSignatures(sh, numHashes, bands)
 
     val pairs = banded.as("a")
       .join(banded.as("b"),
@@ -89,21 +94,14 @@ object Dedup {
   def minhashCanonicalize(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
                           shingleK: Int = 3, iterations: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sh = shingleSets(docs, shingleK).filter(size(col("sh")) > 0)
-    val banded = sh
-      .withColumn("hs", tokenHashes(col("sh")))
-      .withColumn("mh", minhashFromHashes(col("hs"), numHashes))
-      .select(col("doc_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("_", (0 until rows).map(r =>
-              element_at(col("mh"), b * rows + r + 1)): _*).as("sig"))
-        }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
-      .cache()
+    // cached: consumed 2×iterations times by the propagation joins;
+    // caller's session owns the cache lifecycle (clearCache when done)
+    val banded = bandedSignatures(
+      shingleSets(docs, shingleK).filter(size(col("sh")) > 0),
+      numHashes, bands).cache()
 
-    var labels = sh.select(col("doc_id"), col("doc_id").as("canonical_id"))
+    var labels = banded.select("doc_id").distinct()
+      .withColumn("canonical_id", col("doc_id"))
     (0 until iterations).foreach { _ =>
       val bucketMin = banded.join(labels, "doc_id")
         .groupBy("band", "sig")
@@ -112,7 +110,12 @@ object Dedup {
         .groupBy("doc_id")
         .agg(min("bucket_min").as("canonical_id"))
     }
-    labels
+    // docs too short to shingle never enter a bucket — they are their
+    // own canonical, and must still appear in the complete labeling
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
   }
 
   /** SimHash near-dup candidates: identical 32-bit simhash over distinct

@@ -138,9 +138,10 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------- q43
-  /** IVF ANN (KMeans coarse quantizer, nprobe=4 of 16 cells) — the
-    * second approximate scale path. Rows-only; exact-equivalence at
-    * nprobe=numCells is asserted in SimilaritySpec. */
+  /** IVF ANN (KMeans coarse quantizer, nprobe=2 of 8 cells, 5 KMeans
+    * iterations) — the second approximate scale path. Rows-only;
+    * exact-equivalence at nprobe=numCells is asserted in
+    * SimilaritySpec. */
   def q43KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     Similarity.ivfKnn(e, e.filter(col("vec_id") < 20), k = 5,

@@ -268,12 +268,16 @@ object TextQueries {
     * libm difference ln() is allowed. */
   def q36Idf(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val n = d.count() // corpus size: scalar, exact
+    // corpus size as a broadcast scalar INSIDE the lazy plan (an eager
+    // d.count() here would run a separate scan at build time)
+    val n = d.agg(count(lit(1)).cast("double").as("n"))
     d.select(explode(array_distinct(toks)).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
       .withColumn("idf",
-        round(log(lit(n + 1.0) / (col("df") + lit(1.0))), 6))
+        round(log((col("n") + 1.0) / (col("df") + lit(1.0))), 6))
+      .drop("n")
       .orderBy(col("df").desc, col("token").asc)
       .limit(100)
   }

@@ -49,16 +49,18 @@ object EventStreams {
     * the same user within the preceding hour. Both sides carry
     * watermarks so Spark can bound the join state — the unbounded
     * variant is the streaming analogue of a driver collect. */
-  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks.withWatermark("ts", "2 hours")
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                          interval: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
-    val p = purchases.withWatermark("ts", "2 hours")
+    val p = purchases.withWatermark("ts", watermark)
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
         col("value").as("purchase_value"))
     p.join(c,
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $interval"))
       .select(col("p_user").as("user_id"), col("purchase_ts"),
         col("click_ts"), col("purchase_value"))
   }

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import graft.sources.Sinks
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class SinksSpec extends SparkSpec {
 
@@ -13,12 +14,10 @@ class SinksSpec extends SparkSpec {
       out, Seq("event_type"))
 
     // hive layout: one directory per partition value
-    val dirs = Files.list(Paths.get(out)).iterator()
-    var partDirs = 0
-    while (dirs.hasNext) {
-      val p = dirs.next()
-      if (p.getFileName.toString.startsWith("event_type=")) partDirs += 1
-    }
+    val stream = Files.list(Paths.get(out))
+    val partDirs =
+      try stream.iterator().asScala.count(_.getFileName.toString.startsWith("event_type="))
+      finally stream.close()
     assert(partDirs >= 3, s"expected hive partition dirs, got $partDirs")
 
     // a filter on the partition column becomes partition pruning
@@ -33,11 +32,10 @@ class SinksSpec extends SparkSpec {
   test("sized sink controls output file count") {
     val out = Files.createTempDirectory("graft-sink2").resolve("li").toString
     Sinks.writeSized(Tables(spark, sf).lineitem, out, numFiles = 3)
-    val files = Files.list(Paths.get(out)).iterator()
-    var parquetFiles = 0
-    while (files.hasNext) {
-      if (files.next().getFileName.toString.endsWith(".parquet")) parquetFiles += 1
-    }
+    val stream = Files.list(Paths.get(out))
+    val parquetFiles =
+      try stream.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally stream.close()
     assert(parquetFiles == 3)
   }
 }
