@@ -149,7 +149,59 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q44
+  /** Embedding-cosine near-duplicate pairs (LSH-bucketed, threshold
+    * 0.9). Rows-only: the sign-LSH bucketing is Spark-side; pair
+    * correctness properties are asserted in SimilaritySpec. */
+  def q44EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables(spark, dir).embeddings,
+        threshold = 0.9, bits = 4, k = 10)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- q45
+  /** Near-dup canonicalization labels (2 propagation rounds), fully
+    * oracle-checked: DuckDB unrolls the same two label-propagation
+    * rounds over the identical md5-derived LSH buckets. */
+  def q45DedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCanonicalize(Tables(spark, dir).documents,
+        numHashes = 8, bands = 4, shingleK = 3, iterations = 2)
+      .orderBy("doc_id")
+
+  val q45Sql: String = {
+    val mhExprs = MinhashParams.take(8).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashPrime))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      |  WHERE len(l) >= 3),
+      |mh AS (
+      |  SELECT doc_id, $mhExprs AS mhs
+      |  FROM (SELECT doc_id, list_transform(sh,
+      |          t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 4294967296) AS hs
+      |        FROM sh)),
+      |banded AS (
+      |  SELECT doc_id, b AS band,
+      |    CAST(mhs[2*b + 1] AS VARCHAR) || '_' || CAST(mhs[2*b + 2] AS VARCHAR) AS sig
+      |  FROM mh, range(0, 4) r(b)),
+      |l0 AS (SELECT DISTINCT doc_id, doc_id AS canonical_id FROM banded),
+      |b1 AS (SELECT band, sig, min(canonical_id) AS bucket_min
+      |       FROM banded JOIN l0 USING (doc_id) GROUP BY band, sig),
+      |l1 AS (SELECT doc_id, min(bucket_min) AS canonical_id
+      |       FROM banded JOIN b1 USING (band, sig) GROUP BY doc_id),
+      |b2 AS (SELECT band, sig, min(canonical_id) AS bucket_min
+      |       FROM banded JOIN l1 USING (doc_id) GROUP BY band, sig),
+      |l2 AS (SELECT doc_id, min(bucket_min) AS canonical_id
+      |       FROM banded JOIN b2 USING (band, sig) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(l2.canonical_id, d.doc_id) AS canonical_id
+      |FROM documents d LEFT JOIN l2 ON d.doc_id = l2.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_embed_neardup" -> (q44EmbedNearDup _),
+    "q45_dedup_canonical" -> (q45DedupCanonical _),
     "q30_knn_brute"   -> (q30KnnBrute _),
     "q31_embed_norm"  -> (q31EmbedNorm _),
     "q40_lsh_neardup" -> (q40LshNearDups _),
@@ -159,6 +211,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_dedup_canonical" -> q45Sql,
     "q30_knn_brute"   -> q30Sql,
     "q31_embed_norm"  -> q31Sql,
     "q40_lsh_neardup" -> q40Sql,
