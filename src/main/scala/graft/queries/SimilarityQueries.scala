@@ -69,13 +69,16 @@ object SimilarityQueries {
         numHashes = 8, bands = 4, threshold = 0.8, shingleK = 3)
       .orderBy("id_a", "id_b")
 
-  val q40Sql: String = {
-    // the 8 seeded universal-hash minhash expressions, generated from the
-    // SAME MinhashParams constants the Scala side uses
+  /** Shared oracle CTE prefix (3-shingles → base hashes → minhash →
+    * banded signatures) — ONE definition for the pair (q40) and
+    * canonicalize (q45) oracles, mirroring Dedup.bandedSignatures being
+    * the one Scala-side definition. Generated from the SAME
+    * MinhashParams constants the Scala side uses. */
+  private val bandedCtePrefix: String = {
     val mhExprs = MinhashParams.take(8).map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashPrime))"
     }.mkString("[", ",\n      ", "]")
-    s"""WITH sh AS (
+    s"""sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(l) - 1),
       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
@@ -88,7 +91,11 @@ object SimilarityQueries {
       |banded AS (
       |  SELECT doc_id, b AS band,
       |    CAST(mhs[2*b + 1] AS VARCHAR) || '_' || CAST(mhs[2*b + 2] AS VARCHAR) AS sig
-      |  FROM mh, range(0, 4) r(b)),
+      |  FROM mh, range(0, 4) r(b))""".stripMargin
+  }
+
+  val q40Sql: String = {
+    s"""WITH $bandedCtePrefix,
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM banded a JOIN banded b
@@ -150,12 +157,15 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------- q44
-  /** Embedding-cosine near-duplicate pairs (LSH-bucketed, threshold
-    * 0.9). Rows-only: the sign-LSH bucketing is Spark-side; pair
-    * correctness properties are asserted in SimilaritySpec. */
+  /** Embedding-cosine near-duplicate pairs (LSH-bucketed). The synthetic
+    * embeddings are near-orthogonal (max pairwise cosine ≈ 0.48), so the
+    * "near-dup" bar here is 0.35 — high enough to be selective (271 of
+    * ~125k pairs at sf0.01), low enough that the query demonstrably
+    * returns rows. Rows-only: bucketing is Spark-side; correctness
+    * properties are asserted in SimilaritySpec. */
   def q44EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables(spark, dir).embeddings,
-        threshold = 0.9, bits = 4, k = 10)
+        threshold = 0.35, bits = 2, k = 20)
       .orderBy("id_a", "id_b")
 
   // ---------------------------------------------------------------- q45
@@ -168,23 +178,7 @@ object SimilarityQueries {
       .orderBy("doc_id")
 
   val q45Sql: String = {
-    val mhExprs = MinhashParams.take(8).map { case (a, b) =>
-      s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashPrime))"
-    }.mkString("[", ",\n      ", "]")
-    s"""WITH sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, len(l) - 1),
-      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-      |  WHERE len(l) >= 3),
-      |mh AS (
-      |  SELECT doc_id, $mhExprs AS mhs
-      |  FROM (SELECT doc_id, list_transform(sh,
-      |          t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 4294967296) AS hs
-      |        FROM sh)),
-      |banded AS (
-      |  SELECT doc_id, b AS band,
-      |    CAST(mhs[2*b + 1] AS VARCHAR) || '_' || CAST(mhs[2*b + 2] AS VARCHAR) AS sig
-      |  FROM mh, range(0, 4) r(b)),
+    s"""WITH $bandedCtePrefix,
       |l0 AS (SELECT DISTINCT doc_id, doc_id AS canonical_id FROM banded),
       |b1 AS (SELECT band, sig, min(canonical_id) AS bucket_min
       |       FROM banded JOIN l0 USING (doc_id) GROUP BY band, sig),
