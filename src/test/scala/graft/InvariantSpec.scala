@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Algebraic laws and cross-query invariants — properties the per-query
+  * DuckDB oracle cannot see because they relate OPERATORS to each
+  * other. */
+class InvariantSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("rolling fingerprint concatenation law: h(a++b) = h(a)*31^|b| + h(b)") {
+    val rnd = new Random(5)
+    val M = 2147483647L
+    def powMod(b: Long, e: Long, m: Long): Long = {
+      var r = 1L; var bb = b % m; var ee = e
+      while (ee > 0) { if ((ee & 1) == 1) r = r * bb % m; bb = bb * bb % m; ee >>= 1 }
+      r
+    }
+    val cases = (1 to 20).map { _ =>
+      val a = Seq.fill(rnd.nextInt(8) + 1)(rnd.alphanumeric.take(4).mkString)
+      val b = Seq.fill(rnd.nextInt(8) + 1)(rnd.alphanumeric.take(4).mkString)
+      (a, b, a ++ b)
+    }
+    val df = cases.toDF("a", "b", "ab")
+      .select(
+        rollingFingerprint(col("a")).as("ha"),
+        rollingFingerprint(col("b")).as("hb"),
+        rollingFingerprint(col("ab")).as("hab"),
+        size(col("b")).as("lb"))
+    df.collect().foreach { r =>
+      val (ha, hb, hab, lb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      // h(b) itself is a fold from 0, so h(a++b) = ha*31^lb + hb (mod M)
+      val expected = (BigInt(ha) * BigInt(powMod(31, lb, M)) + BigInt(hb)).mod(BigInt(M))
+      assert(BigInt(hab) == expected, s"ha=$ha hb=$hb lb=$lb hab=$hab")
+    }
+  }
+
+  test("minhash superset law: each signature element of S∪T <= that of S") {
+    val rnd = new Random(11)
+    val cases = (1 to 15).map { _ =>
+      val s = Seq.fill(rnd.nextInt(10) + 2)(rnd.alphanumeric.take(5).mkString)
+      val extra = Seq.fill(rnd.nextInt(5) + 1)(rnd.alphanumeric.take(5).mkString)
+      (s, s ++ extra)
+    }
+    val df = cases.toDF("s", "t")
+      .select(
+        minhashSignature(col("s"), 8).as("ms"),
+        minhashSignature(col("t"), 8).as("mt"))
+    df.collect().foreach { r =>
+      val ms = r.getSeq[Long](0); val mt = r.getSeq[Long](1)
+      ms.indices.foreach(i => assert(mt(i) <= ms(i), s"i=$i ms=$ms mt=$mt"))
+    }
+  }
+
+  test("stopword accounting: n_content + n_stopwords == n_tokens (q23 vs q24)") {
+    val q23 = TextQueries.q23StopwordFilter(spark, sf)
+    val q24 = TextQueries.q24Quality(spark, sf)
+    val joined = q23.join(q24.select(col("doc_id"),
+        (col("stopword_ratio") * col("n_tokens")).as("n_sw")), "doc_id")
+      .filter(abs(col("n_tokens") - col("n_content") - col("n_sw")) > 1e-6)
+    assert(joined.count() == 0)
+  }
+
+  test("token stats consistency: n_distinct <= n_tokens, ttr in (0,1]") {
+    val bad = TextQueries.q20TokenStats(spark, sf)
+      .filter(col("n_distinct") > col("n_tokens") || col("n_tokens") <= 0)
+    assert(bad.count() == 0)
+    val badTtr = TextQueries.q24Quality(spark, sf)
+      .filter(col("type_token_ratio") <= 0 || col("type_token_ratio") > 1)
+    assert(badTtr.count() == 0)
+  }
+
+  test("exact dedup partitions the corpus: sum(copies) == |documents|") {
+    val total = TextQueries.q27DedupExact(spark, sf)
+      .agg(sum("copies")).first().getLong(0)
+    assert(total == Tables(spark, sf).documents.count())
+  }
+
+  test("canonicalization labels are idempotent pointers") {
+    val labels = Dedup.minhashCanonicalize(
+      Tables(spark, sf).documents, iterations = 2).cache()
+    // canonical ids are themselves docs, and map to themselves
+    val canonOfCanon = labels.select(col("canonical_id").as("doc_id")).distinct()
+      .join(labels, "doc_id")
+      .filter(col("doc_id") =!= col("canonical_id"))
+    assert(canonOfCanon.count() == 0,
+      "a canonical id must be its own canonical")
+    // complete labeling: exactly one row per document
+    assert(labels.count() == Tables(spark, sf).documents.count())
+    labels.unpersist()
+  }
+}
