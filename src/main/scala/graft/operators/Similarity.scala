@@ -61,17 +61,25 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived integer mapped to [-1, 1). No RNG, no driver state. */
-  private def planeComponent(plane: Int, d: Column): Column =
-    ((conv(substring(md5(concat(lit(s"plane$plane|"), d.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 20000L) - 10000L).cast("double") / 10000.0
+    * md5-derived integer mapped to [-1, 1). Computed DRIVER-SIDE once —
+    * plane vectors are data-independent, so evaluating md5 per row per
+    * element (the naive column formulation) wastes executor time; the
+    * vectors ship as plan literals instead. No RNG, no driver state. */
+  private def planeComponent(plane: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$plane|$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.take(15), 16)
+    ((h % 20000L) - 10000L).toDouble / 10000.0
+  }
 
-  /** b-bit sign-LSH signature of an embedding (array<double>). */
-  def lshSignature(emb: Column, bits: Int): Column = {
+  /** b-bit sign-LSH signature of an embedding (array<double>, `dim`
+    * elements). */
+  def lshSignature(emb: Column, bits: Int, dim: Int = 64): Column = {
     val terms = (0 until bits).map { p =>
+      val plane = typedlit((0 until dim).map(d => planeComponent(p, d)))
       val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x * planeComponent(p, i)),
+        zip_with(emb, plane, (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }

@@ -165,7 +165,7 @@ object SimilarityQueries {
     * properties are asserted in SimilaritySpec. */
   def q44EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables(spark, dir).embeddings,
-        threshold = 0.35, bits = 2, k = 20)
+        threshold = 0.35, bits = 3, k = 10)
       .orderBy("id_a", "id_b")
 
   // ---------------------------------------------------------------- q45
