@@ -237,14 +237,22 @@ object TextQueries {
     * (doc_id, seed, minhash) rows — the EXACT universal-hash scheme the
     * LSH near-dup operator uses (one md5 pass, then a·h+b mod p per
     * seed), oracle-checked value-for-value. */
-  def q29MinhashSig(spark: SparkSession, dir: String): DataFrame =
+  def q29MinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    // explode the base hashes then take the 8 seeded minima as
+    // aggregates: Catalyst's project-collapsing would otherwise inline
+    // the md5 pass once PER SEED; this shape guarantees it runs once
+    val mins = MinhashParams.take(8).zipWithIndex.map { case ((a, b), s) =>
+      min((lit(a) * col("h") + lit(b)) % lit(MinhashPrime)).as(s"mh$s")
+    }
+    val stackExpr = (0 until 8).map(s => s"${s}L, mh$s").mkString(", ")
     docs(spark, dir)
-      .select(col("doc_id"), tokenHashes(array_distinct(toks)).as("hs"))
-      .select(col("doc_id"), minhashFromHashes(col("hs"), 8).as("mh"))
+      .select(col("doc_id"), explode(tokenHashes(array_distinct(toks))).as("h"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
-        posexplode(col("mh")).as(Seq("seed_id", "minhash")))
-      .select(col("doc_id"), col("seed_id").cast("long").as("seed_id"), col("minhash"))
+        expr(s"stack(8, $stackExpr)").as(Seq("seed_id", "minhash")))
       .orderBy("doc_id", "seed_id")
+  }
 
   val q29Sql: String = {
     val mhExprs = MinhashParams.take(8).map { case (a, b) =>
