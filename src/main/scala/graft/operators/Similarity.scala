@@ -143,20 +143,40 @@ object Similarity {
     * callers wanting guarantees multi-probe (union over several `bits`
     * prefixes) or fall back to [[bruteForceKnn]].
     */
-  def signLshKnn(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+  /** @param multiProbe when true, each query also probes every bucket
+    *   at Hamming distance 1 from its own signature (bits+1 probes) —
+    *   the standard recall lift that costs query-side fanout instead of
+    *   a second corpus pass. The corpus is still bucketed ONCE. */
+  def signLshKnn(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+                 multiProbe: Boolean = false): DataFrame = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("sig", lshSignature(col("emb"), bits))
       .withColumn("nrm", l2Norm(col("emb")))
-    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
-      .withColumn("sig", lshSignature(col("q_emb"), bits))
+    val qBase = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("sig0", lshSignature(col("q_emb"), bits))
       .withColumn("q_nrm", l2Norm(col("q_emb")))
+    val q =
+      if (!multiProbe) qBase.withColumnRenamed("sig0", "sig")
+      else qBase
+        .withColumn("sig", explode(array(
+          (col("sig0") +: (0 until bits).map(b =>
+            col("sig0").bitwiseXOR(lit(1L << b)))): _*)))
+        .drop("sig0")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    c.join(q, Seq("sig"))
+    val joined = c.join(q, Seq("sig"))
       .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("neighbor_id"), col("emb"), col("nrm"))
+    // multi-probe can reach the same candidate via several buckets; the
+    // single-probe path skips the dedup shuffle entirely
+    val candidates =
+      if (multiProbe) joined.dropDuplicates("query_id", "neighbor_id")
+      else joined
+    candidates
       .withColumn("cos_sim",
         dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos_sim")

@@ -80,6 +80,21 @@ class SimilaritySpec extends SparkSpec {
     assert(sig.count() == docs.count()) // all test docs have >= 3 tokens
   }
 
+  test("multi-probe LSH recall dominates single-probe at equal bits") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(emb, qs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(multiProbe: Boolean): Double = {
+      val approx = Similarity.signLshKnn(emb, qs, 5, bits = 4, multiProbe = multiProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val single = recall(multiProbe = false)
+    val multi = recall(multiProbe = true)
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > 0.5, s"multi-probe recall too low: $multi")
+  }
+
   test("minhash canonicalization maps duplicate clusters to one label") {
     // 5 exact copies of each of 40 docs, distinct id ranges
     val base = docs.limit(40)
