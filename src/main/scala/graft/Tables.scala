@@ -11,8 +11,7 @@ import org.apache.spark.sql.functions._
   * local mode.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(name: String): DataFrame = Tables.memoRead(spark, dir, name)
 
   def region: DataFrame    = t("region")
   def nation: DataFrame    = t("nation")
@@ -36,4 +35,19 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** Memoized `spark.read.parquet` per (session, dir, table): a fresh
+    * read re-lists files and re-reads parquet footers on every call —
+    * a per-query constant that dominated the round-1 bench (45 queries
+    * × ~10 tables of re-listing). The DataFrame is an immutable logical
+    * plan over a static test directory, so reuse is sound; the map holds
+    * plans (a few KB), not data — unaffected by `clearCache()`. Keyed by
+    * session identity so concurrent test sessions never share state. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def memoRead(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, dir, name), _ => spark.read.parquet(s"$dir/$name.parquet"))
 }

@@ -46,22 +46,42 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate pairs.
     *
+    * PAIR OUTPUT IS QUADRATIC IN CLUSTER SIZE (a bucket of m members
+    * emits m·(m-1)/2 candidates — measured 27M pairs on a 100×-
+    * duplicated 5k corpus). `maxBucketSize` gates that blow-up: buckets
+    * with more members are skipped entirely, because a bucket that
+    * large is a degenerate signature (boilerplate shingles) whose pairs
+    * are better answered by [[minhashCanonicalize]] — the linear-output
+    * scale form. The default (1000) caps any single bucket at ~500k
+    * candidate pairs; it cannot be disabled silently, only raised.
+    *
     * @param numHashes total minhash functions (k)
     * @param bands     number of LSH bands; rows per band = k / bands
     * @param threshold exact-Jaccard verification floor applied to
     *                  candidates (set 0 to see raw candidates)
+    * @param maxBucketSize skip LSH buckets with more members than this
     * Output: id_a < id_b, jaccard.
     */
   def minhashNearDups(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
-                      threshold: Double = 0.8, shingleK: Int = 3): DataFrame = {
+                      threshold: Double = 0.8, shingleK: Int = 3,
+                      maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucketSize >= 2, "maxBucketSize must allow at least a pair")
     // the shingle frame is consumed three times (signatures + both sides
-    // of the verification join) — cache it; at 100 TB this becomes a
-    // persist(DISK_ONLY) or a checkpoint, same shape. Lifecycle: the
-    // cache lives until the caller's session clears it (Verify/Bench
-    // clearCache between queries).
-    val sh = shingleSets(docs, shingleK).filter(size(col("sh")) > 0).cache()
+    // of the verification join) — materialize it once via localCheckpoint
+    // rather than cache(): checkpoint blocks are reference-counted by the
+    // ContextCleaner and freed when the frame is GC'd, so repeated calls
+    // in a long-lived session can't accumulate storage memory (cache()
+    // would leak until someone ran clearCache). At 100 TB the same shape
+    // becomes a reliable checkpoint to distributed storage.
+    val sh = shingleSets(docs, shingleK).filter(size(col("sh")) > 0).localCheckpoint()
+    // bucket-size gate: one window count over the same (band, sig)
+    // shuffle the self-join needs anyway — no extra pass over documents
     val banded = bandedSignatures(sh, numHashes, bands)
+      .withColumn("__bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
 
     val pairs = banded.as("a")
       .join(banded.as("b"),
@@ -94,21 +114,44 @@ object Dedup {
   def minhashCanonicalize(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
                           shingleK: Int = 3, iterations: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // cached: consumed 2×iterations times by the propagation joins;
-    // caller's session owns the cache lifecycle (clearCache when done)
+    // One banding pass, materialized eagerly: the propagation loop
+    // consumes it 2× per round, and without lineage truncation the final
+    // action replays a (2×iterations)-shuffle DAG in one AQE-replanned
+    // job (measured 20s at sf0.1 — round 1's worst query). Pre-
+    // partitioned by doc_id so the per-round label join reuses the
+    // layout instead of re-shuffling banded every round; checkpoint
+    // blocks free on GC (no clearCache convention needed). Iterative
+    // label propagation checkpoints each round for the same reason —
+    // the standard Pregel-style discipline.
     val banded = bandedSignatures(
       shingleSets(docs, shingleK).filter(size(col("sh")) > 0),
-      numHashes, bands).cache()
+      numHashes, bands)
+      .repartition(col("doc_id"))
+      .localCheckpoint()
 
     var labels = banded.select("doc_id").distinct()
       .withColumn("canonical_id", col("doc_id"))
-    (0 until iterations).foreach { _ =>
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < iterations && !converged) {
       val bucketMin = banded.join(labels, "doc_id")
         .groupBy("band", "sig")
         .agg(min("canonical_id").as("bucket_min"))
-      labels = banded.join(bucketMin, Seq("band", "sig"))
+      val next = banded.join(bucketMin, Seq("band", "sig"))
         .groupBy("doc_id")
         .agg(min("bucket_min").as("canonical_id"))
+        .localCheckpoint()
+      // labels only ever decrease, so a round that changes nothing makes
+      // every later round the identity — exact-dup clusters converge in
+      // round 1 and the remaining rounds are pure waste without this.
+      // The check is one narrow join over two checkpointed (id, label)
+      // frames — far cheaper than a wasted propagation round.
+      converged = next.join(labels.withColumnRenamed("canonical_id", "prev"), "doc_id")
+        .filter(col("canonical_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
     }
     // docs too short to shingle never enter a bucket — they are their
     // own canonical, and must still appear in the complete labeling
@@ -137,8 +180,8 @@ object Dedup {
     * cluster of c identical vectors needs k >= c-1 for full recovery;
     * that bound is the caller's `k` knob, not a hardcoded constant). */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95,
-                        bits: Int = 8, k: Int = 10): DataFrame =
-    Similarity.signLshKnn(embeddings, embeddings, k = k, bits = bits)
+                        bits: Int = 8, k: Int = 10, dim: Int = 64): DataFrame =
+    Similarity.signLshKnn(embeddings, embeddings, k = k, bits = bits, dim = dim)
       .filter(col("cos_sim") >= threshold)
       .select(
         least(col("query_id"), col("neighbor_id")).as("id_a"),

@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
 object Salting {
 
   /** Equi-join `large ⋈ small` on `key`, with the large side's hot keys
-    * spread across `salts` partitions. Seeded → deterministic. */
+    * spread across `salts` partitions. The salt is derived from ROW
+    * CONTENT (hash of all columns), not `rand(seed)`: rand is only
+    * stable for a fixed partition layout, so a repartition upstream
+    * would silently change per-row salts — content hashing is
+    * deterministic under any layout. A hot key spreads because its rows
+    * differ in non-key columns; fully identical duplicate rows share a
+    * salt (spread those upstream with a row id if it matters). */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 salts: Int = 16, seed: Long = 42L): DataFrame = {
+                 salts: Int = 16): DataFrame = {
     val saltedLarge = large.withColumn("__salt",
-      floor(rand(seed) * salts).cast("int"))
+      pmod(hash(large.columns.map(col): _*), lit(salts)))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(replicatedSmall, Seq(key, "__salt"))

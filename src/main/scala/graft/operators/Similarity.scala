@@ -65,21 +65,34 @@ object Similarity {
     * plane vectors are data-independent, so evaluating md5 per row per
     * element (the naive column formulation) wastes executor time; the
     * vectors ship as plan literals instead. No RNG, no driver state. */
-  private def planeComponent(plane: Int, d: Int): Double = {
+  /** Integer numerator of [[planeComponent]] (value × 10000) — exposed
+    * so oracle SQL can emit the component as the exact rational
+    * `k/10000.0` and reproduce the identical IEEE division. */
+  private[graft] def planeComponentScaled(plane: Int, d: Int): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane$plane|$d".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val h = java.lang.Long.parseLong(hex.take(15), 16)
-    ((h % 20000L) - 10000L).toDouble / 10000.0
+    (h % 20000L) - 10000L
   }
 
-  /** b-bit sign-LSH signature of an embedding (array<double>, `dim`
-    * elements). */
+  private[graft] def planeComponent(plane: Int, d: Int): Double =
+    planeComponentScaled(plane, d).toDouble / 10000.0
+
+  /** b-bit sign-LSH signature of an embedding (array<double>, exactly
+    * `dim` elements). A dim mismatch FAILS LOUDLY (raise_error): with a
+    * shorter array zip_with would pad with nulls, null every projection
+    * and collapse all vectors into signature 0 — turning the LSH join
+    * into a silent cross join; longer arrays would silently ignore
+    * components. Neither degradation is acceptable at scale. */
   def lshSignature(emb: Column, bits: Int, dim: Int = 64): Column = {
+    val checked = when(size(emb) === dim, emb).otherwise(raise_error(concat(
+      lit(s"lshSignature: embedding dim != $dim (got "),
+      size(emb).cast("string"), lit(")"))))
     val terms = (0 until bits).map { p =>
       val plane = typedlit((0 until dim).map(d => planeComponent(p, d)))
       val proj = aggregate(
-        zip_with(emb, plane, (x, w) => x * w),
+        zip_with(checked, plane, (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -146,14 +159,16 @@ object Similarity {
   /** @param multiProbe when true, each query also probes every bucket
     *   at Hamming distance 1 from its own signature (bits+1 probes) —
     *   the standard recall lift that costs query-side fanout instead of
-    *   a second corpus pass. The corpus is still bucketed ONCE. */
+    *   a second corpus pass. The corpus is still bucketed ONCE.
+    * @param dim embedding dimensionality; a mismatch fails loudly (see
+    *   [[lshSignature]]) instead of silently degrading. */
   def signLshKnn(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
-                 multiProbe: Boolean = false): DataFrame = {
+                 multiProbe: Boolean = false, dim: Int = 64): DataFrame = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("sig", lshSignature(col("emb"), bits))
+      .withColumn("sig", lshSignature(col("emb"), bits, dim))
       .withColumn("nrm", l2Norm(col("emb")))
     val qBase = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
-      .withColumn("sig0", lshSignature(col("q_emb"), bits))
+      .withColumn("sig0", lshSignature(col("q_emb"), bits, dim))
       .withColumn("q_nrm", l2Norm(col("q_emb")))
     val q =
       if (!multiProbe) qBase.withColumnRenamed("sig0", "sig")

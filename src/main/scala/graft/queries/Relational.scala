@@ -264,7 +264,11 @@ object Relational {
     * integer division on epoch nanoseconds — exact in both engines. */
   def q13HourlyRollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
-      .withColumn("hour_start_sec", expr("(ts_ns DIV 3600000000000) * 3600"))
+      // floored division (not DIV, which truncates toward zero) so the
+      // bucketing matches DuckDB `//` on the FULL domain incl. pre-1970
+      // timestamps; pmod is non-negative, making the quotient exact
+      .withColumn("hour_start_sec",
+        expr("((ts_ns - pmod(ts_ns, 3600000000000)) DIV 3600000000000) * 3600"))
       .groupBy("hour_start_sec")
       .agg(
         count(lit(1)).as("n_events"),
@@ -332,7 +336,9 @@ object Relational {
   def q15JsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .withColumn("k_bucket", expr("k DIV 10"))
+      // floored (DuckDB `//`) semantics — DIV truncates, diverging on
+      // negative k; pmod keeps both engines on the same full domain
+      .withColumn("k_bucket", expr("(k - pmod(k, 10)) DIV 10"))
       .groupBy("k_bucket")
       .agg(
         count(lit(1)).as("n_events"),

@@ -136,13 +136,58 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------- q42
-  /** Approximate ANN via sign-LSH bucketing — the 100 TB scale path
-    * (rows-only check here; recall vs q30 asserted in SimilaritySpec). */
+  /** Approximate ANN via sign-LSH bucketing — the 100 TB scale path.
+    * Fully oracle-checked: the hyperplanes are deterministic md5 math
+    * emitted into the SQL as exact `k/10000.0` rationals, so both
+    * engines compute bit-identical signatures AND cosines (recall vs
+    * q30 is additionally asserted in SimilaritySpec). */
   def q42KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     Similarity.signLshKnn(e, e.filter(col("vec_id") < 20), k = 5, bits = 4)
       .orderBy("query_id", "rank")
   }
+
+  /** Sign-LSH signature as DuckDB SQL over a column `emb` (list of
+    * doubles): bit p set iff the dot product with hyperplane p is
+    * positive. Components are generated from the SAME
+    * Similarity.planeComponentScaled constants the Spark plan embeds as
+    * literals, emitted as `k/10000.0` — the identical IEEE division —
+    * so the sign comparisons agree on every vector. */
+  private def lshSigSql(bits: Int, dim: Int = 64): String =
+    (0 until bits).map { p =>
+      val plane = (0 until dim)
+        .map(d => s"${Similarity.planeComponentScaled(p, d)}.0/10000.0")
+        .mkString("[", ",", "]")
+      s"CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> emb[i] * ($plane)[i])) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n    + ")
+
+  /** Shared oracle CTE: per-vector double embedding, L2 norm, and
+    * `bits`-bit sign-LSH signature — the SQL twin of signLshKnn's
+    * corpus/query preparation. */
+  private def lshScoredCte(bits: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+       |    ${lshSigSql(bits)} AS sig
+       |  FROM e)""".stripMargin
+
+  val q42Sql: String =
+    s"""WITH ${lshScoredCte(4)},
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+       |      / (q.nrm * c.nrm) AS cos_sim
+       |  FROM n q JOIN n c ON q.sig = c.sig AND c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 20)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q43
   /** IVF ANN (KMeans coarse quantizer, nprobe=2 of 8 cells, 5 KMeans
@@ -161,12 +206,30 @@ object SimilarityQueries {
     * embeddings are near-orthogonal (max pairwise cosine ≈ 0.48), so the
     * "near-dup" bar here is 0.35 — high enough to be selective (271 of
     * ~125k pairs at sf0.01), low enough that the query demonstrably
-    * returns rows. Rows-only: bucketing is Spark-side; correctness
-    * properties are asserted in SimilaritySpec. */
+    * returns rows. Fully oracle-checked via the same generated-
+    * hyperplane SQL as q42 (plus SimilaritySpec property checks). */
   def q44EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables(spark, dir).embeddings,
         threshold = 0.35, bits = 3, k = 10)
       .orderBy("id_a", "id_b")
+
+  val q44Sql: String =
+    s"""WITH ${lshScoredCte(3)},
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+       |      / (q.nrm * c.nrm) AS cos_sim
+       |  FROM n q JOIN n c ON q.sig = c.sig AND c.vec_id != q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT least(query_id, neighbor_id) AS id_a,
+       |  greatest(query_id, neighbor_id) AS id_b,
+       |  max(cos_sim) AS cos_sim
+       |FROM ranked WHERE rank <= 10 AND cos_sim >= 0.35
+       |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q45
   /** Near-dup canonicalization labels (2 propagation rounds), fully
@@ -209,6 +272,8 @@ object SimilarityQueries {
     "q30_knn_brute"   -> q30Sql,
     "q31_embed_norm"  -> q31Sql,
     "q40_lsh_neardup" -> q40Sql,
-    "q41_simhash"     -> q41Sql
+    "q41_simhash"     -> q41Sql,
+    "q42_knn_lsh"     -> q42Sql,
+    "q44_embed_neardup" -> q44Sql
   )
 }

@@ -43,8 +43,9 @@ def main(sf_dir, out_dir):
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}"); n_fail += 1; continue
         if [str(d) for d in g.dtypes] != [str(d) for d in w.dtypes]:
-            print(f"WARN {name}: dtypes {dict(g.dtypes.astype(str))} != {dict(w.dtypes.astype(str))}")
-            g = g.astype({c: str(w.dtypes[c]) for c in w.columns})
+            # the driver gate fails on schema divergence — mirror that
+            print(f"FAIL {name}: dtypes {dict(g.dtypes.astype(str))} != {dict(w.dtypes.astype(str))}")
+            n_fail += 1; continue
         if not g.equals(w):
             neq = (g != w) & ~(g.isna() & w.isna())
             bad = neq.any(axis=1)
