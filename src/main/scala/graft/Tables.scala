@@ -50,4 +50,16 @@ object Tables {
 
   private def memoRead(spark: SparkSession, dir: String, name: String): DataFrame =
     memo.computeIfAbsent((spark, dir, name), _ => spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Evict one session's memoized plans. The memo strongly references
+    * its keys, so a long-lived multi-session JVM must call this when a
+    * session retires (Bench/Verify do, before `spark.stop()`) or the
+    * session and its analyzed plans are retained forever. Also the
+    * escape hatch if a fixture DIRECTORY is rewritten within one JVM —
+    * the memoized plan pins the file listing captured at first read, so
+    * the dir must otherwise stay immutable for the session's lifetime. */
+  def clear(spark: SparkSession): Unit = {
+    val it = memo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
 }

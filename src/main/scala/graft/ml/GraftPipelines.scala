@@ -103,6 +103,20 @@ object GraftPipelines {
     new Pipeline().setStages(stages.toArray)
   }
 
+  /** script2: plain ml Tokenizer (lowercase + whitespace split, no
+    * stopword removal) → TF-IDF → DT (`script2.py:50-60`) — the
+    * variant the reference uses to isolate the tokenizer's effect
+    * against script1's wordpunct+stopwords. */
+  def script2(numFeatures: Int = 10000, maxDepth: Int = 10): Pipeline = {
+    val stages = Seq(simpleTokenizer("review", "words")) ++
+      tfidf("words", "reviews_tf", "reviews_tfidf", numFeatures) :+
+      labelIndexer() :+
+      new DecisionTreeClassifier()
+        .setFeaturesCol("reviews_tfidf").setLabelCol("target_indexed")
+        .setMaxDepth(maxDepth).setSeed(Seed)
+    new Pipeline().setStages(stages.toArray)
+  }
+
   /** script5: tokenize → bigrams → binary vectors → LR
     * (`script5.py:47-111`; maxIter 30, regParam 0.01). */
   def script5(vocabSize: Int = 1 << 18): Pipeline =
@@ -206,6 +220,26 @@ object GraftPipelines {
     val dt = pipeline.getStages.last.asInstanceOf[DecisionTreeClassifier]
     val grid = new ParamGridBuilder()
       .addGrid(dt.maxDepth, Array(10, 20))
+      .build()
+    new CrossValidator()
+      .setEstimator(pipeline)
+      .setEvaluator(accuracyEvaluator())
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(3)
+      .setSeed(Seed)
+  }
+
+  /** M7 completed for LR: the reglogit pipeline under CrossValidator
+    * with a real LR grid — regParam × elasticNetParam (the reference's
+    * `main_reglogit.py:92` gridded maxIter, but its own comment admits
+    * that was a placeholder; regularization is the axis that actually
+    * moves held-out accuracy). 3 folds, seeded. */
+  def reglogitCrossValidated(): CrossValidator = {
+    val pipeline = reglogit()
+    val lr = pipeline.getStages.last.asInstanceOf[LogisticRegression]
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.0, 0.01, 0.1))
+      .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
       .build()
     new CrossValidator()
       .setEstimator(pipeline)

@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.UnaryTransformer
 import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 
 /** Universal-tagset POS tagger — the one reference operator with no
   * Spark built-in (U3, `transformers.py:67-77`, which wraps
@@ -37,6 +37,34 @@ class PosTagger(override val uid: String)
         s"Input must be array<string>, got $other")
     }
 }
+
+/** The reference's zipped output variant (`main_firstTry_cluster.py:
+  * 165-166`): `array<struct<word, tag>>` instead of tags-only — keeps
+  * each token physically next to its tag so downstream ops needn't rely
+  * on positional alignment across two columns. Same tagger, same rules;
+  * only the output shape differs. */
+class PosTaggedWords(override val uid: String)
+  extends UnaryTransformer[Seq[String], Seq[(String, String)], PosTaggedWords]
+  with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("posTaggedWords"))
+
+  override protected def createTransformFunc: Seq[String] => Seq[(String, String)] =
+    tokens => tokens.map(t => (t, PosTagger.tagToken(t)))
+
+  override protected def outputDataType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("word", StringType), StructField("tag", StringType))))
+
+  override protected def validateInputType(inputType: DataType): Unit =
+    inputType match {
+      case ArrayType(StringType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"Input must be array<string>, got $other")
+    }
+}
+
+object PosTaggedWords extends DefaultParamsReadable[PosTaggedWords]
 
 object PosTagger extends DefaultParamsReadable[PosTagger] {
 

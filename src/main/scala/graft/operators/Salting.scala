@@ -24,13 +24,33 @@ object Salting {
     * salt (spread those upstream with a row id if it matters). */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
+    // hash() rejects map-typed columns at analysis — exclude them from
+    // the salt input (the salt only needs SOME deterministic per-row
+    // variation, not every column)
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = large.schema.fields
+      .filterNot(f => hasMap(f.dataType))
+      .map(f => col(f.name)).toSeq
     val saltedLarge = large.withColumn("__salt",
-      pmod(hash(large.columns.map(col): _*), lit(salts)))
+      pmod(hash(hashable: _*), lit(salts)))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(replicatedSmall, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Source-compat overload for the earlier rand(seed)-based API. The
+    * salt is content-derived (deterministic under any partition layout),
+    * so the seed no longer influences placement. */
+  @deprecated("salt is content-derived; seed is ignored", "round 3")
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int, seed: Long): DataFrame =
+    saltedJoin(large, small, key, salts)
 
   /** Two-stage salted aggregation: partial aggregate on (key, salt),
     * final on key. For algebraic aggregates Catalyst's partial

@@ -86,9 +86,13 @@ object Similarity {
     * into a silent cross join; longer arrays would silently ignore
     * components. Neither degradation is acceptable at scale. */
   def lshSignature(emb: Column, bits: Int, dim: Int = 64): Column = {
-    val checked = when(size(emb) === dim, emb).otherwise(raise_error(concat(
+    // coalesce: for a NULL embedding size(emb) is NULL, which would make
+    // the when() condition NULL and fire raise_error with a NULL message
+    // (concat with null) — null rows must fail with a READABLE error
+    val sz = coalesce(size(emb), lit(-1))
+    val checked = when(sz === dim, emb).otherwise(raise_error(concat(
       lit(s"lshSignature: embedding dim != $dim (got "),
-      size(emb).cast("string"), lit(")"))))
+      sz.cast("string"), lit(")"))))
     val terms = (0 until bits).map { p =>
       val plane = typedlit((0 until dim).map(d => planeComponent(p, d)))
       val proj = aggregate(

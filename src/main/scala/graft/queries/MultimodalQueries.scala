@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing queries. q60 oracle-checks the binary-column
-  * pipeline (payload sizes survive the encode → binary → length path
-  * identically in both engines); q61 runs the full batch-shaped
-  * decode+feature pass (stubbed codec → rows-only check; numeric
-  * correctness of the histogram features is asserted in
-  * MultimodalSpec).
+/** Multimodal queries over REAL encoded payloads (MediaCodec: BMP/WAV/
+  * GFV1). q60 oracle-checks the binary-column pipeline — every payload
+  * size is closed-form in the document's UTF-8 byte length (BMP:
+  * 54 + 48·rows; WAV: 44 + 2·samples; GFV1: fixed 1008), so DuckDB
+  * reproduces the exact byte accounting without decoding. q61 runs the
+  * full batch-shaped decode+feature pass (real pixel/sample decode →
+  * rows-only check; exact feature values for known payloads are
+  * asserted in MultimodalSpec).
   */
 object MultimodalQueries {
 
@@ -26,15 +28,26 @@ object MultimodalQueries {
         max(length(col("content"))).cast("long").as("max_bytes"))
       .orderBy("modality")
 
+  // encoded sizes, closed-form per modality (n = utf-8 byte length):
+  //   image: 16-wide 24-bit BMP, rows = max(ceil(n/48), 1) → 54 + 48·rows
+  //   audio: 16-bit mono WAV, samples = ceil(n/2)          → 44 + 2·samples
+  //   video: GFV1 of four 8×8 BMPs (246 each)              → 8 + 16 + 4·246
   val q60Sql: String =
-    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |            WHEN doc_id % 3 = 1 THEN 'audio'
-      |            ELSE 'video' END AS modality,
-      |  count(*) AS n_media,
-      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-      |  CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
-      |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
-      |FROM documents GROUP BY modality ORDER BY modality""".stripMargin
+    """SELECT modality, count(*) AS n_media,
+      |  CAST(sum(sz) AS BIGINT) AS total_bytes,
+      |  CAST(min(sz) AS BIGINT) AS min_bytes,
+      |  CAST(max(sz) AS BIGINT) AS max_bytes
+      |FROM (
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS modality,
+      |    CASE WHEN doc_id % 3 = 0
+      |           THEN 54 + 48 * greatest((octet_length(encode(text)) + 47) // 48, 1)
+      |         WHEN doc_id % 3 = 1
+      |           THEN 44 + 2 * ((octet_length(encode(text)) + 1) // 2)
+      |         ELSE 1008 END AS sz
+      |  FROM documents)
+      |GROUP BY modality ORDER BY modality""".stripMargin
 
   // ---------------------------------------------------------------- q61
   /** Full batch-shaped decode + feature extraction (stub codec), rolled

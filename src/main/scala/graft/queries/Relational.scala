@@ -264,11 +264,12 @@ object Relational {
     * integer division on epoch nanoseconds — exact in both engines. */
   def q13HourlyRollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
-      // floored division (not DIV, which truncates toward zero) so the
-      // bucketing matches DuckDB `//` on the FULL domain incl. pre-1970
-      // timestamps; pmod is non-negative, making the quotient exact
+      // plain DIV: DuckDB 1.0 `//` truncates toward zero for integers
+      // (verified: -7//2 = -3), exactly like Spark DIV — so truncating
+      // division is the cross-engine-exact choice on the FULL domain,
+      // including pre-1970 timestamps (InvariantSpec pins negatives)
       .withColumn("hour_start_sec",
-        expr("((ts_ns - pmod(ts_ns, 3600000000000)) DIV 3600000000000) * 3600"))
+        expr("(ts_ns DIV 3600000000000) * 3600"))
       .groupBy("hour_start_sec")
       .agg(
         count(lit(1)).as("n_events"),
@@ -336,9 +337,9 @@ object Relational {
   def q15JsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      // floored (DuckDB `//`) semantics — DIV truncates, diverging on
-      // negative k; pmod keeps both engines on the same full domain
-      .withColumn("k_bucket", expr("(k - pmod(k, 10)) DIV 10"))
+      // plain DIV — DuckDB `//` also truncates toward zero (see q13),
+      // so the engines agree on negative k too (InvariantSpec pins it)
+      .withColumn("k_bucket", expr("k DIV 10"))
       .groupBy("k_bucket")
       .agg(
         count(lit(1)).as("n_events"),

@@ -95,10 +95,20 @@ object SimilarityQueries {
   }
 
   val q40Sql: String = {
+    // the gated CTE mirrors minhashNearDups' maxBucketSize guard (default
+    // 1000): buckets larger than the gate emit no pairs in EITHER engine,
+    // so a degenerate boilerplate signature can't silently diverge the
+    // oracle from the gated Spark result
     s"""WITH $bandedCtePrefix,
+      |gated AS (
+      |  SELECT doc_id, band, sig FROM (
+      |    SELECT doc_id, band, sig,
+      |      count(*) OVER (PARTITION BY band, sig) AS bn
+      |    FROM banded)
+      |  WHERE bn <= 1000),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM banded a JOIN banded b
+      |  FROM gated a JOIN gated b
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
       |SELECT id_a, id_b,
       |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /

@@ -1,6 +1,7 @@
 package graft.typed
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import graft.Tables
 
 /** Typed Dataset[T] surface — for the places compile-time row types pay
@@ -27,16 +28,37 @@ object TypedOps {
       .as[Order]
   }
 
-  /** Typed groupByKey + mapGroups aggregation — the Dataset analogue of
-    * the reference's per-key reduce loops; business logic in plain
-    * Scala, distribution by the engine. */
+  /** Accumulator for [[SpendAgg]]: order count + cent-exact total.
+    * Money sums in scaled longs (cents), not doubles — long addition is
+    * associative and commutative, so the merge order Spark picks (which
+    * varies with partitioning) can never change the result. */
+  final case class SpendBuf(n: Long, cents: Long)
+
+  /** Typed `Aggregator` for per-customer spend — the groupByKey+
+    * mapGroups formulation this replaces shuffled FULL ROWS with no
+    * partial aggregation and summed doubles in iteration order (an
+    * order-dependent result). An Aggregator gets planned as a hash
+    * aggregate with a map-side partial_spendagg(...) phase (asserted in
+    * CoverageSpec), so only (key, count, cents) crosses the shuffle. */
+  object SpendAgg extends Aggregator[Order, SpendBuf, CustomerSpend] {
+    def zero: SpendBuf = SpendBuf(0L, 0L)
+    def reduce(b: SpendBuf, o: Order): SpendBuf =
+      SpendBuf(b.n + 1, b.cents + math.round(o.o_totalprice * 100))
+    def merge(a: SpendBuf, b: SpendBuf): SpendBuf =
+      SpendBuf(a.n + b.n, a.cents + b.cents)
+    def finish(b: SpendBuf): CustomerSpend =
+      CustomerSpend(0L, b.n, b.cents / 100.0) // custkey filled by caller
+    def bufferEncoder: Encoder[SpendBuf] = Encoders.product[SpendBuf]
+    def outputEncoder: Encoder[CustomerSpend] = Encoders.product[CustomerSpend]
+  }
+
+  /** Per-customer order count + total spend, as a typed aggregation
+    * with map-side partial aggregation and a deterministic cent-exact
+    * sum. */
   def spendPerCustomer(os: Dataset[Order]): Dataset[CustomerSpend] = {
     import os.sparkSession.implicits._
     os.groupByKey(_.o_custkey)
-      .mapGroups { (key, rows) =>
-        var n = 0L; var sum = 0.0
-        rows.foreach { o => n += 1; sum += o.o_totalprice }
-        CustomerSpend(key, n, sum)
-      }
+      .agg(SpendAgg.toColumn.name("spend"))
+      .map { case (key, s) => CustomerSpend(key, s.orders, s.total) }
   }
 }

@@ -75,6 +75,19 @@ class InvariantSpec extends SparkSpec {
     assert(badTtr.count() == 0)
   }
 
+  test("q13/q15 bucketing semantics: DIV truncates toward zero on negatives") {
+    // pins the cross-engine contract on the negative domain the fixtures
+    // don't cover: DuckDB 1.0 `//` truncates toward zero for integers
+    // (-7//2 = -3, verified), and so does Spark DIV — the q13/q15
+    // bucketing exprs must keep that semantics (NOT floored division)
+    val got = Seq(-7L, -5L, -1L, 0L, 1L, 7L).toDF("x")
+      .select(expr("x DIV 2")).as[Long].collect().toSeq
+    assert(got == Seq(-3L, -2L, 0L, 0L, 0L, 3L), s"got $got")
+    val hour = Seq(-5000000000000L, 5000000000000L).toDF("ts_ns")
+      .select(expr("(ts_ns DIV 3600000000000) * 3600")).as[Long].collect().toSeq
+    assert(hour == Seq(-3600L, 3600L), s"got $hour") // truncation, not floor (-7200)
+  }
+
   test("exact dedup partitions the corpus: sum(copies) == |documents|") {
     val total = TextQueries.q27DedupExact(spark, sf)
       .agg(sum("copies")).first().getLong(0)

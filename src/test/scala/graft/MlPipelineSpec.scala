@@ -34,6 +34,11 @@ class MlPipelineSpec extends SparkSpec {
     assert(acc > 0.8, s"accuracy=$acc")
   }
 
+  test("script2 (plain tokenizer + TF-IDF + decision tree) beats chance") {
+    val (_, acc) = GraftPipelines.trainEval(corpus, GraftPipelines.script2())
+    assert(acc > 0.8, s"accuracy=$acc")
+  }
+
   test("script5 (bigram binary vectors + LR) beats chance") {
     val (_, acc) = GraftPipelines.trainEval(corpus, GraftPipelines.script5())
     assert(acc > 0.8, s"accuracy=$acc")
@@ -77,6 +82,18 @@ class MlPipelineSpec extends SparkSpec {
     val model = cv.fit(corpus)
     assert(model.avgMetrics.length == 2) // grid {10, 20}
     assert(model.avgMetrics.max > 0.8)
+  }
+
+  test("cross-validated reglogit selects across the LR regularization grid") {
+    val cv = GraftPipelines.reglogitCrossValidated()
+    val model = cv.fit(corpus)
+    assert(model.avgMetrics.length == 6) // regParam {0,.01,.1} × elasticNet {0,.5}
+    assert(model.avgMetrics.max > 0.8)
+    // the selected model is a concrete grid point with the winning params
+    val best = model.bestModel.asInstanceOf[PipelineModel]
+    val lr = best.stages.last.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    assert(Seq(0.0, 0.01, 0.1).contains(lr.getRegParam))
+    assert(Seq(0.0, 0.5).contains(lr.getElasticNetParam))
   }
 
   test("pipeline model persists and reloads via MLWriter (replaces pickle S7)") {
@@ -124,6 +141,22 @@ class MlPipelineSpec extends SparkSpec {
     assert(tags(7) == "PRON")  // I
     assert(tags(8) == "VERB")  // loved -ed
     assert(tags.length == 10)  // positional alignment preserved
+  }
+
+  test("POS tagged-words variant emits array<struct<word,tag>> in order") {
+    val tagger = new PosTaggedWords().setInputCol("words").setOutputCol("tagged")
+    val df = Seq(Tuple1(Seq("the", "dogs", "ran", "quickly"))).toDF("words")
+    val out = tagger.transform(df)
+    val field = out.schema("tagged").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(field.fieldNames.toSeq == Seq("word", "tag"))
+    val rows = out.select("tagged").first().getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.map(_.getString(0)) == Seq("the", "dogs", "ran", "quickly"))
+    assert(rows.head.getString(1) == "DET")
+    // same tags as the tags-only transformer, zipped with their words
+    val tagsOnly = new PosTagger().setInputCol("words").setOutputCol("tags")
+      .transform(df).select("tags").first().getSeq[String](0)
+    assert(rows.map(_.getString(1)) == tagsOnly)
   }
 
   test("POS pattern filter keeps only authorized tag-trigram positions") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaCodec, Multimodal}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -10,53 +10,161 @@ class MultimodalSpec extends SparkSpec {
   private lazy val media =
     Multimodal.mediaFromDocuments(Tables(spark, sf).documents).cache()
 
-  test("media table: schema, modality assignment, payload round-trip") {
+  // ------------------------------------------------------------ codecs
+
+  test("BMP round-trip: encode/decode exact, including row padding") {
+    val w = 5; val h = 3 // rowSize 16 ≠ w*3=15 → padding path exercised
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val bytes = MediaCodec.encodeBmp(w, h, rgb)
+    assert(bytes.length == MediaCodec.bmpSize(w, h))
+    assert(bytes(0) == 'B' && bytes(1) == 'M')
+    val (dw, dh, drgb) = MediaCodec.decodeBmp(bytes)
+    assert(dw == w && dh == h)
+    assert(drgb.toSeq == rgb.toSeq)
+  }
+
+  test("WAV round-trip: 16-bit PCM samples exact, negatives included") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = MediaCodec.encodeWav(samples, sampleRate = 8000)
+    assert(bytes.length == MediaCodec.wavSize(samples.length))
+    val (rate, decoded) = MediaCodec.decodeWav(bytes)
+    assert(rate == 8000)
+    assert(decoded.toSeq == samples.toSeq)
+  }
+
+  test("GFV1 round-trip: frame payloads exact") {
+    val frames = Seq(
+      MediaCodec.encodeBmp(1, 1, Array[Byte](1, 2, 3)),
+      MediaCodec.encodeBmp(2, 1, Array[Byte](4, 5, 6, 7, 8, 9)))
+    val video = MediaCodec.encodeVideo(frames)
+    val out = MediaCodec.decodeVideoFrames(video)
+    assert(out.length == 2)
+    assert(out(0).toSeq == frames(0).toSeq && out(1).toSeq == frames(1).toSeq)
+    assert(MediaCodec.modalityOf(video) == "video")
+  }
+
+  // ----------------------------------------------------- media table
+
+  test("media table: schema, modality assignment, payloads really decode") {
     assert(media.schema.fieldNames.toSeq ==
       Seq("media_id", "modality", "content", "meta"))
     assert(media.select("modality").distinct().count() == 3)
-    // payload decodes back to the original text
-    val row = Tables(spark, sf).documents.orderBy("doc_id").first()
-    val payload = media.filter(col("media_id") === row.getAs[Long]("doc_id"))
+    // an image payload is a real BMP whose pixel bytes are the text's
+    // UTF-8 bytes (zero-padded): decode and compare the prefix
+    val doc = Tables(spark, sf).documents
+      .filter(col("doc_id") % 3 === 0).orderBy("doc_id").first()
+    val textBytes = doc.getAs[String]("text").getBytes("UTF-8")
+    val payload = media.filter(col("media_id") === doc.getAs[Long]("doc_id"))
       .select("content").first().getAs[Array[Byte]](0)
-    assert(new String(payload, "UTF-8") == row.getAs[String]("text"))
+    val (w, h, rgb) = MediaCodec.decodeBmp(payload)
+    assert(w == 16 && h == math.max(1, (textBytes.length + 47) / 48))
+    assert(rgb.take(textBytes.length).toSeq == textBytes.toSeq)
+    assert(rgb.drop(textBytes.length).forall(_ == 0))
+    // an audio payload's samples repack the text's byte pairs
+    val adoc = Tables(spark, sf).documents
+      .filter(col("doc_id") % 3 === 1).orderBy("doc_id").first()
+    val ab = adoc.getAs[String]("text").getBytes("UTF-8")
+    val apayload = media.filter(col("media_id") === adoc.getAs[Long]("doc_id"))
+      .select("content").first().getAs[Array[Byte]](0)
+    val (_, samples) = MediaCodec.decodeWav(apayload)
+    assert(samples.length == (ab.length + 1) / 2)
+    assert((samples(0) & 0xff).toByte == ab(0))
   }
 
-  test("stubDecode histogram counts every byte exactly once") {
-    val bytes = "hello world".getBytes("UTF-8")
-    val (n, hist) = Multimodal.stubDecode(bytes)
-    assert(n == bytes.length)
-    assert(hist.sum == bytes.length)
-    // 'h' = 0x68 → bin 6
-    assert(hist(6) > 0)
+  test("payload sizes match the q60 closed forms") {
+    val bad = media
+      .join(Tables(spark, sf).documents.select(col("doc_id").as("media_id"),
+        length(encode(col("text"), "UTF-8")).as("n")), "media_id")
+      .withColumn("expected",
+        when(col("modality") === "image",
+          lit(54) + lit(48) * greatest((col("n") + 47).divide(48).cast("long"), lit(1L)))
+        .when(col("modality") === "audio",
+          lit(44) + lit(2) * (col("n") + 1).divide(2).cast("long"))
+        .otherwise(lit(1008L)))
+      .filter(length(col("content")) =!= col("expected"))
+    assert(bad.count() == 0)
   }
 
-  test("extractFeatures: fixed width, L1-normalized, all rows present") {
+  // ------------------------------------------------------- features
+
+  test("extractFeatures decodes real pixels/samples: exact known values") {
+    val img = MediaCodec.encodeBmp(1, 1, Array[Byte](0x10, 0x25, 0x3a)) // bins 1,2,3
+    val wav = MediaCodec.encodeWav(Array[Short](0, 0, -32768))           // bins 8,8,0
+    val vid = MediaCodec.encodeVideo(Seq(
+      MediaCodec.encodeBmp(1, 1, Array[Byte](0x10, 0x11, 0x12)),         // bin 1 ×3
+      MediaCodec.encodeBmp(1, 1, Array[Byte](0xf0.toByte, 0xf1.toByte, 0xf2.toByte)))) // bin 15 ×3
+    val df = Seq(
+      (1L, "image", img), (2L, "audio", wav), (3L, "video", vid)
+    ).toDF("media_id", "modality", "content")
+    val rows = Multimodal.extractFeatures(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("n_bytes"), r.getAs[Seq[Double]]("features"))).toMap
+    // image: three pixel-channel bytes, one in each of bins 1,2,3
+    assert(rows(1L)._1 == img.length)
+    assert(rows(1L)._2 == Seq(0.0, 1.0 / 3, 1.0 / 3, 1.0 / 3) ++ Seq.fill(12)(0.0))
+    // audio: samples 0,0 → bin 8; -32768 → bin 0
+    assert(rows(2L)._2(8) == 2.0 / 3 && rows(2L)._2(0) == 1.0 / 3)
+    // video: both frames decoded — 3 bytes in bin 1, 3 in bin 15
+    assert(rows(3L)._2(1) == 0.5 && rows(3L)._2(15) == 0.5)
+  }
+
+  test("extractFeatures over the media table: fixed width, L1-normalized") {
     val feats = Multimodal.extractFeatures(media).cache()
     assert(feats.count() == media.count())
-    val bad = feats.filter(size(col("features")) =!= 16).count()
-    assert(bad == 0)
+    assert(feats.filter(size(col("features")) =!= 16).count() == 0)
     val sums = feats.select(aggregate(col("features"), lit(0.0), (a, x) => a + x).as("s"))
       .filter(abs(col("s") - 1.0) > 1e-9)
-    assert(sums.count() == 0) // every histogram sums to 1
+    assert(sums.count() == 0)
+    feats.unpersist()
   }
 
-  test("repartitionForIo sizes partitions from payload bytes") {
-    val tiny = Multimodal.repartitionForIo(media, targetBytes = 10000L)
+  // ------------------------------------------------- partition sizing
+
+  test("repartitionForIo sizes from plan stats and runs NO job") {
+    val docs = Tables(spark, sf).documents
+    val m = Multimodal.mediaFromDocuments(docs)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val tiny = Multimodal.repartitionForIo(m, targetBytes = 10000L)
+    val one = Multimodal.repartitionForIo(m, targetBytes = Long.MaxValue >> 8)
+    Thread.sleep(300) // let any (wrongly) submitted job reach the tracker
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "repartitionForIo must not trigger a Spark job")
     assert(tiny.rdd.getNumPartitions > 1)
-    val one = Multimodal.repartitionForIo(media, targetBytes = Long.MaxValue >> 8)
     assert(one.rdd.getNumPartitions == 1)
   }
 
-  test("stubResize truncates payloads but keeps schema") {
-    val resized = Multimodal.stubResize(media, maxBytes = 10)
-    assert(resized.schema == media.schema)
-    assert(resized.filter(length(col("content")) > 10).count() == 0)
+  // --------------------------------------------------- resize/frames
+
+  test("resizeImages: real nearest-neighbor pixel resample") {
+    val rgb = Array[Byte](
+      1, 1, 1,  2, 2, 2,
+      3, 3, 3,  4, 4, 4) // 2×2
+    val df = Seq((1L, "image", MediaCodec.encodeBmp(2, 2, rgb)))
+      .toDF("media_id", "modality", "content")
+    val out = Multimodal.resizeImages(df, 1, 1)
+      .select("content").first().getAs[Array[Byte]](0)
+    val (w, h, px) = MediaCodec.decodeBmp(out)
+    assert(w == 1 && h == 1)
+    assert(px.toSeq == Seq[Byte](1, 1, 1)) // nearest-neighbor keeps (0,0)
+    // non-image payloads pass through untouched
+    val wav = MediaCodec.encodeWav(Array[Short](7))
+    val df2 = Seq((2L, "audio", wav)).toDF("media_id", "modality", "content")
+    val same = Multimodal.resizeImages(df2, 1, 1).select("content").first().getAs[Array[Byte]](0)
+    assert(same.toSeq == wav.toSeq)
   }
 
-  test("stubFrameSample emits k frames per video row") {
-    val frames = Multimodal.stubFrameSample(media, k = 4)
+  test("sampleFrames: evenly spaced, every frame decodes as BMP") {
+    val frames = (0 until 4).map(i =>
+      MediaCodec.encodeBmp(1, 1, Array[Byte](i.toByte, i.toByte, i.toByte)))
+    val df = Seq((9L, "video", MediaCodec.encodeVideo(frames)))
+      .toDF("media_id", "modality", "content")
+    val out = Multimodal.sampleFrames(df, k = 2).orderBy("frame_idx").collect()
+    assert(out.length == 2)
+    val picked = out.map(r => MediaCodec.decodeBmp(r.getAs[Array[Byte]]("frame"))._3(0))
+    assert(picked.toSeq == Seq[Byte](0, 2)) // frames 0 and 2 of 4
+    // every sampled frame over the real media table decodes
+    val sampled = Multimodal.sampleFrames(media, k = 4)
     val videos = media.filter(col("modality") === "video").count()
-    assert(frames.count() == 4 * videos)
-    assert(frames.filter(length(col("frame")) === 0).count() == 0)
+    assert(sampled.count() == 4 * videos)
   }
 }

@@ -57,4 +57,23 @@ class StreamJoinSpec extends SparkSpec {
     assert(typed.forall { case (k, (n, t)) =>
       relational(k)._1 == n && math.abs(relational(k)._2 - t) <= 1 })
   }
+
+  test("typed Aggregator plans with map-side partial aggregation") {
+    // the Aggregator must NOT shuffle full rows: the physical plan has a
+    // partial spendagg phase before the exchange and only (key, buffer)
+    // crosses it — the groupByKey+mapGroups formulation this replaced
+    // shipped whole Order rows and aggregated only after the shuffle
+    val plan = TypedOps.spendPerCustomer(TypedOps.orders(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_spendagg"),
+      s"expected partial aggregation phase in plan:\n$plan")
+    assert(!plan.contains("MapGroups"), "must not fall back to mapGroups")
+    // cent-exact longs: identical result under any partitioning
+    val a = TypedOps.spendPerCustomer(TypedOps.orders(spark, sf))
+      .collect().map(c => c.custkey -> c.total).toMap
+    val b = TypedOps.spendPerCustomer(
+        TypedOps.orders(spark, sf).repartition(7))
+      .collect().map(c => c.custkey -> c.total).toMap
+    assert(a == b, "sum must be deterministic under repartitioning")
+  }
 }
