@@ -38,19 +38,24 @@ class PosTagger(override val uid: String)
     }
 }
 
+/** One (word, tag) element of the zipped tagger output — a named case
+  * class so the encoder produces `struct<word, tag>` field names, not
+  * the tuple encoder's `_1`/`_2`. */
+case class TaggedWord(word: String, tag: String)
+
 /** The reference's zipped output variant (`main_firstTry_cluster.py:
   * 165-166`): `array<struct<word, tag>>` instead of tags-only — keeps
   * each token physically next to its tag so downstream ops needn't rely
   * on positional alignment across two columns. Same tagger, same rules;
   * only the output shape differs. */
 class PosTaggedWords(override val uid: String)
-  extends UnaryTransformer[Seq[String], Seq[(String, String)], PosTaggedWords]
+  extends UnaryTransformer[Seq[String], Seq[TaggedWord], PosTaggedWords]
   with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("posTaggedWords"))
 
-  override protected def createTransformFunc: Seq[String] => Seq[(String, String)] =
-    tokens => tokens.map(t => (t, PosTagger.tagToken(t)))
+  override protected def createTransformFunc: Seq[String] => Seq[TaggedWord] =
+    tokens => tokens.map(t => TaggedWord(t, PosTagger.tagToken(t)))
 
   override protected def outputDataType: DataType =
     ArrayType(StructType(Seq(

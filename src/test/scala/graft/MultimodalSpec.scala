@@ -98,7 +98,7 @@ class MultimodalSpec extends SparkSpec {
     ).toDF("media_id", "modality", "content")
     val rows = Multimodal.extractFeatures(df).collect()
       .map(r => r.getAs[Long]("media_id") ->
-        (r.getAs[Int]("n_bytes"), r.getAs[Seq[Double]]("features"))).toMap
+        (r.getAs[Int]("n_bytes"), r.getSeq[Double](r.fieldIndex("features")).toSeq)).toMap
     // image: three pixel-channel bytes, one in each of bins 1,2,3
     assert(rows(1L)._1 == img.length)
     assert(rows(1L)._2 == Seq(0.0, 1.0 / 3, 1.0 / 3, 1.0 / 3) ++ Seq.fill(12)(0.0))
