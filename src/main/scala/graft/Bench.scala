@@ -65,14 +65,25 @@ object Bench {
       try { spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count(); () }
       catch { case _: Throwable => () }
     }
+    // environment fingerprint: machine load outside this JVM showed up as
+    // 2.4x total-time swings between otherwise identical runs — recording
+    // loadavg at both ends makes a contaminated run self-identifying
+    // instead of a cross-round mystery.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val loadStart = loadavg()
     run(names.head)
     val results = names.map(n => n -> run(n))
+    val loadEnd = loadavg()
 
     def f(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
     val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val env = s""""env":{"cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
     Tables.clear(spark)
     spark.stop()
   }

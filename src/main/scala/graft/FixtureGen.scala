@@ -27,6 +27,7 @@ object FixtureGen {
   def goldenPipelines: Map[String, () => org.apache.spark.ml.Pipeline] = Map(
     "script1" -> (() => GraftPipelines.script1()),
     "script2" -> (() => GraftPipelines.script2()),
+    "script4" -> (() => GraftPipelines.script4()),
     "script5" -> (() => GraftPipelines.script5()),
     "reglogit" -> (() => GraftPipelines.reglogit()))
 

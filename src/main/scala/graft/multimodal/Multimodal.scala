@@ -137,12 +137,15 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
+    StructField("hist", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
   /** Decode + feature-extract in one batch-shaped partition pass
     * (the Scala analogue of a pandas-batch UDF): iterate rows inside a
-    * partition, decode with the real codec, emit fixed-width
-    * L1-normalized histogram features. */
+    * partition, decode with the real codec, emit the raw 16-bin
+    * histogram (exact longs — what downstream aggregates should sum;
+    * integer counts stay oracle-checkable where float sums wouldn't)
+    * plus its fixed-width L1-normalized double form. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "modality", "content").rdd
@@ -153,7 +156,7 @@ object Multimodal {
           val (n, hist) = decodeHistogram(payload)
           val tot = math.max(1L, hist.sum).toDouble
           Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
-            n, hist.map(_ / tot).toSeq)
+            n, hist.toSeq, hist.map(_ / tot).toSeq)
         }
       }
     spark.createDataFrame(rdd, featureSchema)

@@ -28,13 +28,21 @@ object Dedup {
   def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"), shingles(whitespaceTokens(col("text")), k).as("sh"))
 
-  /** Shared LSH banding: (doc_id, band, sig) rows from a (doc_id, sh)
-    * frame — ONE definition of the banding scheme for both the pair
-    * and canonicalize paths. */
+  /** (doc_id, sh, hs) projection: shingles plus their 32-bit base
+    * hashes. The md5-per-shingle pass is the dominant per-row cost of
+    * the MinHash path, so callers materialize THIS frame (not just the
+    * shingles) — every downstream consumer (banding on both sides of
+    * the LSH self-join, signature queries) then shares one md5 pass. */
+  def hashedShingleSets(docs: DataFrame, k: Int = 3): DataFrame =
+    shingleSets(docs, k).filter(size(col("sh")) > 0)
+      .withColumn("hs", tokenHashes(col("sh")))
+
+  /** Shared LSH banding: (doc_id, band, sig) rows from a (doc_id, hs)
+    * frame with precomputed token hashes — ONE definition of the
+    * banding scheme for both the pair and canonicalize paths. */
   private def bandedSignatures(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    sh.withColumn("hs", tokenHashes(col("sh")))
-      .withColumn("mh", minhashFromHashes(col("hs"), numHashes))
+    sh.withColumn("mh", minhashFromHashes(col("hs"), numHashes))
       .select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -67,21 +75,28 @@ object Dedup {
                       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(maxBucketSize >= 2, "maxBucketSize must allow at least a pair")
-    // the shingle frame is consumed three times (signatures + both sides
-    // of the verification join) — materialize it once via localCheckpoint
-    // rather than cache(): checkpoint blocks are reference-counted by the
-    // ContextCleaner and freed when the frame is GC'd, so repeated calls
-    // in a long-lived session can't accumulate storage memory (cache()
-    // would leak until someone ran clearCache). At 100 TB the same shape
-    // becomes a reliable checkpoint to distributed storage.
-    val sh = shingleSets(docs, shingleK).filter(size(col("sh")) > 0).localCheckpoint()
+    // the shingle frame is consumed four times (banding on both sides of
+    // the self-join + both sides of the verification join) — materialize
+    // it once via localCheckpoint rather than cache(): checkpoint blocks
+    // are reference-counted by the ContextCleaner and freed when the
+    // frame is GC'd, so repeated calls in a long-lived session can't
+    // accumulate storage memory (cache() would leak until someone ran
+    // clearCache). The checkpoint carries hs (the per-shingle md5 base
+    // hashes) so the expensive md5 pass runs ONCE — each self-join side
+    // re-deriving it doubled the dominant per-row cost. At 100 TB the
+    // same shape becomes a reliable checkpoint to distributed storage.
+    val sh = hashedShingleSets(docs, shingleK).localCheckpoint()
     // bucket-size gate: one window count over the same (band, sig)
-    // shuffle the self-join needs anyway — no extra pass over documents
+    // shuffle the self-join needs anyway — no extra pass over documents.
+    // Checkpointed because the self-join consumes it twice: the rows are
+    // tiny (id, band, sig), so materializing once beats re-running the
+    // minhash + window shuffle per join side.
     val banded = bandedSignatures(sh, numHashes, bands)
       .withColumn("__bn",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
       .filter(col("__bn") <= maxBucketSize)
       .drop("__bn")
+      .localCheckpoint()
 
     val pairs = banded.as("a")
       .join(banded.as("b"),
@@ -123,9 +138,7 @@ object Dedup {
     // blocks free on GC (no clearCache convention needed). Iterative
     // label propagation checkpoints each round for the same reason —
     // the standard Pregel-style discipline.
-    val banded = bandedSignatures(
-      shingleSets(docs, shingleK).filter(size(col("sh")) > 0),
-      numHashes, bands)
+    val banded = bandedSignatures(hashedShingleSets(docs, shingleK), numHashes, bands)
       .repartition(col("doc_id"))
       .localCheckpoint()
 

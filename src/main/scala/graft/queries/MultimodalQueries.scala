@@ -50,8 +50,13 @@ object MultimodalQueries {
       |GROUP BY modality ORDER BY modality""".stripMargin
 
   // ---------------------------------------------------------------- q61
-  /** Full batch-shaped decode + feature extraction (stub codec), rolled
-    * up per modality: mean first-bin weight and mean payload size. */
+  /** Full batch-shaped decode + feature extraction with the REAL codecs,
+    * rolled up per modality. Aggregates are EXACT integer counts from the
+    * raw 16-bin histogram (bin 0 exercises the BMP zero-padding path;
+    * bin 7 is an arbitrary interior bin) with ONE final double division —
+    * order-independent, so the DuckDB oracle can hash-match where a
+    * float sum of per-doc normalized weights never deterministically
+    * would. */
   def q61MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaFromDocuments(Tables(spark, dir).documents))
@@ -60,9 +65,73 @@ object MultimodalQueries {
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes").cast("long")).as("total_bytes"),
-        sum(element_at(col("features"), 7)).as("bin7_mass"))
+        sum(element_at(col("hist"), 1)).as("bin0_hits"),
+        sum(element_at(col("hist"), 8)).as("bin7_hits"),
+        sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)).as("units"))
+      .withColumn("bin7_mass", col("bin7_hits").cast("double") / col("units"))
       .orderBy("modality")
   }
+
+  // The oracle mirrors decodeHistogram from `encode(text)` in closed
+  // form, per modality (n = utf-8 byte length, hx = hex(bytes), byte j's
+  // HIGH nibble is hex char 2j+1 1-based):
+  //   image: pixel bytes are the text bytes zero-padded to 48*rows —
+  //     bin(v) = v >> 4, so bin k counts hex digit k at odd positions;
+  //     padding (48*rows - n zero bytes) lands in bin 0.
+  //   audio: sample u = (b[2i+1] << 8) | b[2i] interpreted signed;
+  //     bin = (s + 32768) >> 12 = ((hi >> 4) + 8) mod 16 — a function of
+  //     the ODD byte's high nibble alone: bin 7 ⇔ 'F', bin 0 ⇔ '8'.
+  //     Odd n implies hi = 0 for the last sample (bin 8) — the '00' pad.
+  //   video: 768 pixel bytes cycling the text, byte p of the text used
+  //     ceil((768 - p) / n) times for p < min(n, 768). range(768) is a
+  //     CONSTANT table (older DuckDBs reject lateral column parameters
+  //     to range()); the correlation rides in the p < n filter.
+  val q61Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id % 3 AS md,
+      |    hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |), per AS (
+      |  SELECT md, n,
+      |    CASE WHEN md = 0 THEN 54 + 48 * greatest((n + 47) // 48, 1)
+      |         WHEN md = 1 THEN 44 + 2 * ((n + 1) // 2)
+      |         ELSE 1008 END AS n_bytes,
+      |    regexp_replace(hx, '(.).', '\1', 'g') AS hi_all,
+      |    regexp_replace(CASE WHEN n % 2 = 1 THEN hx || '00' ELSE hx END,
+      |                   '..(.).', '\1', 'g') AS hi_odd,
+      |    CASE WHEN md = 2 THEN (
+      |      SELECT coalesce(sum(CASE WHEN p < n AND substr(hx, 2 * p + 1, 1) = '7'
+      |        THEN (768 - p + n - 1) // n ELSE 0 END), 0)
+      |      FROM range(768) t(p)) ELSE 0 END AS v7,
+      |    CASE WHEN md = 2 THEN (
+      |      SELECT coalesce(sum(CASE WHEN p < n AND substr(hx, 2 * p + 1, 1) = '0'
+      |        THEN (768 - p + n - 1) // n ELSE 0 END), 0)
+      |      FROM range(768) t(p)) ELSE 0 END AS v0
+      |  FROM m
+      |), counted AS (
+      |  SELECT md, n_bytes,
+      |    CASE WHEN md = 0 THEN length(hi_all) - length(replace(hi_all, '0', ''))
+      |                        + 48 * greatest((n + 47) // 48, 1) - n
+      |         WHEN md = 1 THEN length(hi_odd) - length(replace(hi_odd, '8', ''))
+      |         ELSE v0 END AS h0,
+      |    CASE WHEN md = 0 THEN length(hi_all) - length(replace(hi_all, '7', ''))
+      |         WHEN md = 1 THEN length(hi_odd) - length(replace(hi_odd, 'F', ''))
+      |         ELSE v7 END AS h7,
+      |    CASE WHEN md = 0 THEN 48 * greatest((n + 47) // 48, 1)
+      |         WHEN md = 1 THEN (n + 1) // 2
+      |         ELSE 768 END AS u
+      |  FROM per
+      |)
+      |SELECT
+      |  CASE md WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  count(*) AS n_media,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(sum(h0) AS BIGINT) AS bin0_hits,
+      |  CAST(sum(h7) AS BIGINT) AS bin7_hits,
+      |  CAST(sum(u) AS BIGINT) AS units,
+      |  CAST(sum(h7) AS DOUBLE) / CAST(sum(u) AS BIGINT) AS bin7_mass
+      |FROM counted GROUP BY md ORDER BY modality""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_bytes"    -> (q60MediaBytes _),
@@ -70,6 +139,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "q60_media_bytes" -> q60Sql
+    "q60_media_bytes" -> q60Sql,
+    "q61_media_features" -> q61Sql
   )
 }

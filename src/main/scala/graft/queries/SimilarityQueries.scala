@@ -199,6 +199,38 @@ object SimilarityQueries {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- q42b
+  /** Multi-probe sign-LSH ANN: each query also probes every bucket at
+    * Hamming distance 1 from its own signature (bits+1 probes) — the
+    * recall lift that costs query-side fanout instead of a second
+    * corpus pass. Deterministic probe set ⇒ fully oracle-checked: the
+    * DuckDB twin joins on `xor(sig_q, sig_c) ∈ {0} ∪ {2^b}`.
+    * SimilaritySpec separately asserts recall ≥ single-probe. */
+  def q42bKnnLshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.signLshKnn(e, e.filter(col("vec_id") < 20), k = 5, bits = 4,
+        multiProbe = true)
+      .orderBy("query_id", "rank")
+  }
+
+  val q42bSql: String = {
+    val probeSet = (0L +: (0 until 4).map(b => 1L << b)).mkString("(", ", ", ")")
+    s"""WITH ${lshScoredCte(4)},
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+       |      / (q.nrm * c.nrm) AS cos_sim
+       |  FROM n q JOIN n c
+       |    ON xor(q.sig, c.sig) IN $probeSet AND c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 20)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q43
   /** IVF ANN (KMeans coarse quantizer, nprobe=2 of 8 cells, 5 KMeans
     * iterations) — the second approximate scale path. Rows-only;
@@ -274,6 +306,7 @@ object SimilarityQueries {
     "q40_lsh_neardup" -> (q40LshNearDups _),
     "q41_simhash"     -> (q41Simhash _),
     "q42_knn_lsh"     -> (q42KnnLsh _),
+    "q42b_knn_lsh_multiprobe" -> (q42bKnnLshMultiProbe _),
     "q43_knn_ivf"     -> (q43KnnIvf _)
   )
 
@@ -284,6 +317,7 @@ object SimilarityQueries {
     "q40_lsh_neardup" -> q40Sql,
     "q41_simhash"     -> q41Sql,
     "q42_knn_lsh"     -> q42Sql,
+    "q42b_knn_lsh_multiprobe" -> q42bSql,
     "q44_embed_neardup" -> q44Sql
   )
 }

@@ -106,6 +106,21 @@ class MlPipelineSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("script3Fit's two-phase models both persist and reload (M10 + S7)") {
+    val Array(train, test) = corpus.randomSplit(Array(0.8, 0.2), GraftPipelines.Seed)
+    val (vecModel, lrModel) = GraftPipelines.script3Fit(train, maxPValue = 0.5)
+    val dir = Files.createTempDirectory("graft-script3").toString
+    vecModel.write.overwrite().save(s"$dir/vec")
+    lrModel.write.overwrite().save(s"$dir/lr")
+    val vecBack = PipelineModel.load(s"$dir/vec")
+    val lrBack = PipelineModel.load(s"$dir/lr")
+    val a = lrModel.transform(vecModel.transform(test))
+      .select("prediction").collect().map(_.getDouble(0))
+    val b = lrBack.transform(vecBack.transform(test))
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("corpus reader round-trip: labels from path, names from filenames") {
     val root = Files.createTempDirectory("graft-corpus")
     val pos = root.resolve("train/pos"); val neg = root.resolve("train/neg")
