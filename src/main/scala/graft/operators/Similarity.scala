@@ -28,11 +28,16 @@ object Similarity {
   /** Upcast array<float> → array<double> once, at the scan. */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
+  /** Dot product via the codegen'd [[graft.plans.ArrayDotProduct]]
+    * expression — bit-identical to the higher-order-function fold
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` (same ascending-index
+    * IEEE sum; null on length mismatch or null element), but a tight
+    * primitive loop inside whole-stage codegen instead of two
+    * interpreted lambdas and a zipped-array allocation per row. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.dotProduct(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
@@ -95,9 +100,7 @@ object Similarity {
       sz.cast("string"), lit(")"))))
     val terms = (0 until bits).map { p =>
       val plane = typedlit((0 until dim).map(d => planeComponent(p, d)))
-      val proj = aggregate(
-        zip_with(checked, plane, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(checked, plane)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     terms.reduce(_ + _)
