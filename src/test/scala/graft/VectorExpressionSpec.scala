@@ -48,6 +48,34 @@ class VectorExpressionSpec extends SparkSpec {
     assert(out(3).isNullAt(1)) // null element
   }
 
+  test("optimizer rule rewrites the HOF dot-product pattern to the native kernel") {
+    // non-foldable input (derived from range), or ConstantFolding
+    // collapses the whole projection before our rule could be observed
+    val base = spark.range(2).select(
+      array($"id".cast("double"), lit(2.0)).as("a"),
+      array(lit(3.0), lit(4.0)).as("b"))
+    val df = base.select(hofDot($"a", $"b").as("d"))
+    val optimized = df.queryExecution.optimizedPlan
+    val rewritten = optimized.expressions.exists(_.exists(
+      _.isInstanceOf[graft.plans.ArrayDotProduct]))
+    assert(rewritten, s"expected ArrayDotProduct in:\n$optimized")
+    assert(df.orderBy("d").collect().map(_.getDouble(0)).toSeq == Seq(8.0, 11.0))
+    // a non-dot fold (different zero) must NOT be rewritten
+    val other = base.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(1.0), (acc, x) => acc + x).as("d"))
+    assert(!other.queryExecution.optimizedPlan.expressions.exists(_.exists(
+      _.isInstanceOf[graft.plans.ArrayDotProduct])))
+    assert(other.orderBy("d").collect().map(_.getDouble(0)).toSeq == Seq(9.0, 12.0))
+  }
+
+  test("array_dot_product is SQL-callable via the session extension") {
+    Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .createOrReplaceTempView("vex")
+    val v = spark.sql("SELECT array_dot_product(a, b) AS d FROM vex")
+      .first().getDouble(0)
+    assert(v == 32.0)
+  }
+
   test("interpreted path (eval) agrees with codegen") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
     // force the interpreted path by evaluating through a filter on the
