@@ -159,10 +159,13 @@ object Dedup {
       // every later round the identity — exact-dup clusters converge in
       // round 1 and the remaining rounds are pure waste without this.
       // The check is one narrow join over two checkpointed (id, label)
-      // frames — far cheaper than a wasted propagation round.
-      converged = next.join(labels.withColumnRenamed("canonical_id", "prev"), "doc_id")
-        .filter(col("canonical_id") =!= col("prev"))
-        .isEmpty
+      // frames — far cheaper than a wasted propagation round. After the
+      // FINAL round the loop exits regardless, so the check job is
+      // skipped there.
+      converged = round + 1 < iterations &&
+        next.join(labels.withColumnRenamed("canonical_id", "prev"), "doc_id")
+          .filter(col("canonical_id") =!= col("prev"))
+          .isEmpty
       labels = next
       round += 1
     }
