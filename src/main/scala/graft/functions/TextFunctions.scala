@@ -183,6 +183,50 @@ object TextFunctions {
   def stopwordRatio(tokens: Column, stopwords: Seq[String] = NltkStopwords): Column =
     size(filter(tokens, t => isStopword(t, stopwords))).cast("double") / size(tokens)
 
+  /** Duplicate n-gram ratio — the Gopher-style repetition signal
+    * ("repetitious documents", Rae et al. 2021, §A1.1): fraction of
+    * n-grams that are repeats of an earlier one. Exact integer counts
+    * with one double division, so the oracle can hash-match. Documents
+    * too short to form an n-gram score 0.0. */
+  def dupNgramRatio(tokens: Column, n: Int): Column = {
+    val grams = ngrams(tokens, n)
+    when(size(grams) > 0,
+      (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+  }
+
+  /** Character-class count (portable regex char classes only). */
+  private def charClassCount(text: Column, clazz: String): Column =
+    length(text) - length(regexp_replace(text, clazz, ""))
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(text: Column): Column =
+    charClassCount(text, "[A-Za-z]").cast("double") / greatest(length(text), lit(1))
+
+  /** Fraction of characters that are neither alphanumeric nor
+    * whitespace — the symbol-to-content signal. */
+  def symbolRatio(text: Column): Column =
+    charClassCount(text, "[^A-Za-z0-9\\s]").cast("double") / greatest(length(text), lit(1))
+
+  /** RE2/Java-portable URL and email patterns (PII scrubbing). */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0)))
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  /** Redact URLs and emails to fixed placeholder tokens — the scrubbing
+    * pass a training-data pipeline runs before tokenization. Order
+    * matters: URLs first, so an email-shaped substring inside a URL
+    * query string is already gone when the email pass runs. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+
   /** Lexicon-hit count for one language (InSet lookup). */
   def lexiconHits(tokens: Column, lexicon: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(lexicon)))

@@ -268,6 +268,59 @@ object TextQueries {
        |ORDER BY doc_id, seed_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q37
+  /** Gopher-style quality-rule filter (Rae et al. 2021 §A1.1, public):
+    * per-doc repetition (duplicate bigram/trigram fraction), character-
+    * class profile, and the resulting keep/drop decision. Every ratio is
+    * exact-integer counts with one double division; the keep flag is
+    * integer 0/1 — fully hash-checkable. Thresholds are calibrated to
+    * split this corpus (min tokens 30, dup-bigram < 0.05), documented as
+    * knobs, not constants of nature. */
+  def q37QualityRules(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        meanTokenLen(toks).as("mean_token_len"),
+        dupNgramRatio(toks, 2).as("dup_bigram_ratio"),
+        dupNgramRatio(toks, 3).as("dup_trigram_ratio"),
+        alphaRatio(col("text")).as("alpha_ratio"),
+        symbolRatio(col("text")).as("symbol_ratio"))
+      .withColumn("keep",
+        (col("n_tokens") >= 30 &&
+          col("mean_token_len").between(3.0, 10.0) &&
+          col("dup_bigram_ratio") < 0.05 &&
+          col("symbol_ratio") < 0.1).cast("long"))
+      .orderBy("doc_id")
+
+  val q37Sql: String =
+    """SELECT doc_id, n_tokens, mean_token_len, dup_bigram_ratio,
+      |  dup_trigram_ratio, alpha_ratio, symbol_ratio,
+      |  CAST(n_tokens >= 30 AND mean_token_len BETWEEN 3.0 AND 10.0
+      |    AND dup_bigram_ratio < 0.05 AND symbol_ratio < 0.1 AS BIGINT) AS keep
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(l) AS BIGINT) AS n_tokens,
+      |    CAST(list_sum(list_transform(l, t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+      |      / len(l) AS mean_token_len,
+      |    CASE WHEN len(l) >= 2 THEN
+      |      CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+      |      ELSE 0.0 END AS dup_bigram_ratio,
+      |    CASE WHEN len(l) >= 3 THEN
+      |      CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+      |      ELSE 0.0 END AS dup_trigram_ratio,
+      |    CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+      |      / greatest(len(text), 1) AS alpha_ratio,
+      |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      |      / greatest(len(text), 1) AS symbol_ratio
+      |  FROM (
+      |    SELECT doc_id, text, l,
+      |      list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS g2,
+      |      list_transform(range(1, len(l) - 1),
+      |        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g3
+      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q36
   /** Distributed TF-IDF weights for the top-100-df tokens: the document
     * frequency scan is the same one IDF.fit runs (V5), here surfaced
@@ -310,7 +363,8 @@ object TextQueries {
     "q27_dedup_exact"     -> (q27DedupExact _),
     "q28_shingle_jaccard" -> (q28ShingleJaccard _),
     "q29_minhash_sig"     -> (q29MinhashSig _),
-    "q36_idf"             -> (q36Idf _)
+    "q36_idf"             -> (q36Idf _),
+    "q37_quality_rules"   -> (q37QualityRules _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,6 +378,7 @@ object TextQueries {
     "q27_dedup_exact"     -> q27Sql,
     "q28_shingle_jaccard" -> q28Sql,
     "q29_minhash_sig"     -> q29Sql,
-    "q36_idf"             -> q36Sql
+    "q36_idf"             -> q36Sql,
+    "q37_quality_rules"   -> q37Sql
   )
 }

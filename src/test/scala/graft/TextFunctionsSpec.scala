@@ -112,6 +112,44 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0 / 4.0)
   }
 
+  test("dup n-gram ratio: exact counts, short docs score zero") {
+    val df = Seq(
+      (1, "a b a b a"),   // bigrams: ab ba ab ba → 4 total, 2 distinct
+      (2, "a b c d"),     // all distinct
+      (3, "solo")         // too short for bigrams
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      dupNgramRatio(whitespaceTokens(col("text")), 2).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out(1) == 2.0 / 4.0)
+    assert(out(2) == 0.0)
+    assert(out(3) == 0.0)
+  }
+
+  test("char-class ratios: exact on known strings") {
+    val df = Seq("ab1 c!?").toDF("text") // 7 chars: 3 alpha, 1 digit, 2 symbols, 1 space
+    val r = df.select(
+      alphaRatio(col("text")).as("a"),
+      symbolRatio(col("text")).as("s")).first()
+    assert(r.getDouble(0) == 3.0 / 7.0)
+    assert(r.getDouble(1) == 2.0 / 7.0)
+  }
+
+  test("PII redaction: URLs first, then emails; counts match") {
+    val df = Seq(
+      "visit https://example.com/a?user=bob@mail.com now or mail root@host.org"
+    ).toDF("text")
+    val r = df.select(
+      urlCount(col("text")).as("u"),
+      emailCount(col("text")).as("e"),
+      redactPii(col("text")).as("red")).first()
+    assert(r.getInt(0) == 1)
+    assert(r.getInt(1) == 2) // the in-URL email also matches the scan count
+    // redaction order: the URL (including its embedded email) is gone
+    // before the email pass, so exactly one <EMAIL> remains
+    assert(r.getString(2) == "visit <URL> now or mail <EMAIL>")
+  }
+
   test("text queries stay fully codegen'd (no UDFs in the plan)") {
     val plan = graft.queries.TextQueries.q24Quality(spark, sf)
       .queryExecution.executedPlan.toString
