@@ -1,0 +1,74 @@
+package graft
+
+import java.util.Locale
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.queries.TextQueries
+
+/** Scaling harness behind ARCHITECTURE.md's measured-scaling table:
+  * synthesizes an N×-duplicated copy of the sf0.1 documents table
+  * (doc_id offset per copy → natural duplicate clusters of size N) and
+  * times the text/dedup operators on it. This is the evidence for the
+  * "would this hold at 100×?" questions — pair enumeration's quadratic
+  * blow-up vs canonicalization's linear output is a MEASURED claim, not
+  * a belief.
+  *
+  * Run: sbt "runMain graft.ScaleBench 1 10 100"
+  * (factors as args; corpus parquet cached under /tmp/graft_scale/)
+  */
+object ScaleBench {
+
+  def synthesize(spark: SparkSession, baseDir: String, factor: Int, out: String): Unit = {
+    val base = Tables(spark, baseDir).documents
+    val copies = (0 until factor).map { i =>
+      base.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(out)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors = if (args.isEmpty) Seq(1, 10, 100) else args.map(_.toInt).toSeq
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      dt
+    }
+    def fmt(d: Double): String = "%.2f".formatLocal(Locale.ROOT, d)
+
+    factors.foreach { factor =>
+      val dir = s"/tmp/graft_scale/x$factor"
+      if (!new java.io.File(s"$dir/documents.parquet").exists())
+        synthesize(spark, baseDir, factor, s"$dir/documents.parquet")
+      val ops: Seq[(String, () => DataFrame)] = Seq(
+        "vocab_df" -> (() => TextQueries.q21VocabDf(spark, dir)),
+        "exact_dedup" -> (() => TextQueries.q27DedupExact(spark, dir)),
+        "quality_rules" -> (() => TextQueries.q37QualityRules(spark, dir)),
+        "simhash" -> (() => Dedup.simhashClusters(Tables(spark, dir).documents)),
+        "lsh_pairs" -> (() => Dedup.minhashNearDups(Tables(spark, dir).documents)),
+        "canonicalize" -> (() => Dedup.minhashCanonicalize(Tables(spark, dir).documents)))
+      val timed = ops.map { case (name, mk) => name -> time(mk()) }
+      val js = timed.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
+      val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+      println(s"""{"factor":$factor,"rows":$rows,$js}""")
+      Tables.clear(spark)
+    }
+    spark.stop()
+  }
+}

@@ -74,15 +74,16 @@ object TextFunctions {
   /** Reference P9: per-document distinct tokens. */
   def distinctTokens(tokens: Column): Column = array_distinct(tokens)
 
-  /** Reference T4/T5: n-grams as space-joined consecutive token runs.
-    * Guarded: Spark's `sequence(1, 0)` counts DOWN, so short docs must
-    * short-circuit to an empty array. */
+  /** Reference T4/T5: n-grams as space-joined consecutive token runs,
+    * via the codegen'd [[graft.plans.NGramArray]] expression (the
+    * composed `transform(sequence(...), i => concat_ws(" ", slice(...)))`
+    * form ran on the HOF interpreter at ~0.3 ms/row — n-gram
+    * construction feeds every shingle consumer, so it gets the native
+    * loop). Short docs yield an empty array; null token elements are
+    * skipped inside a gram (concat_ws semantics), identical to the
+    * composed form. */
   def ngrams(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      transform(
-        sequence(lit(1), size(tokens) - lit(n - 1)),
-        i => concat_ws(" ", slice(tokens, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    graft.plans.NGramArray(tokens, n)
 
   /** Distinct k-shingles — the MinHash/Jaccard input set. */
   def shingles(tokens: Column, k: Int): Column =
@@ -189,14 +190,17 @@ object TextFunctions {
     * with one double division, so the oracle can hash-match. Documents
     * too short to form an n-gram score 0.0. */
   def dupNgramRatio(tokens: Column, n: Int): Column = {
-    val grams = ngrams(tokens, n)
-    when(size(grams) > 0,
-      (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+    // the gram ARRAY is built once (inside array_distinct); the total
+    // gram count comes from size(tokens) arithmetic — referencing the
+    // array a second time would re-evaluate the whole construction
+    val total = size(tokens) - lit(n - 1)
+    when(total > 0,
+      (total - size(array_distinct(ngrams(tokens, n)))).cast("double") / total)
       .otherwise(lit(0.0))
   }
 
   /** Character-class count (portable regex char classes only). */
-  private def charClassCount(text: Column, clazz: String): Column =
+  def charClassCount(text: Column, clazz: String): Column =
     length(text) - length(regexp_replace(text, clazz, ""))
 
   /** Fraction of characters that are ASCII letters. */

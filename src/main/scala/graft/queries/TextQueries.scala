@@ -277,15 +277,31 @@ object TextQueries {
     * split this corpus (min tokens 30, dup-bigram < 0.05), documented as
     * knobs, not constants of nature. */
   def q37QualityRules(spark: SparkSession, dir: String): DataFrame =
+    // two-stage shape: stage 1 touches each expensive array exactly once
+    // and emits plain integers; stage 2 is cheap arithmetic, so however
+    // the optimizer collapses or inlines it, no n-gram array is ever
+    // constructed twice per row
     docs(spark, dir)
       .select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
-        meanTokenLen(toks).as("mean_token_len"),
-        dupNgramRatio(toks, 2).as("dup_bigram_ratio"),
-        dupNgramRatio(toks, 3).as("dup_trigram_ratio"),
-        alphaRatio(col("text")).as("alpha_ratio"),
-        symbolRatio(col("text")).as("symbol_ratio"))
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
+        size(array_distinct(ngrams(toks, 2))).cast("long").as("d2"),
+        size(array_distinct(ngrams(toks, 3))).cast("long").as("d3"),
+        charClassCount(col("text"), "[A-Za-z]").cast("long").as("n_alpha"),
+        charClassCount(col("text"), "[^A-Za-z0-9\\s]").cast("long").as("n_symbol"),
+        length(col("text")).cast("long").as("n_chars_t"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("sum_token_len").cast("double") / col("n_tokens")).as("mean_token_len"),
+        when(col("n_tokens") > 1,
+          (col("n_tokens") - 1 - col("d2")).cast("double") / (col("n_tokens") - 1))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"),
+        when(col("n_tokens") > 2,
+          (col("n_tokens") - 2 - col("d3")).cast("double") / (col("n_tokens") - 2))
+          .otherwise(lit(0.0)).as("dup_trigram_ratio"),
+        (col("n_alpha").cast("double") / greatest(col("n_chars_t"), lit(1L))).as("alpha_ratio"),
+        (col("n_symbol").cast("double") / greatest(col("n_chars_t"), lit(1L))).as("symbol_ratio"))
       .withColumn("keep",
         (col("n_tokens") >= 30 &&
           col("mean_token_len").between(3.0, 10.0) &&

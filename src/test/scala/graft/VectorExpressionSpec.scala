@@ -76,6 +76,29 @@ class VectorExpressionSpec extends SparkSpec {
     assert(v == 32.0)
   }
 
+  test("NGramArray matches the composed HOF form on random token arrays") {
+    val rnd = new Random(5)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val rows = (1 to 100).map(i =>
+      (i, Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))))
+    val df = rows.toDF("id", "toks")
+    Seq(1, 2, 3, 5).foreach { n =>
+      val out = df.select(
+        graft.plans.NGramArray($"toks", n).as("native"),
+        when(size($"toks") >= n,
+          transform(sequence(lit(1), size($"toks") - lit(n - 1)),
+            i => concat_ws(" ", slice($"toks", i, lit(n)))))
+          .otherwise(array().cast("array<string>")).as("hof")).collect()
+      out.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+      }
+    }
+    // null elements are skipped inside a gram, like concat_ws
+    val withNull = Seq(Tuple1(Seq("x", null, "y"))).toDF("toks")
+    assert(withNull.select(graft.plans.NGramArray($"toks", 2))
+      .first().getSeq[String](0) == Seq("x", "y"))
+  }
+
   test("interpreted path (eval) agrees with codegen") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
     // force the interpreted path by evaluating through a filter on the
