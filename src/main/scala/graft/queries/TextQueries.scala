@@ -129,15 +129,29 @@ object TextQueries {
   // ---------------------------------------------------------------- q25
   /** Language ID: per-language lexicon hits + deterministic argmax,
     * compared against the table's `lang` column for an accuracy rollup. */
-  def q25LangId(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(
-        col("doc_id"),
-        col("lang"),
-        langId(toks).as("predicted"))
+  def q25LangId(spark: SparkSession, dir: String): DataFrame = {
+    // staged form of langId: stage 1 runs each lexicon scan ONCE into an
+    // integer column; stage 2's argmax is cheap comparisons. The single-
+    // Column langId(toks) is semantically identical but its when-fold
+    // re-evaluates the hit expressions at every comparison level —
+    // integer staging is the hot-path form (same lesson as q37).
+    val hitCols = LangLexicons.map { case (lang, lex) =>
+      lexiconHits(toks, lex).as(s"${lang}_hits")
+    }
+    val staged = docs(spark, dir)
+      .select(col("doc_id") +: col("lang") +: hitCols: _*)
+    val Seq(en, es, de, fr) = LangLexicons.map(p => col(s"${p._1}_hits"))
+    staged
+      .withColumn("predicted",
+        when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
+          .when(fr > greatest(en, es, de), "fr")
+          .when(de > greatest(en, es), "de")
+          .when(es > en, "es")
+          .otherwise("en"))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "predicted")
+  }
 
   val q25Sql: String = {
     val hitExprs = LangLexicons.map { case (lang, lex) =>
