@@ -351,6 +351,42 @@ object TextQueries {
       |    FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)))
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** PII scrubbing end-to-end: count and redact URLs/emails. The corpus
+    * carries no PII, so the query injects deterministic spans derived
+    * from doc_id — a URL whose query string embeds an email (exercising
+    * the URL-before-email redaction order) and a standalone address with
+    * dots/plus in the local part — then scrubs them. Counts are taken on
+    * the dirty text (so the embedded a@b.io is visible to emailCount but
+    * gone after redaction), and the full redacted text is hash-checked.
+    * One narrow codegen'd pass per row; no shuffle until the sort. */
+  def q38PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://ex.org/d/"), col("doc_id").cast("string"),
+          lit("?u=a@b.io mail user."), col("doc_id").cast("string"),
+          lit("+tag@mail-ex.co.uk now")).as("dirty"))
+      .select(col("doc_id"),
+        urlCount(col("dirty")).cast("long").as("n_urls"),
+        emailCount(col("dirty")).cast("long").as("n_emails"),
+        redactPii(col("dirty")).as("clean"))
+      .orderBy("doc_id")
+
+  val q38Sql: String =
+    """SELECT doc_id,
+       |  CAST(len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(dirty,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       |  regexp_replace(regexp_replace(dirty, 'https?://[^\s]+', '<URL>', 'g'),
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean
+       |FROM (SELECT doc_id,
+       |        text || ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+       |             || '?u=a@b.io mail user.' || CAST(doc_id AS VARCHAR)
+       |             || '+tag@mail-ex.co.uk now' AS dirty
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q36
   /** Distributed TF-IDF weights for the top-100-df tokens: the document
     * frequency scan is the same one IDF.fit runs (V5), here surfaced
@@ -394,7 +430,8 @@ object TextQueries {
     "q28_shingle_jaccard" -> (q28ShingleJaccard _),
     "q29_minhash_sig"     -> (q29MinhashSig _),
     "q36_idf"             -> (q36Idf _),
-    "q37_quality_rules"   -> (q37QualityRules _)
+    "q37_quality_rules"   -> (q37QualityRules _),
+    "q38_pii_scrub"       -> (q38PiiScrub _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -409,6 +446,7 @@ object TextQueries {
     "q28_shingle_jaccard" -> q28Sql,
     "q29_minhash_sig"     -> q29Sql,
     "q36_idf"             -> q36Sql,
-    "q37_quality_rules"   -> q37Sql
+    "q37_quality_rules"   -> q37Sql,
+    "q38_pii_scrub"       -> q38Sql
   )
 }
