@@ -28,7 +28,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: String): Double = {
+    // SPARK_GRAFT_WARM=N re-runs each query N extra times and reports the
+    // fastest — steady-state data-path cost with parse/codegen/scheduling
+    // constants amortized. Default 0 = cold-per-query, the driver's mode.
+    val warm = sys.env.getOrElse("SPARK_GRAFT_WARM", "0").toInt
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -50,6 +55,11 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
       }
+    }
+
+    def run(name: String): Double = {
+      val times = (0 to warm).map(_ => runOnce(name))
+      if (times.contains(-1.0)) -1.0 else times.min
     }
 
     // optional args = query-name filter (substring match), for fast
@@ -83,7 +93,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val env = s""""env":{"cpus":${Runtime.getRuntime.availableProcessors},""" +
-      s""""load_start":$loadStart,"load_end":$loadEnd}"""
+      s""""warm":$warm,"load_start":$loadStart,"load_end":$loadEnd}"""
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
     Tables.clear(spark)
     spark.stop()
