@@ -26,9 +26,16 @@ import graft.Tables
   */
 object Relational {
 
-  /** Decimal-exact sum of a 2-dp money column, emitted as double. */
+  /** Exact sum of a 2-dp money column, emitted as double. Staged as
+    * long integer cents (round once per row, sum longs, ONE double
+    * division at the end) — bit-identical to the decimal-sum→cast
+    * oracle (both are a single correctly-rounded operation on the same
+    * exact integer) but runs on codegen'd long arithmetic instead of
+    * BigDecimal with per-row overflow checks. Long cents hold ±9.2e16
+    * dollars per group; past 2^53 cents the double cast itself loses
+    * exactness, so the long path is never the precision bottleneck. */
   private def moneySum(c: String): org.apache.spark.sql.Column =
-    sum(col(c).cast("decimal(18,2)")).cast("double")
+    sum(round(col(c) * 100).cast("long")) / 100.0
 
   // ---------------------------------------------------------------- q01
   /** Scan + filter + project: pushdown showcase. Filter and the 4-column
@@ -54,10 +61,13 @@ object Relational {
         count(lit(1)).as("cnt"),
         sum("l_quantity").as("sum_qty"), // integral doubles: exact
         moneySum("l_extendedprice").as("sum_price"),
-        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"))
-          .cast("double").as("sum_disc_price"),
-        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
-          .as("avg_qty")
+        // price_cents × (100 − disc_hundredths) is an exact integer of
+        // 1e-4 dollars; one final double division mirrors the oracle's
+        // decimal-product sum→double cast bit-for-bit
+        (sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0)
+          .as("sum_disc_price"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty")
       )
       .orderBy("l_returnflag", "l_linestatus")
 
