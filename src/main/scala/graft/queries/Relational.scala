@@ -229,13 +229,15 @@ object Relational {
       |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
 
   // ---------------------------------------------------------------- q11
-  /** Running (cumulative) sum per user — decimal-exact then double. */
+  /** Running (cumulative) sum per user — exact long cents (every prefix
+    * sum is an exact integer; one double division per row mirrors the
+    * oracle's decimal cast bit-for-bit, same argument as moneySum). */
   def q11WindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(spark, dir).events
       .withColumn("running_value",
-        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        sum(round(col("value") * 100).cast("long")).over(w) / 100.0)
       .select("event_id", "user_id", "running_value")
       .orderBy("event_id")
   }
@@ -391,12 +393,14 @@ object Relational {
   def q17WindowSuite(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("value").desc, col("event_id").asc)
+    // lag/lead carry values, not sums: the oracle's double→decimal→
+    // double round-trip is the identity on 2-dp doubles, so plain
+    // double lag/lead is bit-identical without the decimal detour
     Tables(spark, dir).events
-      .withColumn("v", col("value").cast("decimal(18,2)"))
       .select(
         col("event_id"), col("user_id"),
-        lag("v", 1).over(byUser).cast("double").as("prev_value"),
-        lead("v", 1).over(byUser).cast("double").as("next_value"),
+        lag("value", 1).over(byUser).as("prev_value"),
+        lead("value", 1).over(byUser).as("next_value"),
         rank().over(byUser).cast("long").as("value_rank"),
         ntile(4).over(byUser).cast("long").as("quartile"))
       .orderBy("event_id")
@@ -445,7 +449,7 @@ object Relational {
   def q19ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val mean = t.customer.agg(
-      (sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+      (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0 / count(lit(1)))
         .as("mean_bal"))
     t.customer.crossJoin(broadcast(mean))
       .filter(col("c_acctbal") > col("mean_bal"))
