@@ -94,6 +94,36 @@ class InvariantSpec extends SparkSpec {
     assert(total == Tables(spark, sf).documents.count())
   }
 
+  test("long-cents money sum equals exact BigDecimal sum (incl. negatives, any partitioning)") {
+    // the law behind Relational.moneySum: for 2-dp inputs, staging as
+    // rounded long cents and dividing once at the end is bit-identical
+    // to exact decimal summation cast to double
+    val rnd = new Random(11)
+    val cents = Seq.fill(5000)(rnd.between(-99999L, 10000000L))
+    val doubles = cents.map(_.toDouble / 100.0) // nearest-double of k/100
+    val exact = cents.map(BigInt(_)).sum // exact integer cents
+    val expected = (BigDecimal(exact) / 100).toDouble
+    for (parts <- Seq(1, 7, 32)) {
+      val got = doubles.toDF("v").repartition(parts)
+        .agg((sum(round(col("v") * 100).cast("long")) / 100.0).as("s"))
+        .first().getDouble(0)
+      assert(got == expected, s"parts=$parts got=$got expected=$expected")
+    }
+  }
+
+  test("cents product form equals exact decimal product sum (q02 disc price shape)") {
+    val rnd = new Random(12)
+    val rows = Seq.fill(2000)((rnd.between(1L, 10000000L), rnd.between(0L, 11L)))
+    val exact = rows.map { case (p, d) => BigInt(p) * BigInt(100 - d) }.sum
+    val expected = (BigDecimal(exact) / 10000).toDouble
+    val got = rows.map { case (p, d) => (p.toDouble / 100.0, d.toDouble / 100.0) }
+      .toDF("price", "disc")
+      .agg((sum(round(col("price") * 100).cast("long") *
+        (lit(100L) - round(col("disc") * 100).cast("long"))) / 10000.0).as("s"))
+      .first().getDouble(0)
+    assert(got == expected)
+  }
+
   test("canonicalization labels are idempotent pointers") {
     val labels = Dedup.minhashCanonicalize(
       Tables(spark, sf).documents, iterations = 2).cache()
