@@ -3,7 +3,7 @@ package graft
 import java.util.Locale
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import graft.queries.TextQueries
 
 /** Scaling harness behind ARCHITECTURE.md's measured-scaling table:
@@ -24,6 +24,15 @@ object ScaleBench {
     val copies = (0 until factor).map { i =>
       base.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(out)
+  }
+
+  def synthesizeEmb(spark: SparkSession, baseDir: String, factor: Int, out: String): Unit = {
+    val base = Tables(spark, baseDir).embeddings
+    val copies = (0 until factor).map { i =>
+      base.select((col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+        col("embedding"), col("label"))
     }
     copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(out)
   }
@@ -63,7 +72,21 @@ object ScaleBench {
         "simhash" -> (() => Dedup.simhashClusters(Tables(spark, dir).documents)),
         "lsh_pairs" -> (() => Dedup.minhashNearDups(Tables(spark, dir).documents)),
         "canonicalize" -> (() => Dedup.minhashCanonicalize(Tables(spark, dir).documents)))
-      val timed = ops.map { case (name, mk) => name -> time(mk()) }
+      // ANN over an N×-replicated embedding corpus, fixed 100-query set
+      // (base-copy ids): brute force is O(|corpus|·|queries|) dot
+      // products by construction; sign-LSH pays the same linear growth
+      // divided by the expected 2^bits bucket fanout. IVF timing
+      // includes the KMeans build, which a serving deployment amortizes
+      // across many query batches — noted, not hidden.
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+        synthesizeEmb(spark, baseDir, factor, s"$dir/embeddings.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val queries100 = emb.filter(col("vec_id") < 100)
+      val annOps: Seq[(String, () => DataFrame)] = Seq(
+        "knn_brute" -> (() => Similarity.bruteForceKnn(emb, queries100, 10)),
+        "knn_lsh" -> (() => Similarity.signLshKnn(emb, queries100, 10)),
+        "knn_ivf" -> (() => Similarity.ivfKnn(emb, queries100, 10)))
+      val timed = (ops ++ annOps).map { case (name, mk) => name -> time(mk()) }
       val js = timed.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
       val rows = spark.read.parquet(s"$dir/documents.parquet").count()
       println(s"""{"factor":$factor,"rows":$rows,$js}""")
