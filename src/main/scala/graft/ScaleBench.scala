@@ -61,9 +61,15 @@ object ScaleBench {
     }
     def fmt(d: Double): String = "%.2f".formatLocal(Locale.ROOT, d)
 
+    // cache key includes the base corpus name, and a parquet directory
+    // only counts as cached when its _SUCCESS marker exists — a cache
+    // from a different SPARK_GRAFT_SF_DIR or an interrupted write must
+    // not silently feed the measurements
+    def cached(p: String): Boolean = new java.io.File(s"$p/_SUCCESS").exists()
+
     factors.foreach { factor =>
-      val dir = s"/tmp/graft_scale/x$factor"
-      if (!new java.io.File(s"$dir/documents.parquet").exists())
+      val dir = s"/tmp/graft_scale/${new java.io.File(baseDir).getName}_x$factor"
+      if (!cached(s"$dir/documents.parquet"))
         synthesize(spark, baseDir, factor, s"$dir/documents.parquet")
       val ops: Seq[(String, () => DataFrame)] = Seq(
         "vocab_df" -> (() => TextQueries.q21VocabDf(spark, dir)),
@@ -78,7 +84,7 @@ object ScaleBench {
       // divided by the expected 2^bits bucket fanout. IVF timing
       // includes the KMeans build, which a serving deployment amortizes
       // across many query batches — noted, not hidden.
-      if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+      if (!cached(s"$dir/embeddings.parquet"))
         synthesizeEmb(spark, baseDir, factor, s"$dir/embeddings.parquet")
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val queries100 = emb.filter(col("vec_id") < 100)

@@ -154,10 +154,16 @@ object TextFunctions {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(whitespaceTokens(text))
 
+  /** Whitespace character class, spelled out instead of `\s`: Java's
+    * `\s` includes vertical tab (\x0B), RE2's does not — inlining the
+    * RE2 set keeps every pattern below bit-identical across engines
+    * even on texts containing VT. */
+  val Ws = " \\t\\n\\f\\r"
+
   /** BPE-ish subword-count estimator: alpha runs chunked at 4 chars,
     * digit runs as one token, punctuation char-wise — the cheap
     * LLM-token budget proxy. Pattern is deliberately RE2/Java-portable. */
-  val BpePattern = "[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\\s]"
+  val BpePattern = s"[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9$Ws]"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
@@ -207,13 +213,17 @@ object TextFunctions {
   def alphaRatio(text: Column): Column =
     charClassCount(text, "[A-Za-z]").cast("double") / greatest(length(text), lit(1))
 
+  /** Char class for "neither alphanumeric nor whitespace" — shared by
+    * symbolRatio and the staged q37 form so the two cannot drift. */
+  val SymbolClass: String = s"[^A-Za-z0-9$Ws]"
+
   /** Fraction of characters that are neither alphanumeric nor
     * whitespace — the symbol-to-content signal. */
   def symbolRatio(text: Column): Column =
-    charClassCount(text, "[^A-Za-z0-9\\s]").cast("double") / greatest(length(text), lit(1))
+    charClassCount(text, SymbolClass).cast("double") / greatest(length(text), lit(1))
 
   /** RE2/Java-portable URL and email patterns (PII scrubbing). */
-  val UrlPattern = "https?://[^\\s]+"
+  val UrlPattern = s"https?://[^$Ws]+"
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   def urlCount(text: Column): Column =

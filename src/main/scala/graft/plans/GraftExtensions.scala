@@ -47,7 +47,12 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
             Literal(zero, DoubleType),
             LambdaFunction(Add(acc, v, _), Seq(accv, vv), _),
             finish)
-          if zero == 0.0 && isDoubleArray(a) && isDoubleArray(b) &&
+          // bit-check the zero literal: -0.0 == 0.0 numerically, but the
+          // kernel's accumulator starts at +0.0, and a -0.0 seed can
+          // surface (e.g. all-empty arrays fold to the seed itself)
+          if zero == 0.0 &&
+            java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
+            isDoubleArray(a) && isDoubleArray(b) &&
             usesBoth(x, y, xv, yv) && usesBoth(acc, v, accv, vv) &&
             isIdentity(finish) =>
         ArrayDotProduct(a, b)

@@ -21,8 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * quality rules) made n-gram construction a top-3 engine cost. This
   * expression builds each gram in a tight generated loop instead.
   *
-  * Null semantics mirror the composed form exactly: null input array →
-  * null; null ELEMENTS are skipped inside a gram (concat_ws behavior).
+  * Null semantics: null input array → null (standard unary null
+  * propagation — NOTE this differs from the replaced composed form,
+  * whose `otherwise(array())` guard mapped null to an EMPTY array; the
+  * null result is the better contract since DuckDB's `list_transform`
+  * is also null-propagating, and every engine consumer explodes or
+  * sizes the result over non-null corpora). Null ELEMENTS are skipped
+  * inside a gram (concat_ws behavior).
   */
 case class NGramArray(child: Expression, n: Int) extends UnaryExpression {
 

@@ -85,12 +85,19 @@ object MultimodalQueries {
   //   video: 768 pixel bytes cycling the text, byte p of the text used
   //     ceil((768 - p) / n) times for p < min(n, 768). range(768) is a
   //     CONSTANT table (older DuckDBs reject lateral column parameters
-  //     to range()); the correlation rides in the p < n filter.
+  //     to range()); the correlation rides in the p < nv filter.
+  //     Empty text: the encoder emits 768 zero bytes — identical to
+  //     cycling a single 0x00 byte, so nv = greatest(n, 1) with hx
+  //     patched to '00' reproduces it (and keeps the // nv division
+  //     well-defined). text is non-null by the documents contract.
   val q61Sql: String =
     """WITH m AS (
       |  SELECT doc_id % 3 AS md,
       |    hex(encode(text)) AS hx,
-      |    octet_length(encode(text)) AS n
+      |    octet_length(encode(text)) AS n,
+      |    CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+      |         ELSE hex(encode(text)) END AS hxv,
+      |    greatest(octet_length(encode(text)), 1) AS nv
       |  FROM documents
       |), per AS (
       |  SELECT md, n,
@@ -101,12 +108,12 @@ object MultimodalQueries {
       |    regexp_replace(CASE WHEN n % 2 = 1 THEN hx || '00' ELSE hx END,
       |                   '..(.).', '\1', 'g') AS hi_odd,
       |    CASE WHEN md = 2 THEN (
-      |      SELECT coalesce(sum(CASE WHEN p < n AND substr(hx, 2 * p + 1, 1) = '7'
-      |        THEN (768 - p + n - 1) // n ELSE 0 END), 0)
+      |      SELECT coalesce(sum(CASE WHEN p < nv AND substr(hxv, 2 * p + 1, 1) = '7'
+      |        THEN (768 - p + nv - 1) // nv ELSE 0 END), 0)
       |      FROM range(768) t(p)) ELSE 0 END AS v7,
       |    CASE WHEN md = 2 THEN (
-      |      SELECT coalesce(sum(CASE WHEN p < n AND substr(hx, 2 * p + 1, 1) = '0'
-      |        THEN (768 - p + n - 1) // n ELSE 0 END), 0)
+      |      SELECT coalesce(sum(CASE WHEN p < nv AND substr(hxv, 2 * p + 1, 1) = '0'
+      |        THEN (768 - p + nv - 1) // nv ELSE 0 END), 0)
       |      FROM range(768) t(p)) ELSE 0 END AS v0
       |  FROM m
       |), counted AS (

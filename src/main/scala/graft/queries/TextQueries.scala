@@ -303,7 +303,7 @@ object TextQueries {
         size(array_distinct(ngrams(toks, 2))).cast("long").as("d2"),
         size(array_distinct(ngrams(toks, 3))).cast("long").as("d3"),
         charClassCount(col("text"), "[A-Za-z]").cast("long").as("n_alpha"),
-        charClassCount(col("text"), "[^A-Za-z0-9\\s]").cast("long").as("n_symbol"),
+        charClassCount(col("text"), SymbolClass).cast("long").as("n_symbol"),
         length(col("text")).cast("long").as("n_chars_t"))
       .select(
         col("doc_id"), col("n_tokens"),

@@ -124,6 +124,30 @@ class InvariantSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q37's staged ratios equal the per-row helper operators") {
+    // q37 stages integer counts for plan reasons (each array touched
+    // once); the single-pass helpers define the same math. This pins
+    // the two forms together so neither can drift alone.
+    val toks = split(col("text"), " ")
+    val helpers = Tables(spark, sf).documents.select(
+      col("doc_id"),
+      dupNgramRatio(toks, 2).as("h_dup2"),
+      dupNgramRatio(toks, 3).as("h_dup3"),
+      meanTokenLen(toks).as("h_mtl"),
+      alphaRatio(col("text")).as("h_alpha"),
+      symbolRatio(col("text")).as("h_symbol"))
+    val q37 = TextQueries.q37QualityRules(spark, sf)
+    val joined = q37.join(helpers, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("dup_bigram_ratio") == r.getAs[Double]("h_dup2"))
+      assert(r.getAs[Double]("dup_trigram_ratio") == r.getAs[Double]("h_dup3"))
+      assert(r.getAs[Double]("mean_token_len") == r.getAs[Double]("h_mtl"))
+      assert(r.getAs[Double]("alpha_ratio") == r.getAs[Double]("h_alpha"))
+      assert(r.getAs[Double]("symbol_ratio") == r.getAs[Double]("h_symbol"))
+    }
+  }
+
   test("canonicalization labels are idempotent pointers") {
     val labels = Dedup.minhashCanonicalize(
       Tables(spark, sf).documents, iterations = 2).cache()

@@ -66,6 +66,13 @@ class VectorExpressionSpec extends SparkSpec {
     assert(!other.queryExecution.optimizedPlan.expressions.exists(_.exists(
       _.isInstanceOf[graft.plans.ArrayDotProduct])))
     assert(other.orderBy("d").collect().map(_.getDouble(0)).toSeq == Seq(9.0, 12.0))
+    // a -0.0 seed is numerically 0.0 but NOT bit-identical to the
+    // kernel's +0.0 accumulator (empty arrays fold to the seed itself),
+    // so the rewrite must leave it alone
+    val negZero = base.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(-0.0), (acc, x) => acc + x).as("d"))
+    assert(!negZero.queryExecution.optimizedPlan.expressions.exists(_.exists(
+      _.isInstanceOf[graft.plans.ArrayDotProduct])))
   }
 
   test("array_dot_product is SQL-callable via the session extension") {
@@ -97,6 +104,11 @@ class VectorExpressionSpec extends SparkSpec {
     val withNull = Seq(Tuple1(Seq("x", null, "y"))).toDF("toks")
     assert(withNull.select(graft.plans.NGramArray($"toks", 2))
       .first().getSeq[String](0) == Seq("x", "y"))
+    // null INPUT array propagates to null (unary null propagation —
+    // deliberate divergence from the composed form's otherwise(array()),
+    // documented on NGramArray)
+    val nullArr = Seq(Tuple1(null: Seq[String])).toDF("toks")
+    assert(nullArr.select(graft.plans.NGramArray($"toks", 2)).first().isNullAt(0))
   }
 
   test("interpreted path (eval) agrees with codegen") {
