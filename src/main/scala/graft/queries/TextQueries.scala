@@ -387,6 +387,38 @@ object TextQueries {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Token-distribution entropy per document — the diversity/repetition
+    * quality signal (low entropy = template/boilerplate docs).
+    * H = log2(n) − (Σ c·log2 c)/n over per-doc token counts c; one
+    * narrow per-row pass, no shuffle until the sort. Determinism: the
+    * double fold runs over the SORTED distinct tokens so both engines
+    * add in the same order, counts are exact integers, and round(…, 6)
+    * absorbs the ≤ulp libm log2 difference (q36's ln precedent). */
+  def q39TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("l"))
+      .select(col("doc_id"), size(col("l")).cast("long").as("n_tokens"),
+        // counts array built once; the fold references it by name
+        transform(array_sort(array_distinct(col("l"))),
+          t => size(filter(col("l"), x => x === t)).cast("double")).as("cs"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log2(col("n_tokens")) -
+          aggregate(col("cs"), lit(0.0), (a, c) => a + c * log2(c))
+            / col("n_tokens"), 6).as("token_entropy"))
+      .orderBy("doc_id")
+
+  val q39Sql: String =
+    """SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+      |  round(log2(len(l)) - list_reduce(
+      |    list_prepend(0.0, list_transform(
+      |      list_sort(list_distinct(l)),
+      |      t -> CAST(len(list_filter(l, x -> x = t)) AS DOUBLE)
+      |           * log2(CAST(len(list_filter(l, x -> x = t)) AS DOUBLE)))),
+      |    (a, b) -> a + b) / len(l), 6) AS token_entropy
+      |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q36
   /** Distributed TF-IDF weights for the top-100-df tokens: the document
     * frequency scan is the same one IDF.fit runs (V5), here surfaced
@@ -431,7 +463,8 @@ object TextQueries {
     "q29_minhash_sig"     -> (q29MinhashSig _),
     "q36_idf"             -> (q36Idf _),
     "q37_quality_rules"   -> (q37QualityRules _),
-    "q38_pii_scrub"       -> (q38PiiScrub _)
+    "q38_pii_scrub"       -> (q38PiiScrub _),
+    "q39_token_entropy"   -> (q39TokenEntropy _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -447,6 +480,7 @@ object TextQueries {
     "q29_minhash_sig"     -> q29Sql,
     "q36_idf"             -> q36Sql,
     "q37_quality_rules"   -> q37Sql,
-    "q38_pii_scrub"       -> q38Sql
+    "q38_pii_scrub"       -> q38Sql,
+    "q39_token_entropy"   -> q39Sql
   )
 }
