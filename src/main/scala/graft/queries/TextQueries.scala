@@ -419,6 +419,36 @@ object TextQueries {
       |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Benchmark decontamination over the corpus: docs 0–4 stand in as
+    * the held-out benchmark; any document sharing a distinct 8-token
+    * gram with them is flagged (operators.Decontaminate — broadcast
+    * benchmark gram set, one narrow corpus pass, one (doc_id, count)
+    * shuffle). */
+  def q46Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.Decontaminate(d, d.filter(col("doc_id") < 5), n = 8)
+      .orderBy("doc_id")
+  }
+
+  val q46Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(l) - 6),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+      |         l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7]))) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      |), h AS (
+      |  SELECT doc_id, count(*) AS n
+      |  FROM g WHERE gram IN (SELECT gram FROM g WHERE doc_id < 5)
+      |  GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+      |  CAST(coalesce(h.n, 0) > 0 AS BIGINT) AS flagged
+      |FROM documents d LEFT JOIN h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q36
   /** Distributed TF-IDF weights for the top-100-df tokens: the document
     * frequency scan is the same one IDF.fit runs (V5), here surfaced
@@ -464,7 +494,8 @@ object TextQueries {
     "q36_idf"             -> (q36Idf _),
     "q37_quality_rules"   -> (q37QualityRules _),
     "q38_pii_scrub"       -> (q38PiiScrub _),
-    "q39_token_entropy"   -> (q39TokenEntropy _)
+    "q39_token_entropy"   -> (q39TokenEntropy _),
+    "q46_decontaminate"   -> (q46Decontaminate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -481,6 +512,7 @@ object TextQueries {
     "q36_idf"             -> q36Sql,
     "q37_quality_rules"   -> q37Sql,
     "q38_pii_scrub"       -> q38Sql,
-    "q39_token_entropy"   -> q39Sql
+    "q39_token_entropy"   -> q39Sql,
+    "q46_decontaminate"   -> q46Sql
   )
 }

@@ -148,6 +148,22 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: complete output, benchmark self-flagged, broadcast semi-join plan") {
+    val d = Tables(spark, sf).documents
+    val out = graft.operators.Decontaminate(d, d.filter(col("doc_id") < 5)).cache()
+    // every corpus doc appears exactly once, zero-hit docs included
+    assert(out.count() == d.count())
+    // the benchmark docs overlap themselves completely
+    val self = out.filter(col("doc_id") < 5 && col("flagged") === 1).count()
+    assert(self == 5L, s"benchmark docs must self-flag, got $self/5")
+    // scale shape: benchmark gram set broadcast into a semi-join — the
+    // corpus side must never shuffle for the membership test
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi join in:\n$plan")
+    out.unpersist()
+  }
+
   test("canonicalization labels are idempotent pointers") {
     val labels = Dedup.minhashCanonicalize(
       Tables(spark, sf).documents, iterations = 2).cache()
