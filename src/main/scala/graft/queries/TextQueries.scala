@@ -395,18 +395,32 @@ object TextQueries {
     * double fold runs over the SORTED distinct tokens so both engines
     * add in the same order, counts are exact integers, and round(…, 6)
     * absorbs the ≤ulp libm log2 difference (q36's ln precedent). */
-  def q39TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+  def q39TokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    // Σ c·log2 c via a run-length fold over the SORTED token array:
+    // O(n log n) per row instead of the O(distinct·n) filter-per-token
+    // form (which would not survive long documents at scale). Each run
+    // boundary adds xlog(run) in sorted-distinct order from a 0.0 seed —
+    // the IDENTICAL addition sequence the oracle's sorted-distinct sum
+    // performs, so the doubles stay bit-compatible (run counts are
+    // exact integers; xlog(1) contributes exactly 0.0 on both sides).
+    def xlog(c: Column): Column = when(c > 0.0, c * log2(c)).otherwise(lit(0.0))
+    val fold = aggregate(
+      array_sort(col("l")),
+      struct(lit(" ").as("prev"), lit(0.0).as("run"), lit(0.0).as("acc")),
+      (st, t) => struct(
+        t.as("prev"),
+        when(t === st.getField("prev"), st.getField("run") + 1.0)
+          .otherwise(lit(1.0)).as("run"),
+        when(t === st.getField("prev"), st.getField("acc"))
+          .otherwise(st.getField("acc") + xlog(st.getField("run"))).as("acc")),
+      st => st.getField("acc") + xlog(st.getField("run")))
     docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
       .select(col("doc_id"), size(col("l")).cast("long").as("n_tokens"),
-        // counts array built once; the fold references it by name
-        transform(array_sort(array_distinct(col("l"))),
-          t => size(filter(col("l"), x => x === t)).cast("double")).as("cs"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(log2(col("n_tokens")) -
-          aggregate(col("cs"), lit(0.0), (a, c) => a + c * log2(c))
-            / col("n_tokens"), 6).as("token_entropy"))
+        round(log2(col("n_tokens")) - fold / col("n_tokens"), 6)
+          .as("token_entropy"))
       .orderBy("doc_id")
+  }
 
   val q39Sql: String =
     """SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
