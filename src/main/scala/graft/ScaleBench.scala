@@ -67,8 +67,12 @@ object ScaleBench {
     // not silently feed the measurements
     def cached(p: String): Boolean = new java.io.File(s"$p/_SUCCESS").exists()
 
+    // key by the FULL base path (sanitized), not the basename — two
+    // corpora named sf0.1 under different roots must not share a cache
+    val baseKey = new java.io.File(baseDir).getAbsolutePath
+      .replaceAll("[^A-Za-z0-9.-]", "_")
     factors.foreach { factor =>
-      val dir = s"/tmp/graft_scale/${new java.io.File(baseDir).getName}_x$factor"
+      val dir = s"/tmp/graft_scale/${baseKey}_x$factor"
       if (!cached(s"$dir/documents.parquet"))
         synthesize(spark, baseDir, factor, s"$dir/documents.parquet")
       val ops: Seq[(String, () => DataFrame)] = Seq(

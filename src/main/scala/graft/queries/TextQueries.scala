@@ -422,15 +422,24 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // The oracle sums c·log2 c over the same sorted-distinct order from
+  // the same 0.0 seed (identical addition sequence → bit-compatible).
+  // Counts are hoisted into `cs` so each is computed once; DuckDB's
+  // lambdas have no stateful fold, so the filter-count form stands in
+  // for the engine's run-length pass. The final `+ 0.0` canonicalizes
+  // the zero sign: an all-identical-token doc folds to a tiny negative
+  // residue whose round() is -0.0 in DuckDB, while Spark's
+  // BigDecimal-based round can only emit +0.0.
   val q39Sql: String =
     """SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
       |  round(log2(len(l)) - list_reduce(
-      |    list_prepend(0.0, list_transform(
-      |      list_sort(list_distinct(l)),
-      |      t -> CAST(len(list_filter(l, x -> x = t)) AS DOUBLE)
-      |           * log2(CAST(len(list_filter(l, x -> x = t)) AS DOUBLE)))),
-      |    (a, b) -> a + b) / len(l), 6) AS token_entropy
-      |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      |    list_prepend(0.0, list_transform(cs, c -> c * log2(c))),
+      |    (a, b) -> a + b) / len(l), 6) + 0.0 AS token_entropy
+      |FROM (
+      |  SELECT doc_id, l,
+      |    list_transform(list_sort(list_distinct(l)),
+      |      t -> CAST(len(list_filter(l, x -> x = t)) AS DOUBLE)) AS cs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q46
