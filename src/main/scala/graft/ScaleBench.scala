@@ -81,7 +81,11 @@ object ScaleBench {
         "quality_rules" -> (() => TextQueries.q37QualityRules(spark, dir)),
         "simhash" -> (() => Dedup.simhashClusters(Tables(spark, dir).documents)),
         "lsh_pairs" -> (() => Dedup.minhashNearDups(Tables(spark, dir).documents)),
-        "canonicalize" -> (() => Dedup.minhashCanonicalize(Tables(spark, dir).documents)))
+        "canonicalize" -> (() => Dedup.minhashCanonicalize(Tables(spark, dir).documents)),
+        "decontaminate" -> (() => {
+          val d = Tables(spark, dir).documents
+          graft.operators.Decontaminate(d, d.filter(col("doc_id") < 5))
+        }))
       // ANN over an N×-replicated embedding corpus, fixed 100-query set
       // (base-copy ids): brute force is O(|corpus|·|queries|) dot
       // products by construction; sign-LSH pays the same linear growth
