@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Path, Paths}
 import graft.ml.GraftPipelines
 import graft.sources.CorpusReader
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.Random
 
@@ -30,6 +30,22 @@ object FixtureGen {
     "script4" -> (() => GraftPipelines.script4()),
     "script5" -> (() => GraftPipelines.script5()),
     "reglogit" -> (() => GraftPipelines.reglogit()))
+
+  /** Fit-function form of the scripted variants: train → (test → scored).
+    * Generalizes goldenPipelines so script3's two-phase fit (the χ²
+    * selector's slice indices depend on the fitted vectors,
+    * GraftPipelines.script3Fit) gets a committed golden too — the
+    * reference commits `classifications_script3.txt` alongside the
+    * single-pipeline scripts (`script3_ter.py:199-210`). */
+  def goldenFitters: Map[String, DataFrame => DataFrame => DataFrame] =
+    goldenPipelines.map { case (name, mk) =>
+      name -> ((train: DataFrame) => {
+        val model = mk().fit(train); (test: DataFrame) => model.transform(test)
+      })
+    } + ("script3" -> ((train: DataFrame) => {
+      val (vecModel, downstream) = GraftPipelines.script3Fit(train)
+      (test: DataFrame) => downstream.transform(vecModel.transform(test))
+    }))
 
   def goldenFileFor(name: String): String = s"fixtures/golden_$name.tsv"
 
@@ -59,22 +75,69 @@ object FixtureGen {
     }
   }
 
-  /** Fit one seeded scripted pipeline on the corpus and return the
+  /** Fit one seeded scripted variant on the corpus and return the
     * (name, prediction) golden rows, sorted. */
-  def goldenRowsFor(spark: SparkSession, corpus: String,
-                    pipeline: org.apache.spark.ml.Pipeline): Seq[(String, Double)] = {
-    val clean = (df: org.apache.spark.sql.DataFrame) =>
+  def goldenRowsForFitter(spark: SparkSession, corpus: String,
+                          fit: DataFrame => DataFrame => DataFrame): Seq[(String, Double)] = {
+    val clean = (df: DataFrame) =>
       df.withColumn("review", graft.functions.TextFunctions.cleanLower(col("review")))
     val train = clean(CorpusReader.loadLabeled(spark, s"$corpus/train"))
-    val model = pipeline.fit(train)
-    val scored = model.transform(clean(CorpusReader.loadUnknown(spark, s"$corpus/test")))
+    val scored = fit(train)(clean(CorpusReader.loadUnknown(spark, s"$corpus/test")))
     scored.select("name", "prediction").collect()
       .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
   }
 
+  /** Pipeline overload (kept for source compatibility). */
+  def goldenRowsFor(spark: SparkSession, corpus: String,
+                    pipeline: org.apache.spark.ml.Pipeline): Seq[(String, Double)] =
+    goldenRowsForFitter(spark, corpus,
+      train => { val m = pipeline.fit(train); m.transform(_) })
+
   /** script5 golden rows (kept for source compatibility). */
   def goldenRows(spark: SparkSession, corpus: String): Seq[(String, Double)] =
     goldenRowsFor(spark, corpus, GraftPipelines.script5())
+
+  // ------------------------------------------- distribution-level corpus
+
+  /** Seeded ~2k-doc synthetic sentiment corpus for the distribution-level
+    * fidelity check. The reference's recorded predicted label splits on
+    * the full 25k IMDB test set are ≈balanced (neg fraction 0.393–0.509,
+    * BASELINE.md "Predicted label split"); its goldens are not
+    * row-reproducible (unseeded splits, hash drift), so fidelity is
+    * asserted at this level: a balanced test set must score ≈balanced.
+    * Docs are mostly-neutral token mixtures with a sentiment-bearing
+    * minority plus cross-class noise, so classifiers are good but
+    * imperfect — like the IMDB task itself.
+    * Returns (train(review,label), test(name,review)) with the test set
+    * balanced by construction (even index → pos-generated). */
+  def syntheticCorpus(spark: SparkSession, nTrainPerClass: Int = 800,
+                      nTest: Int = 400, seed: Long = 97L): (DataFrame, DataFrame) = {
+    val rnd = new Random(seed)
+    val posW = Vector("wonderful", "superb", "great", "excellent", "amazing",
+      "loved", "delightful", "masterful", "brilliant", "moving")
+    val negW = Vector("awful", "terrible", "boring", "dreadful", "worst",
+      "hated", "tedious", "clumsy", "lifeless", "grating")
+    val neut = Vector("film", "movie", "scene", "plot", "actor", "story",
+      "camera", "director", "screen", "script", "character", "dialogue",
+      "music", "ending", "minute", "review", "watch", "time", "year", "cast")
+    def doc(ownW: Vector[String], otherW: Vector[String]): String = {
+      val n = 25 + rnd.nextInt(15)
+      Seq.fill(n) {
+        val r = rnd.nextDouble()
+        if (r < 0.70) neut(rnd.nextInt(neut.size))
+        else if (r < 0.94) ownW(rnd.nextInt(ownW.size))
+        else otherW(rnd.nextInt(otherW.size)) // cross-class noise
+      }.mkString(" ")
+    }
+    import spark.implicits._
+    val train = ((0 until nTrainPerClass).map(_ => (doc(posW, negW), 1.0)) ++
+      (0 until nTrainPerClass).map(_ => (doc(negW, posW), 0.0)))
+      .toDF("review", "label")
+    val test = (0 until nTest).map { i =>
+      (f"t$i%05d", if (i % 2 == 0) doc(posW, negW) else doc(negW, posW))
+    }.toDF("name", "review")
+    (train, test)
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -89,8 +152,8 @@ object FixtureGen {
     val root = Paths.get(CorpusDir)
     if (!Files.exists(root.resolve("train/pos"))) writeCorpus(root)
     Files.createDirectories(Paths.get("fixtures"))
-    goldenPipelines.toSeq.sortBy(_._1).foreach { case (name, mk) =>
-      val rows = goldenRowsFor(spark, CorpusDir, mk())
+    goldenFitters.toSeq.sortBy(_._1).foreach { case (name, fit) =>
+      val rows = goldenRowsForFitter(spark, CorpusDir, fit)
       val tsv = rows.map { case (n, p) => s"$n\t$p" }.mkString("", "\n", "\n")
       Files.writeString(Paths.get(goldenFileFor(name)), tsv)
       println(s"wrote ${rows.size} golden rows to ${goldenFileFor(name)}")

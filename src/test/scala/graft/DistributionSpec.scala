@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Distribution-level fidelity to the reference's recorded label splits
+  * (BASELINE.md "Predicted label split": neg fraction 0.393–0.509 across
+  * the five committed classifications_*.txt files). The reference's
+  * goldens are not row-reproducible (unseeded `randomSplit`, hash-function
+  * drift — SURVEY.md §7.4), so fidelity is asserted at the level the
+  * reference actually pins: every scripted pipeline, trained on a
+  * balanced seeded ~2k-doc corpus and scored on a balanced test set,
+  * must predict an ≈balanced label split. The tolerance band [0.30, 0.70]
+  * brackets the reference's own observed range with margin for the
+  * smaller corpus.
+  *
+  * This is deliberately looser than GoldenSpec (bit-exact on the 10-doc
+  * corpus) — the two together pin both row-level determinism and
+  * corpus-scale behavior.
+  */
+class DistributionSpec extends SparkSpec {
+
+  // Reference-observed neg fractions on the 25k test set (BASELINE.md:15):
+  // reglogit .496, script1 .438, script2 .393, script3 .509, script5 .506.
+  private val LoNeg = 0.30
+  private val HiNeg = 0.70
+
+  private lazy val corpus = FixtureGen.syntheticCorpus(spark)
+
+  FixtureGen.goldenFitters.foreach { case (name, fit) =>
+    test(s"$name label split on a balanced 2k-doc corpus stays within the reference band") {
+      val (train, test) = corpus
+      val scored = fit(train)(test).select(col("prediction").cast("double"))
+      val counts = scored.groupBy("prediction").count()
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      val negFrac = counts.getOrElse(0.0, 0L).toDouble / total
+      assert(total == 400L, s"expected 400 scored docs, got $total")
+      assert(negFrac >= LoNeg && negFrac <= HiNeg,
+        s"$name neg fraction $negFrac outside [$LoNeg, $HiNeg] " +
+          s"(reference range 0.393-0.509 on the 25k corpus)")
+    }
+  }
+}
