@@ -19,6 +19,12 @@ import graft.queries.TextQueries
   */
 object ScaleBench {
 
+  /** Synthesis-code version, folded into the cache directory name: bump
+    * whenever synthesize/synthesizeEmb's output (schema, offsets, row
+    * content) changes, so a corpus written by older code is never
+    * silently reused for the published scaling table. */
+  val SynthVersion = 2
+
   def synthesize(spark: SparkSession, baseDir: String, factor: Int, out: String): Unit = {
     val base = Tables(spark, baseDir).documents
     val copies = (0 until factor).map { i =>
@@ -72,7 +78,7 @@ object ScaleBench {
     val baseKey = new java.io.File(baseDir).getAbsolutePath
       .replaceAll("[^A-Za-z0-9.-]", "_")
     factors.foreach { factor =>
-      val dir = s"/tmp/graft_scale/${baseKey}_x$factor"
+      val dir = s"/tmp/graft_scale/${baseKey}_v${SynthVersion}_x$factor"
       if (!cached(s"$dir/documents.parquet"))
         synthesize(spark, baseDir, factor, s"$dir/documents.parquet")
       val ops: Seq[(String, () => DataFrame)] = Seq(

@@ -186,16 +186,16 @@ object Similarity {
         .drop("sig0")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    // no dedup needed even under multi-probe: each corpus vector has
+    // exactly ONE signature, and the probe values {sig0} ∪ {sig0^2^b}
+    // are pairwise distinct, so a (query, neighbor) pair can match at
+    // most one probe row — a dropDuplicates here would be a pure
+    // no-op shuffle on the ANN hot path
     val joined = c.join(q, Seq("sig"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         col("vec_id").as("neighbor_id"), col("emb"), col("nrm"))
-    // multi-probe can reach the same candidate via several buckets; the
-    // single-probe path skips the dedup shuffle entirely
-    val candidates =
-      if (multiProbe) joined.dropDuplicates("query_id", "neighbor_id")
-      else joined
-    candidates
+    joined
       .withColumn("cos_sim",
         dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))

@@ -33,7 +33,10 @@ object Relational {
     * exact integer) but runs on codegen'd long arithmetic instead of
     * BigDecimal with per-row overflow checks. Long cents hold ±9.2e16
     * dollars per group; past 2^53 cents the double cast itself loses
-    * exactness, so the long path is never the precision bottleneck. */
+    * exactness, so for PLAIN CENT SUMS the long path is never the
+    * precision bottleneck. Caveat: product forms that accumulate finer
+    * units (e.g. q02's sum_disc_price in 1e-4-dollar units) hit the
+    * 2^53 exactness ceiling ~100× sooner — see the bound at q02. */
   private def moneySum(c: String): org.apache.spark.sql.Column =
     sum(round(col(c) * 100).cast("long")) / 100.0
 
@@ -63,7 +66,14 @@ object Relational {
         moneySum("l_extendedprice").as("sum_price"),
         // price_cents × (100 − disc_hundredths) is an exact integer of
         // 1e-4 dollars; one final double division mirrors the oracle's
-        // decimal-product sum→double cast bit-for-bit
+        // decimal-product sum→double cast bit-for-bit. Bound: the
+        // long→double conversion stays exact only while the per-group
+        // total is ≤ 2^53 units of 1e-4 dollars ≈ $9.0e11 per group —
+        // ~100× tighter than moneySum's plain-cent bound, crossed around
+        // TPC-H sf≈20 with q02's 6 coarse groups. Past that, switch this
+        // one aggregate to decimal (sum(CAST(... AS DECIMAL(28,4)))) to
+        // keep the bit-for-bit oracle match; below it the codegen'd long
+        // path is both exact and ~2× faster.
         (sum(round(col("l_extendedprice") * 100).cast("long") *
           (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0)
           .as("sum_disc_price"),

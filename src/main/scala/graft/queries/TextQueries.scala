@@ -140,14 +140,17 @@ object TextQueries {
     }
     val staged = docs(spark, dir)
       .select(col("doc_id") +: col("lang") +: hitCols: _*)
-    val Seq(en, es, de, fr) = LangLexicons.map(p => col(s"${p._1}_hits"))
+    // argmax generated by the same first-wins fold as langId, over the
+    // staged integer columns — LangLexicons stays the single source of
+    // truth; adding/reordering a language changes nothing here
+    val hits = LangLexicons.map { case (lang, _) => lang -> col(s"${lang}_hits") }
+    val best = hits.tail.foldLeft((lit(hits.head._1), hits.head._2)) {
+      case ((bestLang, bestHits), (lang, h)) =>
+        (when(h > bestHits, lit(lang)).otherwise(bestLang),
+          when(h > bestHits, h).otherwise(bestHits))
+    }
     staged
-      .withColumn("predicted",
-        when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
-          .when(fr > greatest(en, es, de), "fr")
-          .when(de > greatest(en, es), "de")
-          .when(es > en, "es")
-          .otherwise("en"))
+      .withColumn("predicted", when(best._2 === 0, "und").otherwise(best._1))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "predicted")
@@ -159,15 +162,23 @@ object TextQueries {
       s"len(list_filter(toks, t -> list_contains($arr, t))) AS ${lang}_hits"
     }.mkString(", ")
     // Sequential argmax (first-wins on ties) == CASE in reverse priority:
-    // a later language wins only with STRICTLY more hits than all before it.
+    // a later language wins only with STRICTLY more hits than all before
+    // it. Generated from LangLexicons (same fold as the Spark side), so
+    // both engines' argmax derives from the one lexicon list.
+    val langs = LangLexicons.map(_._1)
+    val undCond = langs.map(l => s"${l}_hits = 0").mkString(" AND ")
+    val reverseWhens = (langs.size - 1 to 1 by -1).map { k =>
+      val earlier = langs.take(k).map(l => s"${l}_hits")
+      val bound = if (earlier.size == 1) earlier.head
+                  else s"greatest(${earlier.mkString(", ")})"
+      s"WHEN ${langs(k)}_hits > $bound THEN '${langs(k)}'"
+    }.mkString("\n      ")
     s"""SELECT lang, predicted, count(*) AS cnt FROM (
        |  SELECT lang,
        |    CASE
-       |      WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'und'
-       |      WHEN fr_hits > greatest(en_hits, es_hits, de_hits) THEN 'fr'
-       |      WHEN de_hits > greatest(en_hits, es_hits) THEN 'de'
-       |      WHEN es_hits > en_hits THEN 'es'
-       |      ELSE 'en'
+       |      WHEN $undCond THEN 'und'
+       |      $reverseWhens
+       |      ELSE '${langs.head}'
        |    END AS predicted
        |  FROM (SELECT lang, $hitExprs
        |        FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)))
