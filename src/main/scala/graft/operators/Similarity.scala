@@ -73,16 +73,30 @@ object Similarity {
   /** Integer numerator of [[planeComponent]] (value × 10000) — exposed
     * so oracle SQL can emit the component as the exact rational
     * `k/10000.0` and reproduce the identical IEEE division. */
-  private[graft] def planeComponentScaled(plane: Int, d: Int): Long = {
+  private def md5Scaled(key: String): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"plane$plane|$d".getBytes("UTF-8"))
+      .digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val h = java.lang.Long.parseLong(hex.take(15), 16)
     (h % 20000L) - 10000L
   }
 
+  private[graft] def planeComponentScaled(plane: Int, d: Int): Long =
+    md5Scaled(s"plane$plane|$d")
+
   private[graft] def planeComponent(plane: Int, d: Int): Double =
     planeComponentScaled(plane, d).toDouble / 10000.0
+
+  /** Deterministic IVF codebook component for (cell, d): the same
+    * md5 → [-1, 1) mapping as [[planeComponentScaled]] but namespaced
+    * "cell", so the codebook and the LSH hyperplanes are independent
+    * pseudo-random draws. Scaled integer exposed so oracle SQL can emit
+    * the exact rational `k/10000.0`. */
+  private[graft] def cellComponentScaled(cell: Int, d: Int): Long =
+    md5Scaled(s"cell$cell|$d")
+
+  private[graft] def cellComponent(cell: Int, d: Int): Double =
+    cellComponentScaled(cell, d).toDouble / 10000.0
 
   /** b-bit sign-LSH signature of an embedding (array<double>, exactly
     * `dim` elements). A dim mismatch FAILS LOUDLY (raise_error): with a
@@ -148,6 +162,61 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     assigned.join(probes, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
+  /** Squared L2 distance from `emb` to the deterministic centroid of
+    * `cell` — ascending-index IEEE fold over (x−y)², mirrored term by
+    * term in the oracle SQL. The centroid ships as a plan literal. */
+  private def cellDist2(emb: Column, cell: Int, dim: Int): Column = {
+    val cen = typedlit((0 until dim).map(d => cellComponent(cell, d)))
+    aggregate(zip_with(emb, cen, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** IVF ANN with a DETERMINISTIC codebook: the `numCells` coarse
+    * centroids are md5-derived pseudo-random vectors (plan literals — no
+    * fit job, no model state, no engine-version dependence), corpus
+    * vectors are assigned to their argmin-L2 cell in ONE NARROW pass
+    * (first index on distance ties → lowest cell), and each query probes
+    * its `nprobe` nearest cells. Unlike [[ivfKnn]]'s KMeans quantizer
+    * this is fully oracle-expressible — every distance is a literal-
+    * centroid fold DuckDB reproduces bit-for-bit — at the cost of
+    * data-agnostic (rather than learned) cell boundaries.
+    *
+    * 100 TB shape: the only corpus shuffle is the join on `cell`; the
+    * probe fanout (×nprobe) is query-side only; centroid math never
+    * leaves the scan's projection.
+    */
+  def ivfKnnDeterministic(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 8, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+      .withColumn("dists",
+        array((0 until numCells).map(cc => cellDist2(col("emb"), cc, dim)): _*))
+      .withColumn("cell",
+        (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      .drop("dists")
+    // nprobe nearest cells per query, ranked (dist², cell) ascending via
+    // array_sort over struct<dist,cell> — narrow, no window shuffle
+    val q = queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+      .withColumn("probe", explode(slice(array_sort(
+        array((0 until numCells).map(cc =>
+          struct(cellDist2(col("q_emb"), cc, dim).as("dist"),
+            lit(cc).as("cell"))): _*)), 1, nprobe)))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("probe.cell").as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos_sim",
         dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))

@@ -243,6 +243,61 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  // --------------------------------------------------------------- q43b
+  /** IVF ANN with the DETERMINISTIC md5 codebook (8 cells, nprobe=2) —
+    * the IVF probe structure of q43 without the KMeans fit, so the whole
+    * query is oracle-expressible: centroids are emitted into the SQL as
+    * exact `k/10000.0` rationals and both engines compute bit-identical
+    * distances, argmin cells, probe rankings, and cosines. */
+  def q43bKnnIvfDet(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.ivfKnnDeterministic(e, e.filter(col("vec_id") < 20), k = 5,
+        numCells = 8, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val q43bSql: String = {
+    // one squared-distance term per cell, centroid emitted as the exact
+    // rationals the Spark plan embeds as literals (same trick as q42)
+    val distList = (0 until 8).map { c =>
+      val cen = (0 until 64)
+        .map(d => s"${Similarity.cellComponentScaled(c, d)}.0/10000.0")
+        .mkString("[", ",", "]")
+      s"list_sum(list_transform(range(1, 65), i -> (emb[i] - ($cen)[i]) * (emb[i] - ($cen)[i])))"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+       |    $distList AS dists
+       |  FROM e),
+       |a AS (
+       |  SELECT vec_id, emb, nrm, dists,
+       |    CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cell
+       |  FROM n),
+       |probes AS (
+       |  SELECT query_id, q_emb, q_nrm, cell FROM (
+       |    SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, c AS cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dists[c + 1] ASC, c ASC) AS pr
+       |    FROM a, range(0, 8) r(c)
+       |    WHERE vec_id < 20)
+       |  WHERE pr <= 2),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> p.q_emb[i] * c.emb[i]))
+       |      / (p.q_nrm * c.nrm) AS cos_sim
+       |  FROM probes p JOIN a c ON c.cell = p.cell AND c.vec_id != p.query_id)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q44
   /** Embedding-cosine near-duplicate pairs (LSH-bucketed). The synthetic
     * embeddings are near-orthogonal (max pairwise cosine ≈ 0.48), so the
@@ -307,7 +362,8 @@ object SimilarityQueries {
     "q41_simhash"     -> (q41Simhash _),
     "q42_knn_lsh"     -> (q42KnnLsh _),
     "q42b_knn_lsh_multiprobe" -> (q42bKnnLshMultiProbe _),
-    "q43_knn_ivf"     -> (q43KnnIvf _)
+    "q43_knn_ivf"     -> (q43KnnIvf _),
+    "q43b_knn_ivf_det" -> (q43bKnnIvfDet _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,6 +374,7 @@ object SimilarityQueries {
     "q41_simhash"     -> q41Sql,
     "q42_knn_lsh"     -> q42Sql,
     "q42b_knn_lsh_multiprobe" -> q42bSql,
+    "q43b_knn_ivf_det" -> q43bSql,
     "q44_embed_neardup" -> q44Sql
   )
 }

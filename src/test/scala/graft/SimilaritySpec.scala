@@ -63,6 +63,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("deterministic IVF with nprobe == numCells reproduces brute force exactly") {
+    val qs = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(emb, qs, 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val ivfFull = Similarity.ivfKnnDeterministic(emb, qs, 5, numCells = 8, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ivfFull == exact) // probing every cell == exhaustive search
+  }
+
+  test("deterministic IVF partial probing returns valid ranks and decent recall") {
+    val qs = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(emb, qs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnnDeterministic(emb, qs, 5, numCells = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.forall { case (q, n) => q != n })
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
   test("minhash LSH finds all exact duplicates (jaccard 1.0 pairs)") {
     // plant two exact dup docs; LSH must surface the pair
     val planted = docs.limit(2)
