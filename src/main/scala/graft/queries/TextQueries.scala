@@ -34,10 +34,12 @@ object TextQueries {
   /** Token statistics per document (T3 + P9). */
   def q20TokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      // stage the split once; n_tokens and n_distinct read the same array
+      .select(col("doc_id"), col("text"), toks.as("toks"))
       .select(
         col("doc_id"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
         bpeTokenCount(col("text")).cast("long").as("n_subtokens"))
       .orderBy("doc_id")
 
@@ -88,10 +90,11 @@ object TextQueries {
     * against the pinned NLTK list. */
   def q23StopwordFilter(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
       .select(
         col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(removeStopwords(toks)).cast("long").as("n_content"))
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(removeStopwords(col("toks"))).cast("long").as("n_content"))
       .orderBy("doc_id")
 
   val q23Sql: String =
@@ -106,13 +109,17 @@ object TextQueries {
     * stopword ratio. All integer-derived → exact doubles. */
   def q24Quality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      // stage the split ONCE: four derived columns read the same array;
+      // CollapseProject keeps the stage (split is non-cheap and
+      // referenced 4×), so the plan evaluates one split/row, not four
+      .select(col("doc_id"), col("n_chars"), toks.as("toks"))
       .select(
         col("doc_id"),
         col("n_chars"),
-        size(toks).cast("long").as("n_tokens"),
-        typeTokenRatio(toks).as("type_token_ratio"),
-        meanTokenLen(toks).as("mean_token_len"),
-        stopwordRatio(toks).as("stopword_ratio"))
+        size(col("toks")).cast("long").as("n_tokens"),
+        typeTokenRatio(col("toks")).as("type_token_ratio"),
+        meanTokenLen(col("toks")).as("mean_token_len"),
+        stopwordRatio(col("toks")).as("stopword_ratio"))
       .orderBy("doc_id")
 
   val q24Sql: String =
@@ -302,17 +309,19 @@ object TextQueries {
     * split this corpus (min tokens 30, dup-bigram < 0.05), documented as
     * knobs, not constants of nature. */
   def q37QualityRules(spark: SparkSession, dir: String): DataFrame =
-    // two-stage shape: stage 1 touches each expensive array exactly once
-    // and emits plain integers; stage 2 is cheap arithmetic, so however
-    // the optimizer collapses or inlines it, no n-gram array is ever
-    // constructed twice per row
+    // staged shape: the split runs once (stage 0), stage 1 touches each
+    // expensive array exactly once and emits plain integers, stage 2 is
+    // cheap arithmetic — so however the optimizer collapses or inlines
+    // the cheap stages, neither the token array nor any n-gram array is
+    // ever constructed twice per row
     docs(spark, dir)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
       .select(
         col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
-        size(array_distinct(ngrams(toks, 2))).cast("long").as("d2"),
-        size(array_distinct(ngrams(toks, 3))).cast("long").as("d3"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
+        size(array_distinct(ngrams(col("toks"), 2))).cast("long").as("d2"),
+        size(array_distinct(ngrams(col("toks"), 3))).cast("long").as("d3"),
         charClassCount(col("text"), "[A-Za-z]").cast("long").as("n_alpha"),
         charClassCount(col("text"), SymbolClass).cast("long").as("n_symbol"),
         length(col("text")).cast("long").as("n_chars_t"))
