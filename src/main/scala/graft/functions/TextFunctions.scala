@@ -168,6 +168,18 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
+  /** Unicode-aware wordpunct tokenizer: letter/digit runs by Unicode
+    * category. Java regex and DuckDB's RE2 agree on `\p{L}`/`\p{N}`/
+    * `\p{Zs}`, so unlike the POS tagger's unicode mode this IS
+    * oracle-expressible — the DuckDB twin embeds the identical pattern
+    * in regexp_extract_all. Whitespace is the spelled-out [[Ws]] set
+    * (Java and RE2 disagree on `\s`) plus `\p{Zs}` for Unicode spaces. */
+  val UnicodeWordPunctPattern: String =
+    s"[\\p{L}\\p{N}_]+|[^\\p{L}\\p{N}_$Ws\\p{Zs}]+"
+
+  def wordPunctTokensUnicode(c: Column): Column =
+    regexp_extract_all(c, lit(UnicodeWordPunctPattern), lit(0))
+
   /** Order-sensitive rolling fingerprint over token hashes:
     * h ← (h·31 + hash32(token)) mod 2^31-1. Unlike the md5-of-text
     * fingerprint it survives whitespace normalization differences, and

@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.UnaryTransformer
+import org.apache.spark.ml.param.BooleanParam
 import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 
@@ -25,8 +26,26 @@ class PosTagger(override val uid: String)
 
   def this() = this(Identifiable.randomUID("posTagger"))
 
-  override protected def createTransformFunc: Seq[String] => Seq[String] =
-    tokens => tokens.map(PosTagger.tagToken)
+  /** Character-class mode. Default FALSE = ASCII-strict predicates that
+    * the generated DuckDB oracle (MlQueries.q50Sql) mirrors exactly, so
+    * the hash check holds on ANY corpus — non-ASCII letters are
+    * consistently non-letters in both engines. TRUE = Unicode-aware
+    * `java.lang.Character` classes (linguistically better on
+    * multilingual text; é counts as a letter) — deliberately NOT
+    * oracle-expressible (RE2 has no full Unicode case/category tables
+    * matching the JDK), so unicode-mode results get spec coverage, not
+    * a DuckDB twin. Behavior is explicit either way; nothing diverges
+    * silently. */
+  final val unicode: BooleanParam = new BooleanParam(this, "unicode",
+    "use Unicode-aware character classes (no oracle twin); default false = ASCII-strict, oracle-faithful")
+  setDefault(unicode -> false)
+  def setUnicode(value: Boolean): this.type = set(unicode, value)
+  def getUnicode: Boolean = $(unicode)
+
+  override protected def createTransformFunc: Seq[String] => Seq[String] = {
+    val uni = $(unicode)
+    tokens => tokens.map(t => PosTagger.tagToken(t, uni))
+  }
 
   override protected def outputDataType: DataType = ArrayType(StringType)
 
@@ -54,8 +73,16 @@ class PosTaggedWords(override val uid: String)
 
   def this() = this(Identifiable.randomUID("posTaggedWords"))
 
-  override protected def createTransformFunc: Seq[String] => Seq[TaggedWord] =
-    tokens => tokens.map(t => TaggedWord(t, PosTagger.tagToken(t)))
+  /** Same mode switch as [[PosTagger.unicode]]. */
+  final val unicode: BooleanParam = new BooleanParam(this, "unicode",
+    "use Unicode-aware character classes (no oracle twin); default false = ASCII-strict, oracle-faithful")
+  setDefault(unicode -> false)
+  def setUnicode(value: Boolean): this.type = set(unicode, value)
+
+  override protected def createTransformFunc: Seq[String] => Seq[TaggedWord] = {
+    val uni = $(unicode)
+    tokens => tokens.map(t => TaggedWord(t, PosTagger.tagToken(t, uni)))
+  }
 
   override protected def outputDataType: DataType =
     ArrayType(StructType(Seq(
@@ -105,10 +132,23 @@ object PosTagger extends DefaultParamsReadable[PosTagger] {
 
   private val numberRe = "^[0-9]+([.,][0-9]+)*$".r
 
-  def tagToken(token: String): String = {
+  /** ASCII-strict default — the form the generated oracle mirrors. */
+  def tagToken(token: String): String = tagToken(token, unicode = false)
+
+  /** @param unicode character-class mode, see [[PosTagger.unicode]].
+    * Lowercasing is Locale.ROOT either way — the default-locale form
+    * would tag differently under a Turkish JVM locale (I→ı). */
+  def tagToken(token: String, unicode: Boolean): String = {
     if (token == null || token.isEmpty) return "X"
-    val lower = token.toLowerCase
-    if (token.forall(c => !Character.isLetterOrDigit(c))) "."
+    def isLetter(c: Char): Boolean =
+      if (unicode) Character.isLetter(c)
+      else (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def isLetterOrDigit(c: Char): Boolean =
+      isLetter(c) || (if (unicode) Character.isDigit(c) else c >= '0' && c <= '9')
+    def isUpper(c: Char): Boolean =
+      if (unicode) Character.isUpperCase(c) else c >= 'A' && c <= 'Z'
+    val lower = token.toLowerCase(java.util.Locale.ROOT)
+    if (token.forall(c => !isLetterOrDigit(c))) "."
     else if (numberRe.findFirstIn(token).isDefined) "NUM"
     else Lexicon.get(lower) match {
       case Some(tag) => tag
@@ -116,8 +156,8 @@ object PosTagger extends DefaultParamsReadable[PosTagger] {
         SuffixRules.collectFirst {
           case (suf, tag) if lower.length > suf.length + 2 && lower.endsWith(suf) => tag
         }.getOrElse {
-          if (token.head.isUpper) "NOUN"
-          else if (token.exists(!_.isLetter)) "X"
+          if (isUpper(token.head)) "NOUN"
+          else if (token.exists(!isLetter(_))) "X"
           else "NOUN"
         }
     }

@@ -39,9 +39,13 @@ object MlQueries {
     val sufCases = PosTagger.SuffixRules.map { case (suf, tag) =>
       s"WHEN len(t) > ${suf.length + 2} AND ends_with(lower(t), '$suf') THEN '$tag'"
     }.mkString("\n      ")
-    // ASCII caveat: tagToken's Unicode-aware isLetterOrDigit/isUpper are
-    // mirrored here with ASCII classes; the empty-token guard matches
-    // tagToken's early return (double spaces in text produce "" tokens)
+    // The tagger's DEFAULT mode is ASCII-strict (PosTagger.unicode =
+    // false), so these ASCII classes mirror it exactly on ANY corpus —
+    // including non-ASCII text, where both engines treat é as a
+    // non-letter. Unicode-aware tagging is an explicit opt-in
+    // (setUnicode(true)) documented as having no oracle twin. The
+    // empty-token guard matches tagToken's early return (double spaces
+    // in text produce "" tokens).
     s"""SELECT tag, count(*) AS cnt FROM (
        |  SELECT CASE
        |      WHEN t = '' THEN 'X'

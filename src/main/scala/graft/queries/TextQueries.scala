@@ -133,6 +133,27 @@ object TextQueries {
        |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Unicode-aware wordpunct tokenization stats: Java regex and DuckDB's
+    * RE2 agree on `\p{L}`/`\p{N}`/`\p{Zs}`, so the same pattern source
+    * runs in both engines — the oracle twin for the Unicode tokenizer
+    * (the POS tagger's unicode mode, by contrast, is documented
+    * oracle-free). */
+  def q47UnicodeTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), wordPunctTokensUnicode(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_wp_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_wp_distinct"))
+      .orderBy("doc_id")
+
+  val q47Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$UnicodeWordPunctPattern')) AS BIGINT) AS n_wp_tokens,
+       |  CAST(len(list_distinct(regexp_extract_all(text, '$UnicodeWordPunctPattern'))) AS BIGINT) AS n_wp_distinct
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q25
   /** Language ID: per-language lexicon hits + deterministic argmax,
     * compared against the table's `lang` column for an accuracy rollup. */
@@ -538,7 +559,8 @@ object TextQueries {
     "q37_quality_rules"   -> (q37QualityRules _),
     "q38_pii_scrub"       -> (q38PiiScrub _),
     "q39_token_entropy"   -> (q39TokenEntropy _),
-    "q46_decontaminate"   -> (q46Decontaminate _)
+    "q46_decontaminate"   -> (q46Decontaminate _),
+    "q47_unicode_tokens"  -> (q47UnicodeTokens _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -556,6 +578,7 @@ object TextQueries {
     "q37_quality_rules"   -> q37Sql,
     "q38_pii_scrub"       -> q38Sql,
     "q39_token_entropy"   -> q39Sql,
-    "q46_decontaminate"   -> q46Sql
+    "q46_decontaminate"   -> q46Sql,
+    "q47_unicode_tokens"  -> q47Sql
   )
 }

@@ -158,6 +158,42 @@ class MlPipelineSpec extends SparkSpec {
     assert(tags.length == 10)  // positional alignment preserved
   }
 
+  test("POS tagger character-class modes: ASCII default is oracle-faithful, unicode opt-in") {
+    // ASCII default: 'é' is a non-letter in BOTH engines, so the
+    // generated oracle CASE chain agrees on any corpus — no silent
+    // divergence on non-ASCII text
+    assert(PosTagger.tagToken("café") == "X")       // contains non-ASCII-letter
+    assert(PosTagger.tagToken("Éclair") == "X")     // non-ASCII head not 'upper'
+    assert(PosTagger.tagToken("№«»") == ".")        // all non-ASCII-letterOrDigit
+    // unicode mode: JDK character classes, linguistically better
+    assert(PosTagger.tagToken("café", unicode = true) == "NOUN")
+    assert(PosTagger.tagToken("Éclair", unicode = true) == "NOUN")
+    // ASCII inputs tag identically in both modes
+    for (t <- Seq("the", "quickly", "42", ",", "Paris", "wonderful", "x-1"))
+      assert(PosTagger.tagToken(t) == PosTagger.tagToken(t, unicode = true), t)
+    // the param flows through the transformer and survives persistence
+    val df = Seq(Tuple1(Seq("café"))).toDF("words")
+    val uni = new PosTagger().setInputCol("words").setOutputCol("tags").setUnicode(true)
+    assert(uni.transform(df).select("tags").first().getSeq[String](0) == Seq("NOUN"))
+    val dir = java.nio.file.Files.createTempDirectory("postagger-uni").toString
+    uni.write.overwrite().save(dir)
+    val reloaded = PosTagger.load(dir)
+    assert(reloaded.getUnicode)
+    assert(reloaded.transform(df).select("tags").first().getSeq[String](0) == Seq("NOUN"))
+  }
+
+  test("unicode wordpunct tokenizer groups Unicode letters into runs") {
+    val df = Seq(Tuple1("café costs 3€ déjà-vu")).toDF("text")
+    val uni = df.select(graft.functions.TextFunctions.wordPunctTokensUnicode(col("text")).as("t"))
+      .first().getSeq[String](0)
+    assert(uni == Seq("café", "costs", "3", "€", "déjà", "-", "vu"))
+    // the ASCII wordpunct splits the accented letters out — the unicode
+    // variant exists precisely to avoid that
+    val ascii = df.select(graft.functions.TextFunctions.wordPunctTokens(col("text")).as("t"))
+      .first().getSeq[String](0)
+    assert(ascii != uni)
+  }
+
   test("POS tagged-words variant emits array<struct<word,tag>> in order") {
     val tagger = new PosTaggedWords().setInputCol("words").setOutputCol("tagged")
     val df = Seq(Tuple1(Seq("the", "dogs", "ran", "quickly"))).toDF("words")
