@@ -1,0 +1,90 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** POS tagging as pure Catalyst — no UDF anywhere on the path.
+  *
+  * Two pieces:
+  *  - [[ruleTagColumn]]: the rule tagger ([[PosTagger.tagToken]], ASCII
+  *    mode) re-expressed as a generated when-chain over the SAME
+  *    constants, so it runs inside whole-stage codegen and its parity
+  *    with the closure form is a spec'd law.
+  *  - [[tagTokens]]: most-frequent-tag lookup via a broadcast join on
+  *    [[PosLexicon]] with the rule chain as fallback — the accuracy of
+  *    a trained-baseline tagger with the scaling shape of a dimension
+  *    join (lexicon broadcast once; corpus stays narrow: posexplode is
+  *    row-local, the join adds no shuffle).
+  *
+  * Reference: `transformers.py:67-77` wraps `nltk.pos_tag` (a trained
+  * perceptron). Capability fidelity, not bit-compat (SURVEY.md §7.4);
+  * unlike the NLTK binary, every weight here is an oracle-expressible
+  * constant.
+  */
+object LexiconTagger {
+
+  /** [[PosTagger.tagToken]] (ASCII mode) as a generated Catalyst
+    * when-chain: empty → X, no alnum → '.', number → NUM, closed-class
+    * lexicon, suffix rules (longest first, length guard), capitalized →
+    * NOUN, any non-letter → X, else NOUN. Tags in the closed-class InSet
+    * checks may evaluate in any order — word lists are disjoint by
+    * construction (asserted at [[PosTagger.Lexicon]] build). */
+  def ruleTagColumn(word: Column): Column = {
+    val lw = lower(word)
+    val closedClass = PosTagger.Lexicon.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (tag, words) => (lw.isInCollection(words.keys.toSeq), lit(tag)) }
+    val suffixes = PosTagger.SuffixRules.map { case (suf, tag) =>
+      (length(word) > suf.length + 2 && lw.endsWith(suf), lit(tag))
+    }
+    val chain =
+      Seq(
+        (word.isNull || word === "", lit("X")),
+        (!word.rlike("[A-Za-z0-9]"), lit(".")),
+        (word.rlike("^[0-9]+([.,][0-9]+)*$"), lit("NUM"))) ++
+        closedClass ++ suffixes ++
+        Seq(
+          (word.rlike("^[A-Z]"), lit("NOUN")),
+          (word.rlike("[^A-Za-z]"), lit("X")))
+    chain.foldRight(lit("NOUN"): Column) { case ((cond, tag), rest) =>
+      when(cond, tag).otherwise(rest)
+    }
+  }
+
+  /** Lexicon tag with rule fallback for one token column. The lexicon
+    * deliberately wins for its entries (that's the accuracy lift — e.g.
+    * "early" ADJ over the -ly→ADV rule); keys are purely alphabetic and
+    * disjoint from the closed classes (both asserted at build), so the
+    * empty/punctuation/number guards and closed-class tags can never be
+    * shadowed. */
+  private def taggedWord(word: Column, lexTag: Column): Column =
+    coalesce(lexTag, ruleTagColumn(word))
+
+  /** Tag every token of `tokensCol`, one output row per (id, pos, word,
+    * tag) — the exploded form downstream aggregations want (no regroup
+    * shuffle). The lexicon side is a few hundred rows → explicit
+    * broadcast; the corpus side stays narrow. */
+  def tagTokens(df: DataFrame, idCol: String, tokensCol: String,
+      lexicon: DataFrame): DataFrame = {
+    val lex = broadcast(lexicon.select(col("word").as("lex_word"),
+      col("tag").as("lex_tag")))
+    df.select(col(idCol), posexplode(col(tokensCol)).as(Seq("pos", "word")))
+      .join(lex, lower(col("word")) === col("lex_word"), "left")
+      .select(col(idCol), col("pos"), col("word"),
+        taggedWord(col("word"), col("lex_tag")).as("tag"))
+  }
+
+  /** Array-aligned variant: adds a `tagsCol` array positionally aligned
+    * with `tokensCol` (the PosTagger output shape, lexicon-backed).
+    * Costs one groupBy-shuffle on `idCol` to rebuild the arrays —
+    * prefer [[tagTokens]] when the consumer aggregates anyway. */
+  def tagArray(df: DataFrame, idCol: String, tokensCol: String,
+      lexicon: DataFrame, tagsCol: String = "tags"): DataFrame = {
+    val tagged = tagTokens(df, idCol, tokensCol, lexicon)
+      .groupBy(idCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("tag")))),
+        x => x.getField("tag")).as(tagsCol))
+    df.join(tagged, Seq(idCol), "left")
+      .withColumn(tagsCol, coalesce(col(tagsCol), array()))
+  }
+}

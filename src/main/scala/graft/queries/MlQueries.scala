@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ml.{GraftPipelines, PosTagger}
+import graft.ml.{GraftPipelines, LexiconTagger, PosLexicon, PosTagger}
 
 /** ML-backed queries. q50's oracle SQL is GENERATED from the very same
   * lexicon/suffix constants the Scala tagger uses — the custom scalar
@@ -26,10 +26,15 @@ object MlQueries {
       .orderBy("tag")
   }
 
-  /** DuckDB CASE chain generated from PosTagger's constants — identical
-    * precedence: punctuation, number, lexicon, suffix rules (length
-    * guard len > |suffix|+2), capitalized → NOUN, non-letter → X, NOUN. */
-  val q50Sql: String = {
+  /** The rule chain as DuckDB CASE arms, generated from PosTagger's
+    * constants — identical precedence: punctuation, number, closed-class
+    * lexicon, suffix rules (length guard len > |suffix|+2),
+    * capitalized → NOUN, non-letter → X, NOUN. `extraCases` (q52's
+    * frequency lexicon) slot in FIRST — mirroring
+    * LexiconTagger.taggedWord's coalesce, where the lexicon wins; its
+    * purely-alphabetic keys can't collide with the empty/punct/number
+    * guards, so the early position only matters for words it contains. */
+  private def tagCaseSql(extraCases: String): String = {
     val lexCases = PosTagger.Lexicon.groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (tag, words) =>
         val arr = words.keys.toSeq.sorted
@@ -39,15 +44,8 @@ object MlQueries {
     val sufCases = PosTagger.SuffixRules.map { case (suf, tag) =>
       s"WHEN len(t) > ${suf.length + 2} AND ends_with(lower(t), '$suf') THEN '$tag'"
     }.mkString("\n      ")
-    // The tagger's DEFAULT mode is ASCII-strict (PosTagger.unicode =
-    // false), so these ASCII classes mirror it exactly on ANY corpus —
-    // including non-ASCII text, where both engines treat é as a
-    // non-letter. Unicode-aware tagging is an explicit opt-in
-    // (setUnicode(true)) documented as having no oracle twin. The
-    // empty-token guard matches tagToken's early return (double spaces
-    // in text produce "" tokens).
-    s"""SELECT tag, count(*) AS cnt FROM (
-       |  SELECT CASE
+    s"""CASE
+       |      $extraCases
        |      WHEN t = '' THEN 'X'
        |      WHEN NOT regexp_matches(t, '[A-Za-z0-9]') THEN '.'
        |      WHEN regexp_matches(t, '^[0-9]+([.,][0-9]+)*$$') THEN 'NUM'
@@ -56,7 +54,47 @@ object MlQueries {
        |      WHEN regexp_matches(t, '^[A-Z]') THEN 'NOUN'
        |      WHEN regexp_matches(t, '[^A-Za-z]') THEN 'X'
        |      ELSE 'NOUN'
-       |    END AS tag
+       |    END""".stripMargin
+  }
+
+  // The tagger's DEFAULT mode is ASCII-strict (PosTagger.unicode =
+  // false), so the generated ASCII classes mirror it exactly on ANY
+  // corpus — including non-ASCII text, where both engines treat é as a
+  // non-letter. Unicode-aware tagging is an explicit opt-in
+  // (setUnicode(true)) documented as having no oracle twin. The
+  // empty-token guard matches tagToken's early return (double spaces
+  // in text produce "" tokens).
+  val q50Sql: String =
+    s"""SELECT tag, count(*) AS cnt FROM (
+       |  SELECT ${tagCaseSql("")} AS tag
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents))
+       |GROUP BY tag ORDER BY tag""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** Corpus POS-tag distribution via the LEXICON-grade tagger
+    * (broadcast-joined most-frequent-tag table with the rule chain as
+    * fallback — the trained-baseline shape, measured +16pp tag accuracy
+    * over the rules alone in LexiconTaggerSpec). Fully oracle-checked:
+    * the lexicon and every rule are constants emitted into the
+    * generated CASE chain. */
+  def q52PosLexiconDist(spark: SparkSession, dir: String): DataFrame = {
+    val tokenized = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    LexiconTagger.tagTokens(tokenized, "doc_id", "words",
+        PosLexicon.asDataFrame(spark))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("tag")
+  }
+
+  val q52Sql: String = {
+    val extCases = PosLexicon.Entries.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (tag, ws) =>
+        val arr = ws.map(_._1).sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"WHEN list_contains($arr, lower(t)) THEN '$tag'"
+      }.mkString("\n      ")
+    s"""SELECT tag, count(*) AS cnt FROM (
+       |  SELECT ${tagCaseSql(extCases)} AS tag
        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents))
        |GROUP BY tag ORDER BY tag""".stripMargin
   }
@@ -81,10 +119,12 @@ object MlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_pos_dist"           -> (q50PosDist _),
-    "q51_sentiment_pipeline" -> (q51SentimentPipeline _)
+    "q51_sentiment_pipeline" -> (q51SentimentPipeline _),
+    "q52_pos_lexicon_dist"   -> (q52PosLexiconDist _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q50_pos_dist" -> q50Sql
+    "q50_pos_dist" -> q50Sql,
+    "q52_pos_lexicon_dist" -> q52Sql
   )
 }
