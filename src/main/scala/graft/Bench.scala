@@ -84,7 +84,10 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ")(0)
       catch { case _: Throwable => "-1" }
     val loadStart = loadavg()
-    run(names.head)
+    // fixed-query session warm-up (first catalog entry, NOT the filtered
+    // head): with args filters the old names.head warm-up varied by
+    // subset, making subset runs not strictly comparable to full sweeps
+    run(all.head)
     val results = names.map(n => n -> run(n))
     val loadEnd = loadavg()
 
