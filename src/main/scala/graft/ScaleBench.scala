@@ -91,6 +91,15 @@ object ScaleBench {
         "decontaminate" -> (() => {
           val d = Tables(spark, dir).documents
           graft.operators.Decontaminate(d, d.filter(col("doc_id") < 5))
+        }),
+        // lexicon tagging is a narrow pass + broadcast join: must scale
+        // linearly with corpus size, no shuffle growth
+        "pos_lexicon" -> (() => {
+          val tok = Tables(spark, dir).documents
+            .select(col("doc_id"), split(col("text"), " ").as("words"))
+          graft.ml.LexiconTagger.tagTokens(tok, "doc_id", "words",
+              graft.ml.PosLexicon.asDataFrame(spark))
+            .groupBy("tag").agg(count(lit(1)).as("cnt"))
         }))
       // ANN over an N×-replicated embedding corpus, fixed 100-query set
       // (base-copy ids): brute force is O(|corpus|·|queries|) dot
@@ -105,7 +114,10 @@ object ScaleBench {
       val annOps: Seq[(String, () => DataFrame)] = Seq(
         "knn_brute" -> (() => Similarity.bruteForceKnn(emb, queries100, 10)),
         "knn_lsh" -> (() => Similarity.signLshKnn(emb, queries100, 10)),
-        "knn_ivf" -> (() => Similarity.ivfKnn(emb, queries100, 10)))
+        "knn_ivf" -> (() => Similarity.ivfKnn(emb, queries100, 10)),
+        // deterministic codebook: no fit job — isolates the pure
+        // dataflow cost of the IVF shape from the KMeans build above
+        "knn_ivf_det" -> (() => Similarity.ivfKnnDeterministic(emb, queries100, 10)))
       val timed = (ops ++ annOps).map { case (name, mk) => name -> time(mk()) }
       val js = timed.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
       val rows = spark.read.parquet(s"$dir/documents.parquet").count()

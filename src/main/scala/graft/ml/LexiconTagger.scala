@@ -73,6 +73,39 @@ object LexiconTagger {
         taggedWord(col("word"), col("lex_tag")).as("tag"))
   }
 
+  /** Sequence-context correction over [[tagTokens]] output — the
+    * transformation-rule layer of a Brill (1992) tagger, kept to three
+    * classic, deterministic rules (public knowledge):
+    *   1. NOUN → VERB after the word "to" when the word is
+    *      lowercase-initial (infinitives: "to repair"; the case guard
+    *      keeps "to Paris" a NOUN),
+    *   2. NOUN → VERB after a subject pronoun ("it costs"; possessives
+    *      like "his" are deliberately NOT in the trigger list — "his
+    *      work" must stay NOUN),
+    *   3. VERB → NOUN after a determiner ("the run").
+    * Rules read the UNIGRAM tag of the previous token (no cascading),
+    * so one window pass suffices and the oracle can mirror it with a
+    * single lag(). Cost: the one shuffle the window needs (partition by
+    * doc) — this is inherently sequence work; everything upstream stays
+    * narrow. */
+  def tagTokensContext(df: DataFrame, idCol: String, tokensCol: String,
+      lexicon: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val prevTag = lag(col("tag"), 1).over(w)
+    val prevWord = lower(lag(col("word"), 1).over(w))
+    val subjectPronouns = Seq("i", "you", "he", "she", "it", "we", "they")
+    val corrected =
+      when(col("tag") === "NOUN" && prevWord === "to" &&
+        col("word").rlike("^[a-z]"), lit("VERB"))
+        .when(col("tag") === "NOUN" && prevWord.isInCollection(subjectPronouns),
+          lit("VERB"))
+        .when(col("tag") === "VERB" && prevTag === "DET", lit("NOUN"))
+        .otherwise(col("tag"))
+    tagTokens(df, idCol, tokensCol, lexicon)
+      .select(col(idCol), col("pos"), col("word"), corrected.as("tag"))
+  }
+
   /** Array-aligned variant: adds a `tagsCol` array positionally aligned
     * with `tokensCol` (the PosTagger output shape, lexicon-backed).
     * Costs one groupBy-shuffle on `idCol` to rebuild the arrays —

@@ -99,6 +99,53 @@ object MlQueries {
        |GROUP BY tag ORDER BY tag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q53
+  /** POS-tag distribution after the sequence-context correction layer
+    * (Brill-style rules over one lag window — see
+    * LexiconTagger.tagTokensContext). Oracle-checked: DuckDB rebuilds
+    * the token sequence with an indexed lambda (`(x,i) -> struct`),
+    * applies the identical generated unigram CASE, then the identical
+    * correction CASE over one lag(). */
+  def q53PosContextDist(spark: SparkSession, dir: String): DataFrame = {
+    val tokenized = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    LexiconTagger.tagTokensContext(tokenized, "doc_id", "words",
+        PosLexicon.asDataFrame(spark))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("tag")
+  }
+
+  val q53Sql: String = {
+    val extCases = PosLexicon.Entries.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (tag, ws) =>
+        val arr = ws.map(_._1).sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"WHEN list_contains($arr, lower(t)) THEN '$tag'"
+      }.mkString("\n      ")
+    val subj = "['i', 'you', 'he', 'she', 'it', 'we', 'they']"
+    s"""SELECT tag, count(*) AS cnt FROM (
+       |  SELECT CASE
+       |      WHEN tag0 = 'NOUN' AND prev_w = 'to'
+       |        AND regexp_matches(t, '^[a-z]') THEN 'VERB'
+       |      WHEN tag0 = 'NOUN' AND list_contains($subj, prev_w) THEN 'VERB'
+       |      WHEN tag0 = 'VERB' AND prev_tag = 'DET' THEN 'NOUN'
+       |      ELSE tag0
+       |    END AS tag
+       |  FROM (
+       |    SELECT doc_id, pos, t, tag0,
+       |      lower(lag(t) OVER (PARTITION BY doc_id ORDER BY pos)) AS prev_w,
+       |      lag(tag0) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_tag
+       |    FROM (
+       |      SELECT doc_id, pos, t,
+       |        ${tagCaseSql(extCases).replace("\n", "\n    ")} AS tag0
+       |      FROM (
+       |        SELECT doc_id, u.pos AS pos, u.word AS t FROM (
+       |          SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+       |            (x, i) -> {'pos': i, 'word': x})) AS u
+       |          FROM documents)))))
+       |GROUP BY tag ORDER BY tag""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q51
   /** End-to-end spark.ml pipeline on the documents table: label docs by
     * length (learnable from token statistics), train bigram+LR
@@ -120,11 +167,13 @@ object MlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_pos_dist"           -> (q50PosDist _),
     "q51_sentiment_pipeline" -> (q51SentimentPipeline _),
-    "q52_pos_lexicon_dist"   -> (q52PosLexiconDist _)
+    "q52_pos_lexicon_dist"   -> (q52PosLexiconDist _),
+    "q53_pos_context_dist"   -> (q53PosContextDist _)
   )
 
   val oracles: Map[String, String] = Map(
     "q50_pos_dist" -> q50Sql,
-    "q52_pos_lexicon_dist" -> q52Sql
+    "q52_pos_lexicon_dist" -> q52Sql,
+    "q53_pos_context_dist" -> q53Sql
   )
 }

@@ -164,6 +164,22 @@ class InvariantSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("staged token queries evaluate exactly one split per row (plan shape)") {
+    // q20/q23/q24/q37 stage the whitespace split into a projection the
+    // optimizer must NOT collapse away — four inlined copies of
+    // split(text,' ') per row was a real regression shape (round 6)
+    val qs = Seq(
+      "q20" -> graft.queries.TextQueries.q20TokenStats _,
+      "q23" -> graft.queries.TextQueries.q23StopwordFilter _,
+      "q24" -> graft.queries.TextQueries.q24Quality _,
+      "q37" -> graft.queries.TextQueries.q37QualityRules _)
+    qs.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan.toString
+      val n = "split\\(".r.findAllIn(plan).length
+      assert(n == 1, s"$name: expected 1 split( in optimized plan, found $n")
+    }
+  }
+
   test("canonicalization labels are idempotent pointers") {
     val labels = Dedup.minhashCanonicalize(
       Tables(spark, sf).documents, iterations = 2).cache()

@@ -61,6 +61,38 @@ class LexiconTaggerSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("context rules fire exactly where intended") {
+    val docDf = Seq(
+      (1L, Seq("It", "costs", "money", "to", "repair", "it")),
+      (2L, Seq("We", "went", "to", "Paris", "and", "the", "run", "ended")))
+      .toDF("doc_id", "words")
+    val tags = LexiconTagger.tagTokensContext(docDf, "doc_id", "words",
+        PosLexicon.asDataFrame(spark))
+      .orderBy("doc_id", "pos")
+      .select("word", "tag").as[(String, String)].collect().toSeq
+    val m = tags.toMap
+    assert(m("costs") == "VERB")   // subject-pronoun rule ("It costs")
+    assert(m("repair") == "VERB")  // infinitive rule ("to repair")
+    assert(m("Paris") == "NOUN")   // case guard: "to Paris" untouched
+    assert(m("run") == "NOUN")     // determiner rule ("the run")
+    assert(m("money") == "NOUN")   // no rule context → unigram tag kept
+  }
+
+  test("context correction does not hurt gold accuracy") {
+    val docDf = Seq((0L, gold.select("token").as[String].collect().toSeq)).toDF("doc_id", "words")
+    val goldTags = gold.select("token", "tag").as[(String, String)].collect()
+    def acc(tagged: Array[(String, String)]): Double =
+      tagged.zip(goldTags).count { case ((w, t), (gw, gt)) =>
+        assert(w == gw); t == gt
+      } / goldTags.length.toDouble
+    val uni = acc(LexiconTagger.tagTokens(docDf, "doc_id", "words", PosLexicon.asDataFrame(spark))
+      .orderBy("pos").select("word", "tag").as[(String, String)].collect())
+    val ctx = acc(LexiconTagger.tagTokensContext(docDf, "doc_id", "words", PosLexicon.asDataFrame(spark))
+      .orderBy("pos").select("word", "tag").as[(String, String)].collect())
+    info(f"unigram accuracy $uni%.3f, context accuracy $ctx%.3f")
+    assert(ctx >= uni, s"context rules regressed accuracy: $ctx < $uni")
+  }
+
   test("tagArray aligns tags positionally and preserves empty docs") {
     val docDf = Seq(
       (1L, Seq("The", "quick", "family", "ran", "fast")),
