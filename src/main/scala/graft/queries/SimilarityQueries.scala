@@ -257,13 +257,16 @@ object SimilarityQueries {
   }
 
   val q43bSql: String = {
-    // one squared-distance term per cell, centroid emitted as the exact
-    // rationals the Spark plan embeds as literals (same trick as q42)
-    val distList = (0 until 8).map { c =>
+    // one spherical score per cell in the SAME form the Spark plan
+    // computes: (e·c)/‖c‖, with the centroid emitted as exact rationals
+    // (the q42 trick) and ‖c‖ emitted as the verbatim Double.toString
+    // literal the plan embeds
+    val scoreList = (0 until 8).map { c =>
       val cen = (0 until 64)
         .map(d => s"${Similarity.cellComponentScaled(c, d)}.0/10000.0")
         .mkString("[", ",", "]")
-      s"list_sum(list_transform(range(1, 65), i -> (emb[i] - ($cen)[i]) * (emb[i] - ($cen)[i])))"
+      val cnorm = java.lang.Double.toString(Similarity.cellNorm(c, 64))
+      s"list_sum(list_transform(range(1, 65), i -> emb[i] * ($cen)[i])) / $cnorm"
     }.mkString("[", ",\n    ", "]")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -271,17 +274,17 @@ object SimilarityQueries {
        |n AS (
        |  SELECT vec_id, emb,
        |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
-       |    $distList AS dists
+       |    $scoreList AS scores
        |  FROM e),
        |a AS (
-       |  SELECT vec_id, emb, nrm, dists,
-       |    CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cell
+       |  SELECT vec_id, emb, nrm, scores,
+       |    CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
        |  FROM n),
        |probes AS (
        |  SELECT query_id, q_emb, q_nrm, cell FROM (
        |    SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, c AS cell,
        |      row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY dists[c + 1] ASC, c ASC) AS pr
+       |        ORDER BY scores[c + 1] DESC, c ASC) AS pr
        |    FROM a, range(0, 8) r(c)
        |    WHERE vec_id < 20)
        |  WHERE pr <= 2),
