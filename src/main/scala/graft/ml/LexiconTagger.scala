@@ -56,21 +56,36 @@ object LexiconTagger {
     * disjoint from the closed classes (both asserted at build), so the
     * empty/punctuation/number guards and closed-class tags can never be
     * shadowed. */
-  private def taggedWord(word: Column, lexTag: Column): Column =
-    coalesce(lexTag, ruleTagColumn(word))
+  private def taggedWord(word: Column, lexTag: Column, stemTag: Column): Column =
+    coalesce(lexTag, stemTag, ruleTagColumn(word))
 
   /** Tag every token of `tokensCol`, one output row per (id, pos, word,
     * tag) — the exploded form downstream aggregations want (no regroup
     * shuffle). The lexicon side is a few hundred rows → explicit
-    * broadcast; the corpus side stays narrow. */
+    * broadcast; the corpus side stays narrow.
+    *
+    * Two lookup levels: exact word, then a morphological back-off for
+    * 3rd-person -s verb forms — strip one trailing 's' (not 'ss', len >
+    * 3) and look the stem up in the VERB entries ONLY. Plural nouns
+    * need no back-off (the NOUN fallback is already right), and
+    * restricting to verbs keeps "news" (stem "new", an ADJ entry) from
+    * mis-tagging; stems of closed-class words ("is"→"i") never match
+    * because the lexicon is disjoint from the closed classes. */
   def tagTokens(df: DataFrame, idCol: String, tokensCol: String,
       lexicon: DataFrame): DataFrame = {
     val lex = broadcast(lexicon.select(col("word").as("lex_word"),
       col("tag").as("lex_tag")))
+    val lexVerbStems = broadcast(lexicon.filter(col("tag") === "VERB")
+      .select(col("word").as("stem_word"), col("tag").as("stem_tag")))
+    val lw = lower(col("word"))
     df.select(col(idCol), posexplode(col(tokensCol)).as(Seq("pos", "word")))
-      .join(lex, lower(col("word")) === col("lex_word"), "left")
+      .join(lex, lw === col("lex_word"), "left")
+      .withColumn("stem",
+        when(length(col("word")) > 3 && lw.endsWith("s") && !lw.endsWith("ss"),
+          lw.substr(lit(1), length(col("word")) - 1)))
+      .join(lexVerbStems, col("stem") === col("stem_word"), "left")
       .select(col(idCol), col("pos"), col("word"),
-        taggedWord(col("word"), col("lex_tag")).as("tag"))
+        taggedWord(col("word"), col("lex_tag"), col("stem_tag")).as("tag"))
   }
 
   /** Sequence-context correction over [[tagTokens]] output — the

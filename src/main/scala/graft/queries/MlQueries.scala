@@ -87,17 +87,29 @@ object MlQueries {
       .orderBy("tag")
   }
 
-  val q52Sql: String = {
-    val extCases = PosLexicon.Entries.groupBy(_._2).toSeq.sortBy(_._1)
+  /** The PosLexicon lookups as CASE arms: exact word per tag, then the
+    * VERB stem back-off (strip one trailing 's'), mirroring
+    * LexiconTagger.tagTokens' coalesce(lexTag, stemTag, rule) order. */
+  private def extLexCaseSql: String = {
+    val exact = PosLexicon.Entries.groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (tag, ws) =>
         val arr = ws.map(_._1).sorted.map(w => s"'$w'").mkString("[", ", ", "]")
         s"WHEN list_contains($arr, lower(t)) THEN '$tag'"
       }.mkString("\n      ")
+    val verbArr = PosLexicon.Entries.filter(_._2 == "VERB").map(_._1).sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    exact + "\n      " +
+      s"""WHEN len(t) > 3 AND ends_with(lower(t), 's')
+         |        AND NOT ends_with(lower(t), 'ss')
+         |        AND list_contains($verbArr, substr(lower(t), 1, len(t) - 1))
+         |        THEN 'VERB'""".stripMargin
+  }
+
+  val q52Sql: String =
     s"""SELECT tag, count(*) AS cnt FROM (
-       |  SELECT ${tagCaseSql(extCases)} AS tag
+       |  SELECT ${tagCaseSql(extLexCaseSql)} AS tag
        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents))
        |GROUP BY tag ORDER BY tag""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q53
   /** POS-tag distribution after the sequence-context correction layer
@@ -117,11 +129,6 @@ object MlQueries {
   }
 
   val q53Sql: String = {
-    val extCases = PosLexicon.Entries.groupBy(_._2).toSeq.sortBy(_._1)
-      .map { case (tag, ws) =>
-        val arr = ws.map(_._1).sorted.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"WHEN list_contains($arr, lower(t)) THEN '$tag'"
-      }.mkString("\n      ")
     val subj = "['i', 'you', 'he', 'she', 'it', 'we', 'they']"
     s"""SELECT tag, count(*) AS cnt FROM (
        |  SELECT CASE
@@ -137,7 +144,7 @@ object MlQueries {
        |      lag(tag0) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_tag
        |    FROM (
        |      SELECT doc_id, pos, t,
-       |        ${tagCaseSql(extCases).replace("\n", "\n    ")} AS tag0
+       |        ${tagCaseSql(extLexCaseSql).replace("\n", "\n    ")} AS tag0
        |      FROM (
        |        SELECT doc_id, u.pos AS pos, u.word AS t FROM (
        |          SELECT doc_id, unnest(list_transform(string_split(text, ' '),

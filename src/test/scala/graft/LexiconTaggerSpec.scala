@@ -47,10 +47,25 @@ class LexiconTaggerSpec extends SparkSpec {
     val ruleAcc = ruleCorrect / n
     info(f"rule accuracy $ruleAcc%.3f, lexicon accuracy $lexAcc%.3f on ${n.toInt} tokens")
     assert(lexAcc > ruleAcc, s"no lift: lexicon $lexAcc vs rules $ruleAcc")
-    // floors a hair under the measured values (0.780 / 0.944) so
+    // floors a hair under the measured values (0.769 / 0.936 on the
+    // 424-token sample — the last ~100 tokens were authored AFTER the
+    // lexicon was frozen, so they are effectively held out) so
     // regressions fail loudly
     assert(ruleAcc > 0.72, s"rule accuracy collapsed: $ruleAcc")
     assert(lexAcc > 0.90, s"lexicon accuracy collapsed: $lexAcc")
+  }
+
+  test("verb stem back-off: 3rd-person -s forms resolve, plurals and 'news' stay nouns") {
+    val docDf = Seq((0L, Seq("drinks", "starts", "grows", "lives",
+      "things", "news", "miss", "is"))).toDF("doc_id", "words")
+    val m = LexiconTagger.tagTokens(docDf, "doc_id", "words", PosLexicon.asDataFrame(spark))
+      .select("word", "tag").as[(String, String)].collect().toMap
+    assert(m("drinks") == "VERB" && m("starts") == "VERB" &&
+      m("grows") == "VERB" && m("lives") == "VERB")
+    assert(m("things") == "NOUN") // plural noun: no VERB stem, NOUN fallback
+    assert(m("news") == "NOUN")   // stem "new" is an ADJ entry, not VERB
+    assert(m("miss") == "NOUN")   // 'ss' guard: no stripping
+    assert(m("is") == "VERB")     // closed class via rules, stem never fires
   }
 
   test("tagTokens plans a broadcast join and no extra shuffle") {
