@@ -45,6 +45,13 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
     "fr" -> Seq("le", "la", "de", "et", "les", "un", "est", "que"))
 
+  /** Per-language keep rates (permyriad, i.e. x/10000) for the
+    * deterministic stratified-sampling pass (q48) — shared by the Scala
+    * side and the generated oracle CASE. Languages absent from the list
+    * keep everything. Values are MIX KNOBS, not constants of nature. */
+  val SampleRatesPermyriad: Seq[(String, Int)] = Seq(
+    "en" -> 2500, "de" -> 5000, "es" -> 5000, "fr" -> 5000, "zh" -> 7500)
+
   /** Reference P1: `<br /><br />`→replacement then lowercase
     * (`script1.py:37-38`; P2 variant uses ""). */
   def cleanLower(c: Column, brReplacement: String = " "): Column =

@@ -351,6 +351,57 @@ object Relational {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** As-of join (operators.AsOfJoin): every purchase event enriched with
+    * the user's most recent STRICTLY-prior view event and the gap to it.
+    * One shuffle on user_id, no row blow-up (see AsOfJoin's scaladoc for
+    * why the theta-join and join-then-rank forms fail at scale). NULL
+    * no-match sentinels are -1 so the hash compare never sees NULL-order
+    * ambiguity. */
+  def q55AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    // microsecond longs, not ts_ns: DuckDB reads the TIMESTAMP(NANOS)
+    // parquet µs-truncated, so ns-resolution ordering could diverge
+    // between engines for same-µs events — µs is the finest
+    // cross-engine-exact unit (q13/q14 never exposed sub-µs)
+    val ev = Tables(spark, dir).events
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts_us")
+    graft.operators.AsOfJoin
+      .asOf(purchases, views, key = "user_id", ts = "ts_us",
+        leftId = "event_id", rightId = "event_id")
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("asof_id"), lit(-1L)).as("view_id"),
+        coalesce(col("ts_us") - col("asof_ts"), lit(-1L)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** DuckDB twin: the identical union + running last(IGNORE NULLS)
+    * window over (us, side, id) — NOT DuckDB's native ASOF JOIN, whose
+    * tie semantics (>= vs >) would differ from the operator's strict
+    * ordering under equal timestamps. */
+  val q55Sql: String =
+    """WITH u AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS side
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |m AS (
+      |  SELECT event_id, user_id, us, side,
+      |    last_value(CASE WHEN side = 1 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, side, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_id,
+      |    last_value(CASE WHEN side = 1 THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, side, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_us
+      |  FROM u)
+      |SELECT event_id, user_id, us AS ts_us,
+      |  coalesce(view_id, -1) AS view_id,
+      |  coalesce(us - view_us, -1) AS gap_us
+      |FROM m WHERE side = 0 ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q15
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` column and aggregate on it. get_json_object stays inside
@@ -550,6 +601,7 @@ object Relational {
     "q12_group_having"        -> (q12GroupHaving _),
     "q13_hourly_rollup"       -> (q13HourlyRollup _),
     "q14_sessionize"          -> (q14Sessionize _),
+    "q55_asof_join"           -> (q55AsofJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
     "q16_pivot"               -> (q16Pivot _),
     "q17_window_suite"        -> (q17WindowSuite _),
@@ -576,6 +628,7 @@ object Relational {
     "q12_group_having"        -> q12Sql,
     "q13_hourly_rollup"       -> q13Sql,
     "q14_sessionize"          -> q14Sql,
+    "q55_asof_join"           -> q55Sql,
     "q15_json_extract"        -> q15Sql,
     "q16_pivot"               -> q16Sql,
     "q17_window_suite"        -> q17Sql,

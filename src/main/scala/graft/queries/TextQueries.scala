@@ -513,6 +513,121 @@ object TextQueries {
       |FROM documents d LEFT JOIN h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * via a salted md5 key — the downsampling pass a training-data mix
+    * runs per source/language. No RNG: `md5("sample|" <> doc_id) mod
+    * 10000` is uniform, reproducible in both engines, and independent of
+    * partitioning/row order (a `rand(seed)` column is NOT — its value
+    * depends on partition layout, which is exactly what a 1000-executor
+    * re-run changes). One narrow pass; the filter would push into the
+    * scan in a real mix job. */
+  def q48StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRatesPermyriad.tail.foldLeft(
+      when(col("lang") === SampleRatesPermyriad.head._1,
+        lit(SampleRatesPermyriad.head._2))) {
+      case (acc, (lang, r)) => acc.when(col("lang") === lang, lit(r))
+    }.otherwise(lit(10000))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (md5Hash60(concat(lit("sample|"), col("doc_id").cast("string")))
+          % 10000L).as("sample_key"),
+        rate.cast("long").as("rate_permyriad"))
+      .withColumn("kept", (col("sample_key") < col("rate_permyriad")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val q48Sql: String = {
+    val whens = SampleRatesPermyriad
+      .map { case (lang, r) => s"WHEN '$lang' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, sample_key, rate_permyriad,
+       |  CAST(sample_key < rate_permyriad AS BIGINT) AS kept
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 10000 AS sample_key,
+       |    CAST(CASE lang $whens ELSE 10000 END AS BIGINT) AS rate_permyriad
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q49
+  /** Unigram-LM negative log-likelihood per document — the CCNet-style
+    * perplexity proxy for quality filtering (docs scored against a
+    * corpus-wide unigram model; here model corpus == scored corpus, at
+    * scale the model is a fitted table joined the same way).
+    * NLL = ln N − (Σ_t ln c_t)/n over per-token corpus counts c_t.
+    *
+    * Scale shape: token counts are one map-side-combined shuffle; the
+    * count lookup is a (token→count) equi-join (shuffle join — the vocab
+    * of a 100 TB corpus does not broadcast); the per-doc fold runs over
+    * the SORTED count array so both engines add in the identical order
+    * (q39's discipline). round(…,6) absorbs libm's ≤1-ulp ln()
+    * difference. */
+  def q49LmLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select(col("doc_id"), explode(toks).as("token"))
+    val counts = t.groupBy("token").agg(count(lit(1)).as("c"))
+    val n = t.agg(count(lit(1)).cast("double").as("n"))
+    val lnSum = aggregate(col("cs"), lit(0.0), (acc, c) => acc + log(c))
+    t.join(counts, "token")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("c"))).as("cs"),
+        count(lit(1)).as("n_tokens"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n")) - lnSum / col("n_tokens"), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val q49Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+      |f AS (
+      |  SELECT doc_id, list(c ORDER BY c) AS cs, count(*) AS n_tokens
+      |  FROM t JOIN c USING (token) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  round(ln(n) - list_reduce(
+      |    list_prepend(0.0, list_transform(cs, x -> ln(x))),
+      |    (a, b) -> a + b) / n_tokens, 6) + 0.0 AS nll
+      |FROM f, n ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Token-budget sequence packing: concatenate-and-chunk docs into
+    * fixed 2048-subtoken training sequences WITHIN each source (GPT-style
+    * packing). seq_id/offset derive from a running subtoken cumsum over
+    * (source, doc_id) order — the window partitions by source, so at
+    * 100 TB each source shard packs independently (no global sort, no
+    * single-partition window; a corpus-wide order would serialize).
+    * All-integer arithmetic. */
+  def q54SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        bpeTokenCount(col("text")).cast("long").as("n_subtokens"))
+      .withColumn("start", sum("n_subtokens").over(w) - col("n_subtokens"))
+      .select(col("doc_id"), col("source"), col("n_subtokens"),
+        expr("start DIV 2048").as("seq_id"),
+        (col("start") % 2048L).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  val q54Sql: String =
+    s"""SELECT doc_id, source, n_subtokens,
+       |  start // 2048 AS seq_id, start % 2048 AS seq_offset
+       |FROM (
+       |  SELECT doc_id, source, n_subtokens,
+       |    CAST(sum(n_subtokens) OVER (PARTITION BY source ORDER BY doc_id)
+       |      AS BIGINT) - n_subtokens AS start
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT)
+       |        AS n_subtokens
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q36
   /** Distributed TF-IDF weights for the top-100-df tokens: the document
     * frequency scan is the same one IDF.fit runs (V5), here surfaced
@@ -560,7 +675,10 @@ object TextQueries {
     "q38_pii_scrub"       -> (q38PiiScrub _),
     "q39_token_entropy"   -> (q39TokenEntropy _),
     "q46_decontaminate"   -> (q46Decontaminate _),
-    "q47_unicode_tokens"  -> (q47UnicodeTokens _)
+    "q47_unicode_tokens"  -> (q47UnicodeTokens _),
+    "q48_stratified_sample" -> (q48StratifiedSample _),
+    "q49_lm_logprob"      -> (q49LmLogprob _),
+    "q54_seq_pack"        -> (q54SequencePack _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -579,6 +697,9 @@ object TextQueries {
     "q38_pii_scrub"       -> q38Sql,
     "q39_token_entropy"   -> q39Sql,
     "q46_decontaminate"   -> q46Sql,
-    "q47_unicode_tokens"  -> q47Sql
+    "q47_unicode_tokens"  -> q47Sql,
+    "q48_stratified_sample" -> q48Sql,
+    "q49_lm_logprob"      -> q49Sql,
+    "q54_seq_pack"        -> q54Sql
   )
 }
