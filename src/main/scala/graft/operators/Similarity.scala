@@ -246,6 +246,143 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): compress each (L2-normalized) embedding
+  // to PqSubspaces codes of log2(PqCodes) bits — 64-dim float vectors
+  // (256 B) become 8 codes (8 B, 4 bits used per code). At 100 TB this
+  // is what makes a second-pass ANN scan memory-bandwidth-cheap: the
+  // corpus side of the scoring join carries codes only, and query↔code
+  // distances resolve through a per-query lookup table (ADC — Jégou et
+  // al. 2011, "Product quantization for nearest neighbor search",
+  // public). The codebook is md5-derived (namespace "pq"), so encoding
+  // and ADC scores are deterministic and fully oracle-expressible.
+  // Vectors are normalized before encoding, which makes squared-L2 ADC
+  // distance monotone in cosine (‖u−v‖² = 2−2cos) — consistent with the
+  // cosine metric every other path in this module ranks by.
+  // ------------------------------------------------------------------
+
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+
+  /** Codeword component: md5-drawn direction NORMALIZED driver-side to
+    * ‖c‖ = 1/√PqSubspaces — the expected subvector norm of a unit
+    * vector. Raw [-1,1) draws have norm ≈ √(8/3) ≈ 1.6 vs subvector
+    * ≈ 0.35, and squared distance ‖x−c‖² = ‖x‖²−2x·c+‖c‖² is then
+    * dominated by ‖c‖², so argmin collapses onto the few smallest-norm
+    * codewords (the same degeneracy the q43b spherical quantizer fixed;
+    * measured: ADC recall at chance). Components are doubles computed
+    * once driver-side and emitted VERBATIM (Double.toString round-trips
+    * exactly) into both the Spark plan and the oracle SQL, so parity
+    * does not depend on the normalization's fold order. */
+  private[graft] val pqCodebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    IndexedSeq.tabulate(PqSubspaces, PqCodes) { (s, k) =>
+      val raw = (0 until PqSubDim).map(d => md5Scaled(s"pq$s|$k|$d").toDouble / 10000.0)
+      val scale = 1.0 / (math.sqrt(raw.map(x => x * x).sum) *
+        math.sqrt(PqSubspaces.toDouble))
+      raw.map(_ * scale)
+    }.map(_.toIndexedSeq)
+
+  private[graft] def pqComponent(sub: Int, code: Int, d: Int): Double =
+    pqCodebook(sub)(code)(d)
+
+  /** 16 squared-L2 distances of subvector `sub` of normalized embedding
+    * `ne` to that subspace's codewords, as an array<double>. Codewords
+    * are plan literals; each distance is a 0.0-seeded ascending-dim sum
+    * (== DuckDB list_sum order, so argmins agree bit-for-bit). */
+  private def pqDistArray(ne: Column, sub: Int): Column =
+    array((0 until PqCodes).map { code =>
+      val terms = (0 until PqSubDim).map { d =>
+        val diff = element_at(ne, sub * PqSubDim + d + 1) -
+          lit(pqComponent(sub, code, d))
+        diff * diff
+      }
+      (lit(0.0) +: terms).reduce(_ + _)
+    }: _*)
+
+  /** Stage vec_id, normalized embedding, and the 8 per-subspace distance
+    * arrays (d0..d7) in one narrow pass. `ne` is staged in its own
+    * projection: it is non-cheap and referenced by every distance term,
+    * so CollapseProject keeps it evaluated once per row. */
+  private def pqStage(df: DataFrame, dim: Int): DataFrame = {
+    require(dim == PqSubspaces * PqSubDim,
+      s"pq: dim $dim != ${PqSubspaces * PqSubDim}")
+    df.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+      .withColumn("ne", transform(col("emb"), x => x / col("nrm")))
+      .select(col("vec_id") +: col("ne") +:
+        (0 until PqSubspaces).map(s => pqDistArray(col("ne"), s).as(s"d$s")): _*)
+  }
+
+  /** PQ-encode a corpus: vec_id, codes (array<long>, length 8, each in
+    * [0,16), argmin per subspace with lowest-code tie-break), and the
+    * total squared reconstruction error. One narrow pass, no shuffle. */
+  def pqEncode(corpus: DataFrame, dim: Int = 64): DataFrame = {
+    val staged = pqStage(corpus, dim)
+    val codes = array((0 until PqSubspaces).map(s =>
+      (array_position(col(s"d$s"), array_min(col(s"d$s"))) - 1)): _*)
+    val err = (lit(0.0) +:
+      (0 until PqSubspaces).map(s => array_min(col(s"d$s")))).reduce(_ + _)
+    staged.select(col("vec_id"), codes.as("codes"), err.as("recon_err"))
+  }
+
+  /** Approximate top-k via PQ asymmetric distance computation (ADC):
+    * the corpus is its 8-byte codes; each query ships its 8×16 distance
+    * table (broadcast — the corpus is never shuffled); the per-pair
+    * score is 8 table lookups + 8 adds. Rank ascending ADC distance
+    * (monotone in descending cosine on normalized vectors), ties by
+    * neighbor_id. Deterministic end to end → oracle-checkable.
+    *
+    * With `rerank` > 0 this becomes the production two-stage shape:
+    * ADC selects `rerank` candidates per query from the code-only scan,
+    * then ONLY those |queries|·rerank pairs are scored with exact
+    * cosines against the full vectors (output columns switch to
+    * cos_sim). A 4-bit random codebook is a coarse quantizer — its
+    * top-k alone has modest recall on near-orthogonal synthetic
+    * vectors — but as a candidate filter + exact re-rank it keeps the
+    * 100 TB scan memory-cheap while recovering most of brute-force's
+    * answer (recall floor pinned in PqSpec). */
+  def pqAdcKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+               dim: Int = 64, rerank: Int = 0): DataFrame = {
+    val c = pqEncode(corpus, dim).select(col("vec_id"), col("codes"))
+    val q = pqStage(queries, dim).select(
+      col("vec_id").as("query_id"),
+      array((0 until PqSubspaces).map(s => col(s"d$s")): _*).as("qtab"))
+    val adc = (lit(0.0) +: (0 until PqSubspaces).map { s =>
+      element_at(element_at(col("qtab"), s + 1),
+        element_at(col("codes"), s + 1).cast("int") + 1)
+    }).reduce(_ + _)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val adcRanked = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("adc_dist", adc)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+      .withColumn("rank", row_number().over(wAdc).cast("long"))
+    if (rerank <= 0)
+      adcRanked.filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    else {
+      val cand = adcRanked.filter(col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+      val cEmb = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", l2Norm(col("emb")))
+      val qEmb = queries.select(col("vec_id").as("qid"),
+          asDouble(col("embedding")).as("q_emb"))
+        .withColumn("q_nrm", l2Norm(col("q_emb")))
+      val wCos = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      cand
+        .join(cEmb, cand("neighbor_id") === cEmb("vec_id"))
+        .join(broadcast(qEmb), col("query_id") === col("qid"))
+        .withColumn("cos_sim",
+          dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+        .withColumn("rank", row_number().over(wCos).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    }
+  }
+
   /** Approximate top-k: bucket corpus and queries by sign-LSH signature,
     * rank only within the shared bucket. One shuffle on the signature —
     * the scale path when |queries| is large. Recall < 1 by construction;

@@ -259,13 +259,14 @@ object SimilarityQueries {
   val q43bSql: String = {
     // one spherical score per cell in the SAME form the Spark plan
     // computes: (e·c)/‖c‖, with the centroid emitted as exact rationals
-    // (the q42 trick) and ‖c‖ emitted as the verbatim Double.toString
-    // literal the plan embeds
+    // (the q42 trick) and ‖c‖ emitted as a DOUBLE-typed E-notation
+    // literal of the exact value the plan embeds (a plain decimal
+    // literal would parse as DECIMAL and double-round — see sqlDouble)
     val scoreList = (0 until 8).map { c =>
       val cen = (0 until 64)
         .map(d => s"${Similarity.cellComponentScaled(c, d)}.0/10000.0")
         .mkString("[", ",", "]")
-      val cnorm = java.lang.Double.toString(Similarity.cellNorm(c, 64))
+      val cnorm = sqlDouble(Similarity.cellNorm(c, 64))
       s"list_sum(list_transform(range(1, 65), i -> emb[i] * ($cen)[i])) / $cnorm"
     }.mkString("[", ",\n    ", "]")
     s"""WITH e AS (
@@ -356,6 +357,132 @@ object SimilarityQueries {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q62
+  /** PQ encoding of the corpus: 8 subspace codes (4 bits each) + squared
+    * reconstruction error per vector — the compression pass that turns a
+    * 256-byte embedding into 8 bytes for scan-cheap ANN (Similarity
+    * scaladoc). Fully oracle-checked: the normalized md5 codebook is
+    * emitted into the SQL as a nested list literal of the verbatim
+    * Double.toString values the plan embeds, and both engines fold
+    * distances in identical order. */
+  def q62PqEncode(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(Tables(spark, dir).embeddings)
+      .select(col("vec_id") +:
+        (0 until Similarity.PqSubspaces)
+          .map(s => element_at(col("codes"), s + 1).as(s"code_$s")) :+
+        col("recon_err"): _*)
+      .orderBy("vec_id")
+
+  /** A double emitted as a SQL literal DuckDB types as DOUBLE. A plain
+    * decimal literal ("-0.07921218128118823") parses as DECIMAL(38,x)
+    * and reaches double through a SECOND rounding — measured 1-ulp off
+    * on ~14% of the PQ codebook. E-notation literals parse directly as
+    * DOUBLE; 18 significant digits always round-trip. */
+  private def sqlDouble(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
+
+  /** Codebook as one nested SQL list literal cb[sub][code][d] — the
+    * SAME normalized doubles the Spark plan embeds, in DOUBLE-typed
+    * E-notation. */
+  private val pqCodebookSql: String =
+    (0 until Similarity.PqSubspaces).map { s =>
+      (0 until Similarity.PqCodes).map { k =>
+        (0 until Similarity.PqSubDim)
+          .map(d => sqlDouble(Similarity.pqComponent(s, k, d)))
+          .mkString("[", ",", "]")
+      }.mkString("[", ",\n    ", "]")
+    }.mkString("[\n   ", ",\n   ", "]")
+
+  /** Shared oracle CTE: normalized embeddings and the 8 per-subspace
+    * distance arrays — the SQL twin of Similarity.pqStage. list_sum is a
+    * 0.0-seeded ascending fold, matching the Spark side's seeded
+    * left-reduce. */
+  private val pqStagedCte: String = {
+    val dCols = (0 until Similarity.PqSubspaces).map { s =>
+      val off = s * Similarity.PqSubDim
+      s"""list_transform(range(0, ${Similarity.PqCodes}), k ->
+         |    list_sum(list_transform(range(1, ${Similarity.PqSubDim + 1}),
+         |      i -> (ne[$off + i] - cb[${s + 1}][k + 1][i])
+         |         * (ne[$off + i] - cb[${s + 1}][k + 1][i])))) AS d$s""".stripMargin
+    }.mkString(",\n  ")
+    s"""cb AS (SELECT $pqCodebookSql AS cb),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |pn AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+       |  FROM e),
+       |ne AS (
+       |  SELECT vec_id, list_transform(emb, x -> x / nrm) AS ne FROM pn),
+       |d AS (
+       |  SELECT vec_id,
+       |  $dCols
+       |  FROM ne, cb)""".stripMargin
+  }
+
+  val q62Sql: String = {
+    val codeCols = (0 until Similarity.PqSubspaces)
+      .map(s => s"CAST(list_position(d$s, list_min(d$s)) - 1 AS BIGINT) AS code_$s")
+      .mkString(",\n  ")
+    val err = (0 until Similarity.PqSubspaces)
+      .map(s => s"list_min(d$s)").mkString("0.0 + ", " + ", "")
+    s"""WITH $pqStagedCte
+       |SELECT vec_id,
+       |  $codeCols,
+       |  $err AS recon_err
+       |FROM d ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q63
+  /** PQ-ADC two-stage top-5 for queries vec_id < 20: stage 1 ranks the
+    * code-only corpus by ADC lookups and keeps 50 candidates per query;
+    * stage 2 exact-cosine re-ranks only those pairs — the production
+    * PQ shape (coarse 4-bit codes filter, exact math on 50/499 of the
+    * corpus). The oracle reuses the staged CTE — a query row's distance
+    * arrays ARE its ADC lookup tables. PqSpec asserts recall vs brute
+    * force. */
+  def q63PqAdcKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.pqAdcKnn(e, e.filter(col("vec_id") < 20), k = 5, rerank = 50)
+      .orderBy("query_id", "rank")
+  }
+
+  val q63Sql: String = {
+    val posCols = (0 until Similarity.PqSubspaces)
+      .map(s => s"CAST(list_position(d$s, list_min(d$s)) AS INT)")
+      .mkString("[", ", ", "]")
+    val adc = (0 until Similarity.PqSubspaces)
+      .map(s => s"q.d$s[c.pos[${s + 1}]]").mkString("0.0 + ", " + ", "")
+    s"""WITH $pqStagedCte,
+       |c AS (SELECT vec_id, $posCols AS pos FROM d),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $adc AS adc_dist
+       |  FROM d q JOIN c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 20),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist ASC, neighbor_id) AS pr
+       |    FROM adc)
+       |  WHERE pr <= 50),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.emb[i] * c2.emb[i]))
+       |      / (q.nrm * c2.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN pn q ON q.vec_id = cand.query_id
+       |  JOIN pn c2 ON c2.vec_id = cand.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_embed_neardup" -> (q44EmbedNearDup _),
     "q45_dedup_canonical" -> (q45DedupCanonical _),
@@ -366,7 +493,9 @@ object SimilarityQueries {
     "q42_knn_lsh"     -> (q42KnnLsh _),
     "q42b_knn_lsh_multiprobe" -> (q42bKnnLshMultiProbe _),
     "q43_knn_ivf"     -> (q43KnnIvf _),
-    "q43b_knn_ivf_det" -> (q43bKnnIvfDet _)
+    "q43b_knn_ivf_det" -> (q43bKnnIvfDet _),
+    "q62_pq_encode"   -> (q62PqEncode _),
+    "q63_pq_adc_knn"  -> (q63PqAdcKnn _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -378,6 +507,8 @@ object SimilarityQueries {
     "q42_knn_lsh"     -> q42Sql,
     "q42b_knn_lsh_multiprobe" -> q42bSql,
     "q43b_knn_ivf_det" -> q43bSql,
-    "q44_embed_neardup" -> q44Sql
+    "q44_embed_neardup" -> q44Sql,
+    "q62_pq_encode"   -> q62Sql,
+    "q63_pq_adc_knn"  -> q63Sql
   )
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sf).embeddings
+
+  test("pq codes are in [0, PqCodes) and one per subspace") {
+    val enc = Similarity.pqEncode(emb).cache()
+    assert(enc.count() == emb.count())
+    assert(enc.filter(size(col("codes")) =!= Similarity.PqSubspaces).count() == 0)
+    val flat = enc.select(explode(col("codes")).as("c"))
+    assert(flat.filter(col("c") < 0 || col("c") >= Similarity.PqCodes).count() == 0)
+  }
+
+  test("identical vectors encode to identical codes; recon_err is finite and >= 0") {
+    val dup = emb.limit(1).select(lit(99999L).as("vec_id"), col("embedding"), col("label"))
+    val enc = Similarity.pqEncode(emb.unionByName(dup))
+    val a = enc.filter(col("vec_id") === emb.first().getAs[Long]("vec_id"))
+      .select("codes").as[Seq[Long]].head()
+    val b = enc.filter(col("vec_id") === 99999L).select("codes").as[Seq[Long]].head()
+    assert(a == b)
+    assert(enc.filter(col("recon_err") < 0 || isnan(col("recon_err"))).count() == 0)
+  }
+
+  test("adc knn: contiguous ranks, no self pairs, deterministic across runs") {
+    val qs = emb.filter(col("vec_id") < 10)
+    val r1 = Similarity.pqAdcKnn(emb, qs, 5).collect().toSet
+    val r2 = Similarity.pqAdcKnn(emb, qs, 5).collect().toSet
+    assert(r1 == r2)
+    assert(r1.size == 50)
+    assert(r1.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("adc knn recall vs brute force: raw beats chance, re-ranked recovers most") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(emb, qs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // raw 4-bit-code ranking: coarse by construction on near-orthogonal
+    // random vectors — only pin "clearly better than chance" (~0.10)
+    val adc = Similarity.pqAdcKnn(emb, qs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rawRecall = (exact & adc).size.toDouble / exact.size
+    assert(rawRecall > 0.12, s"raw recall=$rawRecall")
+    // the production two-stage shape: 50 ADC candidates + exact re-rank
+    val reranked = Similarity.pqAdcKnn(emb, qs, 5, rerank = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & reranked).size.toDouble / exact.size
+    assert(recall > rawRecall, s"rerank $recall should beat raw $rawRecall")
+    assert(recall > 0.5, s"reranked recall=$recall")
+  }
+
+  test("adc distance approximates true normalized-L2 distance") {
+    // ADC(q, c) should correlate with 2-2cos(q, c); spot-check that for
+    // one query the ADC-nearest neighbor is within the true top half
+    val qs = emb.filter(col("vec_id") === 0)
+    val exactRank = Similarity.bruteForceKnn(emb, qs, 1000)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    val top = Similarity.pqAdcKnn(emb, qs, 1).select("neighbor_id").as[Long].head()
+    val n = exactRank.size
+    assert(exactRank(top) <= n / 2, s"adc top-1 ranks ${exactRank(top)} of $n in truth")
+  }
+}
