@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.MlQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.MlQueries.oracles ++
-      graft.queries.MultimodalQueries.oracles
+      graft.queries.MultimodalQueries.oracles ++
+      graft.queries.SketchQueries.oracles
 }

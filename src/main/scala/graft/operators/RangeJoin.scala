@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned range join: match points `p` to intervals `[start, end)`
+  * without an equality key.
+  *
+  * Spark plans a bare inequality join (`start <= p AND p < end`) as
+  * BroadcastNestedLoopJoin — O(|points|·|intervals|) comparisons, the
+  * canonical 100 TB scale-killer. This operator restores an equi-join:
+  * quantize the axis into fixed bins, explode each interval into the
+  * bins it covers, hash-join points on their single containing bin, then
+  * apply the exact range predicate. Each (interval, point) match pair
+  * arises in EXACTLY one bin — the point's — so the join needs no
+  * post-dedup shuffle (same argument as the LSH band join in Dedup).
+  *
+  * Cost model: interval side inflates by `ceil(len/bin)+1` rows; the
+  * join is one shuffle on `_bin` (or a broadcast if the interval side is
+  * small). Pick `binWidth` ≈ the typical interval length so the
+  * inflation factor stays ~2 and each bin's population stays bounded —
+  * at 100 TB the bin key partitions uniformly when the axis is time and
+  * events arrive continuously. A pathological bin (flash-crowd second)
+  * is an AQE skew-join case, same remedy as any hot key.
+  */
+object RangeJoin {
+
+  /** @param points    frame carrying `ptCol` (long axis, e.g. epoch-ns)
+    * @param intervals frame carrying `startCol`/`endCol` (end EXCLUSIVE)
+    * @param binWidth  axis quantum, same unit as the columns
+    * @param maxBinsPerInterval hard guard: an interval longer than
+    *   `binWidth × maxBinsPerInterval` means the caller mis-sized the
+    *   bins (the explode would amplify storage); fail loudly, at plan
+    *   time on literals and at run time on data. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      ptCol: Column, startCol: Column, endCol: Column,
+                      binWidth: Long,
+                      maxBinsPerInterval: Int = 64): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val firstBin = floorDiv(startCol, binWidth)
+    // end is exclusive: an interval ending exactly on a bin edge does
+    // not reach into that bin
+    val lastBin = floorDiv(endCol - 1, binWidth)
+    val guarded = when(lastBin - firstBin >= maxBinsPerInterval,
+      raise_error(concat(lit(s"rangeJoin: interval spans > $maxBinsPerInterval bins; "),
+        lit("raise binWidth or split the interval"))))
+      .otherwise(lastBin)
+    val exploded = intervals.withColumn("_bin",
+      explode(sequence(firstBin, guarded)))
+    val binned = points.withColumn("_bin", floorDiv(ptCol, binWidth))
+    binned.join(exploded,
+      binned("_bin") === exploded("_bin") &&
+        startCol <= ptCol && ptCol < endCol)
+      .drop("_bin")
+  }
+
+  /** Long floor-division as a Column. Must stay in INTEGRAL division:
+    * epoch-ns values (~1.7e18) exceed 2^53, where a double `/` loses
+    * ulps. `div` truncates toward zero; axis values here are epoch
+    * offsets ≥ 0 so truncation == floor. */
+  private def floorDiv(c: Column, d: Long): Column =
+    call_function("div", c, lit(d))
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.md5Hash60
+
+/** Distributed sketch operators: HyperLogLog distinct counting and a
+  * Bloom-filter membership pre-filter.
+  *
+  * Both follow this engine's determinism discipline (ARCHITECTURE.md):
+  * every hash is an md5 slice with integer arithmetic, so the sketches
+  * are reproducible across partitionings, engine versions, AND engines —
+  * the identical sketch is expressible in ANSI SQL, which is what makes
+  * q64/q65 hash-checkable against DuckDB. Spark's built-ins
+  * (`approx_count_distinct` = HLL++, AQE's runtime bloom filter) cover
+  * the same ground faster but their bit layouts are engine-internal;
+  * these operators exist for when the sketch itself must be a portable,
+  * auditable artifact (e.g. a dedup census shipped between engines).
+  *
+  * Scale shape (the reason sketches exist at all): a 100 TB exact
+  * `count(distinct)` shuffles every distinct value; the HLL here shuffles
+  * AT MOST `groups × 256` rows after map-side partial aggregation, and
+  * the bloom pre-filter turns an arbitrarily large build side into a
+  * ≤ m-row broadcast of set bit positions.
+  */
+object Sketches {
+
+  /** HLL precision: p = 8 → m = 256 buckets, relative error
+    * ≈ 1.04/√256 ≈ 6.5%. The md5 slice yields 60 usable bits: 8 route
+    * to the bucket, the remaining 52 feed the leading-zero rank. */
+  val HllBuckets = 256
+  private val HllRankWidth = 53 // rank ∈ [1, 53]: 52 hash bits + "all zero"
+
+  /** α_m·m²·2^53 for m=256 — the bias constant of Flajolet et al. 2007
+    * ("HyperLogLog: the analysis of a near-optimal cardinality
+    * estimation algorithm", public), pre-scaled by 2^53 because the
+    * register sum below is kept as an EXACT long (see `hllDistinct`).
+    * Computed once driver-side; the double literal round-trips exactly
+    * through the plan and the oracle SQL. */
+  val HllAlphaScaled: Double =
+    0.7213 / (1.0 + 1.079 / HllBuckets) * HllBuckets.toDouble *
+      HllBuckets.toDouble * 9007199254740992.0 // 2^53
+
+  /** Per-group HLL distinct estimate of `valueCol` (any type; cast to
+    * string for hashing). Returns one row per group:
+    * `groupCols* , hll_distinct (double), hll_buckets_used (long)`.
+    *
+    * Register sums are EXACT: each register M_j contributes the integer
+    * `2^(53 − M_j)`, so Σ ≤ 256·2^53 < 2^62 fits a long and the sum is
+    * order-independent — no float fold to pin. The only float ops are
+    * one division (and one `ln` on the linear-counting branch), applied
+    * to exact integers, so both engines round identically; `round(…,4)`
+    * absorbs the ≤1-ulp libm `ln` difference (q49's discipline).
+    *
+    * Plan shape: one narrow hash pass → partial-agg `max` per
+    * (group, bucket) — the map-side combine reduces each task's output
+    * to ≤ groups×256 rows regardless of input size — → a tiny
+    * 256-row-per-group final agg. The empty-bucket fill joins a
+    * `groups × 256` generated frame, all post-reduction. */
+  def hllDistinct(df: DataFrame, valueCol: Column, groupCols: Seq[String],
+                  salt: String = "hll"): DataFrame = {
+    val g = groupCols.map(col)
+    val h = md5Hash60(concat(lit(salt + "|"), valueCol.cast("string")))
+    val hashed = df.select(g :+ h.as("h"): _*)
+      .select(g ++ Seq(
+        (col("h") % HllBuckets).as("bucket"),
+        expr(s"h DIV $HllBuckets").as("w")): _*) // integer div: 52-bit remainder
+    // rank of the leftmost 1-bit in the 52-bit window; bin() emits no
+    // leading zeros in both engines, so bit_length = length(bin(w))
+    val rank = when(col("w") === 0, lit(HllRankWidth))
+      .otherwise(lit(HllRankWidth) - length(bin(col("w"))))
+    val regs = hashed
+      .select(g ++ Seq(col("bucket"), rank.as("rho")): _*)
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(max("rho").as("m"))
+    // every group × every bucket, so empty registers count as M=0
+    val buckets = regs.select(g: _*).distinct()
+      .select(g :+ explode(sequence(lit(0L), lit(HllBuckets - 1L))).as("bucket"): _*)
+    val filled = buckets.join(regs, groupCols :+ "bucket", "left")
+      .withColumn("m", coalesce(col("m"), lit(0)))
+    val agg = filled.groupBy(g: _*).agg(
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRankWidth} - m)")).as("s"),
+      sum(when(col("m") === 0, 1L).otherwise(0L)).as("zeros"),
+      sum(when(col("m") > 0, 1L).otherwise(0L)).as("hll_buckets_used"))
+    // raw estimate; linear counting below the standard 2.5m threshold
+    val raw = lit(HllAlphaScaled) / col("s").cast("double")
+    val est = when(raw <= lit(2.5 * HllBuckets) && col("zeros") > 0,
+      lit(HllBuckets.toDouble) *
+        log(lit(HllBuckets.toDouble) / col("zeros").cast("double")))
+      .otherwise(raw)
+    agg.select(g ++ Seq(round(est, 4).as("hll_distinct"),
+      col("hll_buckets_used")): _*)
+  }
+
+  // ---------------------------------------------------------- JVM twin
+  // The same register math as `hllDistinct`, as plain JVM functions —
+  // the streaming operator (EventStreams.streamingHllDistinct) keeps a
+  // 256-byte register array as flatMapGroupsWithState state and must
+  // produce BIT-IDENTICAL estimates to the batch column formulation.
+
+  /** JVM twin of TextFunctions.md5Hash60: first 15 hex digits of md5 as
+    * a 60-bit long. */
+  private[graft] def md5Hash60Jvm(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Fold one value into a 256-register array (mutates `regs`).
+    * `key` must already carry the salt prefix (`"hll|" + value`). */
+  def hllUpdate(regs: Array[Byte], key: String): Unit = {
+    val h = md5Hash60Jvm(key)
+    val bucket = (h % HllBuckets).toInt
+    val w = h / HllBuckets
+    val rho = if (w == 0) HllRankWidth
+      else HllRankWidth - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+  }
+
+  /** Estimate from a register array — mirrors the column math operation
+    * for operation: exact long register sum, one double division, the
+    * linear-counting branch, and Spark's HALF_UP round(…,4) (which goes
+    * through BigDecimal.valueOf, i.e. the shortest-decimal double
+    * representation — `new BigDecimal(double)` would round differently). */
+  def hllEstimate(regs: Array[Byte]): Double = {
+    var s = 0L; var zeros = 0
+    regs.foreach { m =>
+      s += 1L << (HllRankWidth - m)
+      if (m == 0) zeros += 1
+    }
+    val raw = HllAlphaScaled / s.toDouble
+    val est = if (raw <= 2.5 * HllBuckets && zeros > 0)
+      HllBuckets.toDouble * math.log(HllBuckets.toDouble / zeros)
+    else raw
+    java.math.BigDecimal.valueOf(est)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** Bloom-filter geometry: m bits, k hash functions. k=3 and m=4096
+    * give a false-positive rate ≈ (1−e^{−kn/m})^k ≈ 0.1% at n=500 keys;
+    * both knobs are per-call so a 100 TB build side sizes m to its n. */
+  val BloomBits = 4096
+  val BloomHashes = 3
+
+  /** The filter itself: the DISTINCT set bit positions of `keyCol` over
+    * `build` — at most `min(k·n, m)` rows of one int column. THIS is
+    * what makes the operator scale: the build side may be arbitrarily
+    * large, but the artifact that ships to the probe side is ≤ m rows
+    * (a few KB), always broadcastable. */
+  def bloomBuild(build: DataFrame, keyCol: Column,
+                 bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame =
+    build.select(explode(array((0 until hashes).map(i =>
+      md5Hash60(concat(lit(s"bloom$i|"), keyCol.cast("string"))) % bits): _*))
+      .as("pos")).distinct()
+
+  /** Probe: marks each row of `probe` with `bloom_pass` — true iff ALL k
+    * bit positions of `keyCol` are set in `filter` (no false negatives,
+    * by construction). One broadcast LEFT join per hash function against
+    * the ≤ m-row position set: no shuffle of the probe side, no row
+    * explosion, and the joins stay inside whole-stage codegen. */
+  def bloomProbe(probe: DataFrame, keyCol: Column, filter: DataFrame,
+                 bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame = {
+    val marked = (0 until hashes).foldLeft(probe) { (df, i) =>
+      val f = broadcast(filter.select(col("pos").as(s"_p$i"),
+        lit(true).as(s"_hit$i")))
+      df.join(f,
+        md5Hash60(concat(lit(s"bloom$i|"), keyCol.cast("string"))) % bits
+          === col(s"_p$i"), "left")
+        .drop(s"_p$i")
+    }
+    val pass = (0 until hashes).map(i => col(s"_hit$i").isNotNull)
+      .reduce(_ && _)
+    marked.withColumn("bloom_pass", pass)
+      .drop((0 until hashes).map(i => s"_hit$i"): _*)
+  }
+}

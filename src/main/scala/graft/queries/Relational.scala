@@ -585,6 +585,58 @@ object Relational {
       |     EXCEPT SELECT s_nationkey FROM supplier))
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** Unkeyed range join via binning: purchases landing inside the
+    * 10-minute window after each error event. There is NO equality key
+    * — Spark's naive plan for `w_start <= p_ts < w_end` is a
+    * BroadcastNestedLoopJoin over every (error, purchase) pair.
+    * `RangeJoin.pointInInterval` restores a hash join on a quantized
+    * time bin (bin = window length → each window spans ≤ 2 bins, each
+    * purchase hashes to exactly 1), which is the shape that survives a
+    * 100 TB event log. The LEFT join back to errors keeps zero-match
+    * windows so the output is one row per error, audit-style. */
+  def q56RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val windowNs = 600000000000L // 10 min
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        col("ts_ns").as("w_start"),
+        (col("ts_ns") + windowNs).as("w_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts_ns").as("p_ts"))
+    val matched = graft.operators.RangeJoin.pointInInterval(
+      purchases, errors,
+      col("p_ts"), col("w_start"), col("w_end"), binWidth = windowNs)
+      .groupBy("error_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        min("p_id").as("first_purchase_id"))
+    errors.select("error_id").join(matched, Seq("error_id"), "left")
+      .select(col("error_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        col("first_purchase_id"))
+      .orderBy("error_id")
+  }
+
+  /** The oracle states the SEMANTICS (plain inequality join — DuckDB's
+    * IEJoin handles it natively); the Spark side is the binned plan. */
+  val q56Sql: String =
+    """WITH e AS (
+      |  SELECT event_id AS error_id, epoch_ns(ts) AS w_start,
+      |    epoch_ns(ts) + 600000000000 AS w_end
+      |  FROM events WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT event_id AS p_id, epoch_ns(ts) AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT error_id, count(*) AS n_purchases,
+      |    min(p_id) AS first_purchase_id
+      |  FROM e JOIN p ON w_start <= p_ts AND p_ts < w_end
+      |  GROUP BY 1)
+      |SELECT e.error_id,
+      |  CAST(coalesce(m.n_purchases, 0) AS BIGINT) AS n_purchases,
+      |  m.first_purchase_id
+      |FROM e LEFT JOIN m USING (error_id) ORDER BY error_id""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
@@ -602,6 +654,7 @@ object Relational {
     "q13_hourly_rollup"       -> (q13HourlyRollup _),
     "q14_sessionize"          -> (q14Sessionize _),
     "q55_asof_join"           -> (q55AsofJoin _),
+    "q56_range_join"          -> (q56RangeJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
     "q16_pivot"               -> (q16Pivot _),
     "q17_window_suite"        -> (q17WindowSuite _),
@@ -629,6 +682,7 @@ object Relational {
     "q13_hourly_rollup"       -> q13Sql,
     "q14_sessionize"          -> q14Sql,
     "q55_asof_join"           -> q55Sql,
+    "q56_range_join"          -> q56Sql,
     "q15_json_extract"        -> q15Sql,
     "q16_pivot"               -> q16Sql,
     "q17_window_suite"        -> q17Sql,

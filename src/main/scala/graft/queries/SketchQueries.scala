@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.whitespaceTokens
+import graft.operators.Sketches
+
+/** Sketch and chunking queries: HyperLogLog distinct (q64), bloom-filter
+  * membership pre-filter (q65), and fixed-window document chunking with
+  * stride (q57). All three are fully oracle-checked — the sketches'
+  * md5-integer discipline (see Sketches.scala) makes even the
+  * "approximate" estimates bit-reproducible in DuckDB.
+  */
+object SketchQueries {
+
+  // ---------------------------------------------------------------- q57
+  /** Fixed-window chunking with overlap — the inverse of q54's packing:
+    * long documents become (chunk_len=32, stride=24)-token windows, the
+    * standard preprocessing for embedding models / RAG indexing where a
+    * doc exceeds the encoder's context. Pure per-row explode: no
+    * shuffle at all until the presentation sort, so at 100 TB it is one
+    * narrow pass whose output feeds the embedding stage directly. The
+    * last window keeps its natural short length (no padding) and a doc
+    * shorter than one window emits exactly one chunk. */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  def q57DocChunk(spark: SparkSession, dir: String): DataFrame = {
+    // integer ceil-division: DIV keeps both engines in exact long math
+    val nChunks = expr(s"(greatest(size(toks) - $ChunkLen, 0)" +
+      s" + ${ChunkStride - 1}) DIV $ChunkStride + 1")
+    val start = (col("chunk_id") * ChunkStride).cast("int")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), whitespaceTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), start + 1, lit(ChunkLen)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** `(greatest(n−len,0) + stride−1) // stride + 1` = number of stride
+    * steps to cover the tail, +1 for the first window — same integer
+    * form in both engines. DuckDB list slice `l[a:b]` is 1-based
+    * end-INCLUSIVE and clamps past the end, matching Spark's
+    * `slice(l, a, len)` for `b = a + len − 1`. */
+  val q57Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0,
+       |      (greatest(n - $ChunkLen, 0) + ${ChunkStride - 1}) // $ChunkStride
+       |        + 1)) AS chunk_id
+       |  FROM n)
+       |SELECT doc_id, chunk_id,
+       |  CAST(len(toks[chunk_id * $ChunkStride + 1 :
+       |    chunk_id * $ChunkStride + $ChunkLen]) AS BIGINT) AS n_tokens,
+       |  array_to_string(toks[chunk_id * $ChunkStride + 1 :
+       |    chunk_id * $ChunkStride + $ChunkLen], ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** HLL distinct parts per return flag, next to the exact count the
+    * small SF can still afford. At 100 TB the exact branch is the one
+    * that dies (it shuffles every distinct value); the HLL branch
+    * shuffles ≤ 3×256 register rows after map-side combine. The
+    * estimate itself is oracle-checked bit-for-bit — registers are
+    * exact integers, see Sketches.hllDistinct. */
+  def q64HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val hll = Sketches.hllDistinct(li, col("l_partkey"), Seq("l_returnflag"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("exact_distinct"))
+    hll.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("hll_distinct"),
+        col("hll_buckets_used"), col("exact_distinct"),
+        round(abs(col("hll_distinct") - col("exact_distinct")) /
+          col("exact_distinct").cast("double"), 4).as("rel_err"))
+      .orderBy("l_returnflag")
+  }
+
+  val q64Sql: String = {
+    val m = Sketches.HllBuckets
+    s"""WITH h AS (
+       |  SELECT l_returnflag,
+       |    CAST(('0x' || substr(md5('hll|' || CAST(l_partkey AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, h % $m AS bucket,
+       |    max(CASE WHEN h // $m = 0 THEN 53
+       |        ELSE 53 - length(bin(h // $m)) END) AS m
+       |  FROM h GROUP BY 1, 2),
+       |filled AS (
+       |  SELECT g.l_returnflag, b.bucket, coalesce(r.m, 0) AS m
+       |  FROM (SELECT DISTINCT l_returnflag FROM h) g
+       |  CROSS JOIN range(0, $m) b(bucket)
+       |  LEFT JOIN r ON r.l_returnflag = g.l_returnflag AND r.bucket = b.bucket),
+       |agg AS (
+       |  SELECT l_returnflag,
+       |    sum(CAST(1 AS BIGINT) << (53 - m)) AS s,
+       |    sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS zeros,
+       |    CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hll_buckets_used
+       |  FROM filled GROUP BY 1),
+       |est AS (
+       |  SELECT l_returnflag, hll_buckets_used,
+       |    round(CASE WHEN ${Sketches.HllAlphaScaled} / CAST(s AS DOUBLE)
+       |                    <= ${2.5 * m} AND zeros > 0
+       |      THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |      ELSE ${Sketches.HllAlphaScaled} / CAST(s AS DOUBLE) END, 4)
+       |      AS hll_distinct
+       |  FROM agg),
+       |exact AS (
+       |  SELECT l_returnflag,
+       |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+       |  FROM lineitem GROUP BY 1)
+       |SELECT e.l_returnflag, hll_distinct, hll_buckets_used, exact_distinct,
+       |  round(abs(hll_distinct - exact_distinct) / CAST(exact_distinct AS DOUBLE), 4)
+       |    AS rel_err
+       |FROM est e JOIN exact USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q65
+  /** Bloom pre-filtered membership census: large parts (p_size ≥ 45)
+    * form the build side; every lineitem row is bloom-probed and then
+    * exactly verified, and the query reports the confusion counts. The
+    * interesting row is `n_false_neg = 0` (structural bloom guarantee,
+    * now oracle-checked) and a measured false-positive count. In a real
+    * pipeline the bloom gate drops ~90% of probe rows before the exact
+    * join ever shuffles; here both branches run to census the filter
+    * itself. (For pure perf Spark's AQE runtime bloom filter does this
+    * automatically — this operator is the portable, auditable form.) */
+  def q65BloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val build = t.part.filter(col("p_size") >= 45).select("p_partkey")
+    val filter = Sketches.bloomBuild(build, col("p_partkey"))
+    val probed = Sketches.bloomProbe(
+      t.lineitem.select("l_orderkey", "l_linenumber", "l_partkey"),
+      col("l_partkey"), filter)
+    val withTruth = probed.join(
+      broadcast(build.select(col("p_partkey"), lit(true).as("_present"))),
+      col("l_partkey") === col("p_partkey"), "left")
+      .withColumn("present", col("_present").isNotNull)
+    withTruth.agg(
+      count(lit(1)).as("n_probe"),
+      sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+      sum(when(col("present"), 1L).otherwise(0L)).as("n_present"),
+      sum(when(col("bloom_pass") && !col("present"), 1L).otherwise(0L))
+        .as("n_false_pos"),
+      sum(when(col("present") && !col("bloom_pass"), 1L).otherwise(0L))
+        .as("n_false_neg"))
+  }
+
+  val q65Sql: String = {
+    val m = Sketches.BloomBits
+    s"""WITH build AS (
+       |  SELECT p_partkey FROM part WHERE p_size >= 45),
+       |pos AS (
+       |  SELECT DISTINCT
+       |    CAST(('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || '|'
+       |      || CAST(p_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % $m AS pos
+       |  FROM build, range(0, ${Sketches.BloomHashes}) t(i)),
+       |ph AS (
+       |  SELECT l_partkey,
+       |${(0 until Sketches.BloomHashes).map(i =>
+        s"    CAST(('0x' || substr(md5('bloom$i|' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % $m AS pp$i")
+        .mkString("", ",\n", "")}
+       |  FROM lineitem),
+       |f AS (
+       |  SELECT ${(0 until Sketches.BloomHashes)
+        .map(i => s"pp$i IN (SELECT pos FROM pos)").mkString(" AND ")}
+       |      AS bloom_pass,
+       |    l_partkey IN (SELECT p_partkey FROM build) AS present
+       |  FROM ph)
+       |SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       |  CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       |  CAST(sum(CASE WHEN bloom_pass AND NOT present THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_false_pos,
+       |  CAST(sum(CASE WHEN present AND NOT bloom_pass THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_false_neg
+       |FROM f""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_doc_chunk" -> q57DocChunk,
+    "q64_hll_distinct" -> q64HllDistinct,
+    "q65_bloom_semijoin" -> q65BloomSemijoin)
+
+  val oracles: Map[String, String] = Map(
+    "q57_doc_chunk" -> q57Sql,
+    "q64_hll_distinct" -> q64Sql,
+    "q65_bloom_semijoin" -> q65Sql)
+}

@@ -65,6 +65,62 @@ object EventStreams {
         col("click_ts"), col("purchase_value"))
   }
 
+  // ------------------------------------------- streaming distinct (HLL)
+
+  case class UserEvent(ts: Timestamp, event_type: String, user_id: Long)
+  case class HllWinState(regs: Array[Byte])
+  case class HllOut(window_start: Timestamp, event_type: String,
+                    hll_distinct: Double)
+
+  /** Windowed approximate distinct users per event type — the streaming
+    * twin of Sketches.hllDistinct, and the reason HLL matters in a
+    * stream: exact streaming `count(distinct)` needs state linear in
+    * the distinct set, while this holds EXACTLY 256 bytes per open
+    * (window × type) regardless of traffic. The register math is the
+    * shared JVM kernel (Sketches.hllUpdate/hllEstimate), so a closed
+    * window's estimate is bit-identical to the batch sketch over the
+    * same rows — asserted in StreamingHllSpec, and the property that
+    * makes a lambda architecture (stream serving + batch backfill)
+    * reconcile without epsilon tolerances.
+    *
+    * Emission is on event-time timeout: a window's estimate is final
+    * once the watermark passes its end (same late-data policy as the
+    * built-in windowed aggs). A straggler arriving after emission
+    * re-opens a partial window clamped to `watermark + 1` — it emits a
+    * supplementary row rather than silently dropping, and the sink
+    * dedupes on (window_start, event_type) if it wants exactly-once. */
+  def streamingHllDistinct(events: Dataset[UserEvent],
+                           windowMillis: Long = 60 * 60 * 1000L,
+                           watermark: String = "2 hours")
+                          (implicit spark: SparkSession): Dataset[HllOut] = {
+    import spark.implicits._
+    import graft.operators.Sketches
+
+    def update(key: (Long, String), rows: Iterator[UserEvent],
+               state: GroupState[HllWinState]): Iterator[HllOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(
+          HllOut(new Timestamp(key._1), key._2, Sketches.hllEstimate(s.regs)))
+      }
+      val regs = state.getOption.map(_.regs)
+        .getOrElse(new Array[Byte](Sketches.HllBuckets))
+      rows.foreach(e => Sketches.hllUpdate(regs, "hll|" + e.user_id))
+      state.update(HllWinState(regs))
+      state.setTimeoutTimestamp(
+        math.max(key._1 + windowMillis, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e =>
+        (Math.floorDiv(e.ts.getTime, windowMillis) * windowMillis, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   // ------------------------------------------------- stateful sessions
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

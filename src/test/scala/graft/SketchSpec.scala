@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+import graft.queries.SketchQueries
+
+/** Sketches (HLL, bloom) and chunking: structural guarantees the oracle
+  * hash-check can't express — HLL error bounds across cardinalities,
+  * bloom's zero-false-negative invariant at adversarial load, chunk
+  * reassembly. */
+class SketchSpec extends SparkSpec {
+
+  test("hllDistinct estimates within theoretical error across magnitudes") {
+    // 1.04/sqrt(256) ≈ 6.5% standard error; assert 3σ ≈ 20%
+    for (n <- Seq(50, 500, 5000)) {
+      val df = spark.range(n.toLong).select(
+        lit("g").as("g"), concat(lit("v"), col("id")).as("v"))
+      val est = Sketches.hllDistinct(df, col("v"), Seq("g"))
+        .select("hll_distinct").head().getDouble(0)
+      assert(math.abs(est - n) / n < 0.20,
+        s"n=$n est=$est err=${math.abs(est - n) / n}")
+    }
+  }
+
+  test("hllDistinct is exactly insensitive to duplication and row order") {
+    val base = spark.range(300).select(
+      lit("g").as("g"), concat(lit("v"), col("id")).as("v"))
+    val dup = base.union(base).union(base)
+      .orderBy(md5(col("v"))) // shuffle the row order too
+    val e1 = Sketches.hllDistinct(base, col("v"), Seq("g"))
+      .select("hll_distinct").head().getDouble(0)
+    val e2 = Sketches.hllDistinct(dup, col("v"), Seq("g"))
+      .select("hll_distinct").head().getDouble(0)
+    assert(e1 == e2) // bit-identical, not approximately equal
+  }
+
+  test("bloom has zero false negatives and a sane false-positive rate") {
+    val build = spark.range(500)
+      .select((col("id") * 7).as("k")) // sparse keys: most probes miss
+    val probe = spark.range(3500).select(col("id").as("k"))
+    val f = Sketches.bloomBuild(build, col("k"))
+    val marked = Sketches.bloomProbe(probe, col("k"), f)
+      .withColumn("present", col("k") % 7 === 0)
+    assert(marked.filter(col("present") && !col("bloom_pass")).count() == 0)
+    val misses = marked.filter(!col("present"))
+    val fp = marked.filter(!col("present") && col("bloom_pass")).count()
+    // k=3, m=4096, n=500 → theoretical fp ≈ 0.1%; assert well under 5%
+    assert(fp.toDouble / misses.count() < 0.05, s"fp=$fp")
+  }
+
+  test("bloom probe plan broadcasts and adds no shuffle") {
+    val build = spark.range(100).select(col("id").as("k"))
+    val probe = spark.range(1000).select(col("id").as("k"))
+    val plan = Sketches.bloomProbe(probe, col("k"),
+      Sketches.bloomBuild(build, col("k")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q57 chunks reassemble to the original token stream") {
+    val chunks = SketchQueries.q57DocChunk(spark, sf)
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // stride-prefix of each chunk (all but the last, which keeps its
+    // tail) concatenated in chunk order == the original token array
+    val rebuilt = chunks
+      .withColumn("toks", split(col("chunk_text"), " "))
+      .withColumn("last",
+        col("chunk_id") === max("chunk_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("keep", when(col("last"), col("toks"))
+        .otherwise(slice(col("toks"), 1, SketchQueries.ChunkStride)))
+      .groupBy("doc_id")
+      .agg(flatten(sort_array(collect_list(
+        struct(col("chunk_id"), col("keep"))))
+        .getField("keep")).as("rebuilt"))
+    val bad = rebuilt.join(docs, "doc_id")
+      .filter(col("rebuilt") =!= col("toks")).count()
+    assert(bad == 0)
+    // window law: every chunk but the last in its doc is exactly full
+    val short = chunks
+      .withColumn("last",
+        col("chunk_id") === max("chunk_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(!col("last") && col("n_tokens") =!= SketchQueries.ChunkLen)
+      .count()
+    assert(short == 0)
+  }
+
+  test("q64/q65 run green on testdata with expected invariants") {
+    val hll = SketchQueries.q64HllDistinct(spark, sf).collect()
+    assert(hll.nonEmpty)
+    hll.foreach { r =>
+      val err = r.getAs[Double]("rel_err")
+      assert(err < 0.20, s"rel_err=$err")
+    }
+    val bloom = SketchQueries.q65BloomSemijoin(spark, sf).head()
+    assert(bloom.getAs[Long]("n_false_neg") == 0L)
+    assert(bloom.getAs[Long]("n_pass") >= bloom.getAs[Long]("n_present"))
+  }
+}
