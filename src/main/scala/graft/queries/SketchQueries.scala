@@ -191,13 +191,81 @@ object SketchQueries {
        |FROM f""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q66
+  /** Histogram-quantile sketch: p50/p90/p99 of l_extendedprice per
+    * return flag from a fixed-width histogram — the mergeable quantile
+    * sketch. An exact distributed quantile needs a global sort (or
+    * per-group collect); the histogram needs ONE map-side-combined
+    * shuffle of ≤ groups×bins count rows, mergeable across any data
+    * split, which is what a 100 TB percentile dashboard runs. Within-bin
+    * linear interpolation; error bounded by bin width. Every arithmetic
+    * step (floor-div binning, integer cumulative counts, `lo +
+    * width·(t−cb)/c` with a single rounding per op in fixed order) is
+    * reproduced by the oracle, so the ESTIMATE hash-matches, not just
+    * sane-matches. */
+  val HistWidth = 100.0 // dollars per bin; prices ~[900, 105k) → ~1k bins
+  val HistQuantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  def q66QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(spark, dir).lineitem
+    val hist = li
+      .groupBy(col("l_returnflag"),
+        floor(col("l_extendedprice") / HistWidth).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("l_returnflag").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("l_returnflag")))
+    cum.crossJoin(
+      spark.range(1).select(explode(array(HistQuantiles.map(lit): _*)).as("q")))
+      .withColumn("target", floor(col("q") * col("n")) + 1)
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("c") < col("target"))
+      .select(col("l_returnflag"), col("q"),
+        (col("bin") * HistWidth +
+          (lit(HistWidth) * (col("target") - (col("cum") - col("c")))) /
+            col("c")).as("quantile_est"),
+        col("n").as("n_rows"))
+      .orderBy("l_returnflag", "q")
+  }
+
+  val q66Sql: String = {
+    // CAST each q: a bare 0.9 parses as DECIMAL in DuckDB, and decimal
+    // q*n would floor differently from Spark's IEEE double product
+    val qs = HistQuantiles.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+    s"""WITH hist AS (
+       |  SELECT l_returnflag, floor(l_extendedprice / $HistWidth) AS bin,
+       |    count(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT l_returnflag, bin, c,
+       |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM hist),
+       |t AS (
+       |  SELECT cum.*, q, floor(q * n) + 1 AS target
+       |  FROM cum CROSS JOIN (SELECT unnest([$qs]) AS q) qq)
+       |SELECT l_returnflag, q,
+       |  bin * $HistWidth + ($HistWidth * (target - (cum - c))) / c
+       |    AS quantile_est,
+       |  CAST(n AS BIGINT) AS n_rows
+       |FROM t
+       |WHERE cum >= target AND cum - c < target
+       |ORDER BY l_returnflag, q""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_doc_chunk" -> q57DocChunk,
     "q64_hll_distinct" -> q64HllDistinct,
-    "q65_bloom_semijoin" -> q65BloomSemijoin)
+    "q65_bloom_semijoin" -> q65BloomSemijoin,
+    "q66_quantile_sketch" -> q66QuantileSketch)
 
   val oracles: Map[String, String] = Map(
     "q57_doc_chunk" -> q57Sql,
     "q64_hll_distinct" -> q64Sql,
-    "q65_bloom_semijoin" -> q65Sql)
+    "q65_bloom_semijoin" -> q65Sql,
+    "q66_quantile_sketch" -> q66Sql)
 }

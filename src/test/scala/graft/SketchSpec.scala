@@ -88,6 +88,28 @@ class SketchSpec extends SparkSpec {
     assert(short == 0)
   }
 
+  test("q66 histogram quantiles land within two bins of the exact value") {
+    val est = SketchQueries.q66QuantileSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = Tables(spark, sf).lineitem
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("p"))
+      .collect()
+      .flatMap { r =>
+        val ps = r.getAs[scala.collection.Seq[Double]]("p")
+        SketchQueries.HistQuantiles.zip(ps).map { case (q, v) =>
+          (r.getString(0), q) -> v }
+      }.toMap
+    assert(est.keySet == exact.keySet)
+    // ≤ 1 bin from the sketch itself, plus ≤ 1 more because the sketch
+    // reads rank ⌊qn⌋+1 while `percentile` interpolates at (n−1)·q —
+    // in a sparse tail those ranks can land in adjacent bins
+    est.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) <= 2 * SketchQueries.HistWidth,
+        s"$k: est $v vs exact ${exact(k)}")
+    }
+  }
+
   test("q64/q65 run green on testdata with expected invariants") {
     val hll = SketchQueries.q64HllDistinct(spark, sf).collect()
     assert(hll.nonEmpty)
