@@ -29,5 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pin the JVM zone too: tests assert with Timestamp.valueOf, which
   // reads the default zone — must agree with the session zone
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g default: the 65-query bench sweep GC-thrashes an 8g heap once
+  // the accumulated broadcast/codegen debris exceeds it (measured 728 s
+  // total vs 178 s at 24g; the box has 128 GiB). Tests fork the same
+  // options and are unaffected by the larger ceiling.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

@@ -49,6 +49,14 @@ object Bench {
         // so free them synchronously here, OUTSIDE the timed window.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        // Broadcast blocks and codegen classloaders are freed by the
+        // ContextCleaner only after a DRIVER GC notices they're
+        // unreachable. Across a 60+ query sweep the backlog grows until
+        // collection lands mid-query on whichever entry runs late in the
+        // sweep (measured: q64 3.5 s fresh vs 71 s as sweep query #63,
+        // with q51 298 s in the worst 8g-heap run). One explicit GC here,
+        // OUTSIDE the timed window, drains the backlog each iteration.
+        System.gc()
         dt
       } catch {
         case e: Throwable =>

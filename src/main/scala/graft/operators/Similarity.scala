@@ -286,24 +286,32 @@ object Similarity {
   private[graft] def pqComponent(sub: Int, code: Int, d: Int): Double =
     pqCodebook(sub)(code)(d)
 
-  /** 16 squared-L2 distances of subvector `sub` of normalized embedding
-    * `ne` to that subspace's codewords, as an array<double>. Codewords
-    * are plan literals; each distance is a 0.0-seeded ascending-dim sum
-    * (== DuckDB list_sum order, so argmins agree bit-for-bit). */
-  private def pqDistArray(ne: Column, sub: Int): Column =
-    array((0 until PqCodes).map { code =>
-      val terms = (0 until PqSubDim).map { d =>
-        val diff = element_at(ne, sub * PqSubDim + d + 1) -
-          lit(pqComponent(sub, code, d))
-        diff * diff
-      }
-      (lit(0.0) +: terms).reduce(_ + _)
+  /** Squared L2 norm of codeword (s,k) — a driver-side constant emitted
+    * verbatim (Double.toString round-trips) into both the plan and the
+    * oracle SQL, so its fold order is irrelevant to parity. */
+  private[graft] def pqCodewordNorm2(s: Int, k: Int): Double =
+    pqCodebook(s)(k).foldLeft(0.0)((a, x) => a + x * x)
+
+  /** 16 squared-L2 distances of staged subvector `xs` (slice s of the
+    * normalized embedding) to subspace s's codewords, via
+    * ‖x−c‖² = (x·x − 2·x·c) + ‖c‖² with both dot products running
+    * through the codegen'd ArrayDotProduct LOOP and ‖c‖² a literal.
+    * The earlier per-term unroll (16 codes × 8 dims of (x_d−c_d)², ×8
+    * subspaces in one projection) overflowed janino's 64 KB method
+    * limit, dropping the whole stage out of codegen (11 compile
+    * failures per sweep, the stage interpreted). `xn2` is the staged
+    * x·x column — referenced by all 16 codes, computed once. */
+  private def pqDistArray(xs: Column, xn2: Column, s: Int): Column =
+    array((0 until PqCodes).map { k =>
+      val cw = array(pqCodebook(s)(k).map(lit): _*)
+      xn2 - lit(2.0) * dot(xs, cw) + lit(pqCodewordNorm2(s, k))
     }: _*)
 
   /** Stage vec_id, normalized embedding, and the 8 per-subspace distance
-    * arrays (d0..d7) in one narrow pass. `ne` is staged in its own
-    * projection: it is non-cheap and referenced by every distance term,
-    * so CollapseProject keeps it evaluated once per row. */
+    * arrays (d0..d7) in one narrow pass. Each non-cheap intermediate
+    * (`ne`, the 8 slices, the 8 x·x norms) is staged in its own
+    * projection and referenced many times downstream, so CollapseProject
+    * keeps every one evaluated once per row. */
   private def pqStage(df: DataFrame, dim: Int): DataFrame = {
     require(dim == PqSubspaces * PqSubDim,
       s"pq: dim $dim != ${PqSubspaces * PqSubDim}")
@@ -311,7 +319,14 @@ object Similarity {
       .withColumn("nrm", l2Norm(col("emb")))
       .withColumn("ne", transform(col("emb"), x => x / col("nrm")))
       .select(col("vec_id") +: col("ne") +:
-        (0 until PqSubspaces).map(s => pqDistArray(col("ne"), s).as(s"d$s")): _*)
+        (0 until PqSubspaces).map(s =>
+          slice(col("ne"), s * PqSubDim + 1, PqSubDim).as(s"xs$s")): _*)
+      .select(col("vec_id") +: col("ne") +:
+        (0 until PqSubspaces).flatMap(s => Seq(col(s"xs$s"),
+          dot(col(s"xs$s"), col(s"xs$s")).as(s"xn2_$s"))): _*)
+      .select(col("vec_id") +: col("ne") +:
+        (0 until PqSubspaces).map(s =>
+          pqDistArray(col(s"xs$s"), col(s"xn2_$s"), s).as(s"d$s")): _*)
   }
 
   /** PQ-encode a corpus: vec_id, codes (array<long>, length 8, each in

@@ -394,16 +394,26 @@ object SimilarityQueries {
     }.mkString("[\n   ", ",\n   ", "]")
 
   /** Shared oracle CTE: normalized embeddings and the 8 per-subspace
-    * distance arrays — the SQL twin of Similarity.pqStage. list_sum is a
-    * 0.0-seeded ascending fold, matching the Spark side's seeded
-    * left-reduce. */
+    * distance arrays — the SQL twin of Similarity.pqStage's dot form
+    * `(x·x − 2·x·c) + ‖c‖²`. list_sum is a 0.0-seeded ascending fold,
+    * matching ArrayDotProduct's loop; ‖c‖² is the same verbatim double
+    * literal the plan embeds (sqlDouble). */
   private val pqStagedCte: String = {
-    val dCols = (0 until Similarity.PqSubspaces).map { s =>
+    val xsCols = (0 until Similarity.PqSubspaces).map { s =>
       val off = s * Similarity.PqSubDim
-      s"""list_transform(range(0, ${Similarity.PqCodes}), k ->
-         |    list_sum(list_transform(range(1, ${Similarity.PqSubDim + 1}),
-         |      i -> (ne[$off + i] - cb[${s + 1}][k + 1][i])
-         |         * (ne[$off + i] - cb[${s + 1}][k + 1][i])))) AS d$s""".stripMargin
+      s"ne[${off + 1}:${off + Similarity.PqSubDim}] AS xs$s"
+    }.mkString(",\n  ")
+    val xn2Cols = (0 until Similarity.PqSubspaces)
+      .map(s => s"list_sum(list_transform(xs$s, x -> x * x)) AS xn2_$s")
+      .mkString(",\n  ")
+    val dCols = (0 until Similarity.PqSubspaces).map { s =>
+      val dists = (0 until Similarity.PqCodes).map { k =>
+        val cn2 = sqlDouble(Similarity.pqCodewordNorm2(s, k))
+        s"""xn2_$s - 2.0e0 * list_sum(list_transform(
+           |      range(1, ${Similarity.PqSubDim + 1}),
+           |      i -> xs$s[i] * cb[${s + 1}][${k + 1}][i])) + $cn2""".stripMargin
+      }.mkString("[", ",\n    ", "]")
+      s"$dists AS d$s"
     }.mkString(",\n  ")
     s"""cb AS (SELECT $pqCodebookSql AS cb),
        |e AS (
@@ -415,10 +425,18 @@ object SimilarityQueries {
        |  FROM e),
        |ne AS (
        |  SELECT vec_id, list_transform(emb, x -> x / nrm) AS ne FROM pn),
+       |xs AS (
+       |  SELECT vec_id,
+       |  $xsCols
+       |  FROM ne),
+       |x2 AS (
+       |  SELECT *,
+       |  $xn2Cols
+       |  FROM xs),
        |d AS (
        |  SELECT vec_id,
        |  $dCols
-       |  FROM ne, cb)""".stripMargin
+       |  FROM x2, cb)""".stripMargin
   }
 
   val q62Sql: String = {

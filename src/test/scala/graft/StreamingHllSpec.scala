@@ -59,6 +59,26 @@ class StreamingHllSpec extends SparkSpec {
     assert(math.abs(h0 - 40) / 40.0 < 0.25, s"h0=$h0")
   }
 
+  test("bloom probe applies to a stream unchanged (stream-static join)") {
+    // the batch-built filter gates a stream: bloomProbe is stateless, so
+    // the same code path runs under a streaming plan with no state store
+    implicit val sqlCtx = spark.sqlContext
+    val build = spark.range(50).select((col("id") * 3).as("k"))
+    val filter = Sketches.bloomBuild(build, col("k"))
+    val input = MemoryStream[Long]
+    val q = Sketches.bloomProbe(input.toDF().toDF("k"), col("k"), filter)
+      .writeStream.format("memory").queryName("bloomed")
+      .outputMode(OutputMode.Append).start()
+    input.addData(0L to 149L: _*)
+    q.processAllAvailable()
+    val rows = spark.table("bloomed")
+      .select(col("k"), col("bloom_pass")).as[(Long, Boolean)].collect()
+    q.stop()
+    assert(rows.length == 150)
+    // zero false negatives through the streaming plan too
+    assert(rows.filter(r => r._1 % 3 == 0 && r._1 < 150).forall(_._2))
+  }
+
   test("state is fixed-size: registers never exceed 256 bytes") {
     val regs = new Array[Byte](Sketches.HllBuckets)
     (0 until 100000).foreach(i => Sketches.hllUpdate(regs, s"hll|$i"))
