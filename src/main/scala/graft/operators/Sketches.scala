@@ -136,6 +136,45 @@ object Sketches {
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
+  // ------------------------------------------------------------ count-min
+  /** Count-min geometry: d independent hash rows × w counters. Point
+    * estimates overcount by ≤ εN with ε = e/w at probability 1−(1/e)^d
+    * (Cormode & Muthukrishnan 2005, "An improved data stream summary:
+    * the count-min sketch and its applications", public). */
+  val CmDepth = 4
+  val CmWidth = 1024
+
+  /** Build the sketch: one row per NON-ZERO (row, col) counter —
+    * ≤ d·w rows regardless of input size, after a map-side-combined
+    * shuffle of (row, col, partial count). The batch twin of the
+    * streaming update loop; mergeable across any data split by plain
+    * addition, which is what makes it the 100 TB frequency census. */
+  def countMinBuild(df: DataFrame, valueCol: Column,
+                    depth: Int = CmDepth, width: Int = CmWidth): DataFrame =
+    df.select(posexplode(array((0 until depth).map(r =>
+        md5Hash60(concat(lit(s"cm$r|"), valueCol.cast("string"))) % width): _*))
+        .as(Seq("row", "col")))
+      .groupBy("row", "col").agg(count(lit(1)).as("c"))
+
+  /** Point-estimate the count of each probe value: min over the d
+    * counters the value hashes to. `sketch` is ≤ d·w rows — broadcast —
+    * so probing is d broadcast joins per probe row, no shuffle of the
+    * probe side. Missing counters read as 0 (value never seen). */
+  def countMinProbe(probes: DataFrame, keyCol: Column, sketch: DataFrame,
+                    depth: Int = CmDepth, width: Int = CmWidth): DataFrame = {
+    val est = (0 until depth).foldLeft(probes) { (df, r) =>
+      val s = broadcast(sketch.filter(col("row") === r)
+        .select(col("col").as(s"_col$r"), col("c").as(s"_c$r")))
+      df.join(s,
+        md5Hash60(concat(lit(s"cm$r|"), keyCol.cast("string"))) % width
+          === col(s"_col$r"), "left")
+        .drop(s"_col$r")
+    }
+    est.withColumn("cm_count",
+      least((0 until depth).map(r => coalesce(col(s"_c$r"), lit(0L))): _*))
+      .drop((0 until depth).map(r => s"_c$r"): _*)
+  }
+
   /** Bloom-filter geometry: m bits, k hash functions. k=3 and m=4096
     * give a false-positive rate ≈ (1−e^{−kn/m})^k ≈ 0.1% at n=500 keys;
     * both knobs are per-call so a 100 TB build side sizes m to its n. */

@@ -257,15 +257,67 @@ object SketchQueries {
        |ORDER BY l_returnflag, q""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q67
+  /** Count-min frequency census: corpus token counts estimated from a
+    * d×w sketch, probed for every distinct token of the first five
+    * documents, next to the exact counts. The sketch is the mergeable
+    * ≤ d·w-row artifact a 100 TB frequency service ships (the exact
+    * branch shuffles every distinct token and exists here as the
+    * yardstick). The structural law `cm_count ≥ exact_count` (CMS never
+    * undercounts) is part of the oracle-checked output. */
+  def q67CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(whitespaceTokens(col("text"))).as("token"))
+    val sketch = Sketches.countMinBuild(toks, col("token"))
+    val probes = toks.filter(col("doc_id") < 5).select("token").distinct()
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
+    Sketches.countMinProbe(probes, col("token"), sketch)
+      .join(exact, Seq("token"))
+      .select(col("token"), col("cm_count"), col("exact_count"),
+        (col("cm_count") - col("exact_count")).as("overcount"))
+      .orderBy("token")
+  }
+
+  val q67Sql: String = {
+    val d = Sketches.CmDepth; val w = Sketches.CmWidth
+    def h(r: String, v: String) =
+      s"CAST(('0x' || substr(md5('cm' || $r || '|' || $v), 1, 15)) AS BIGINT) % $w"
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |s AS (
+       |  SELECT r, ${h("CAST(r AS VARCHAR)", "token")} AS col,
+       |    count(*) AS c
+       |  FROM t, range(0, $d) rr(r) GROUP BY 1, 2),
+       |p AS (
+       |  SELECT DISTINCT token FROM t WHERE doc_id < 5),
+       |ph AS (
+       |  SELECT token, r, ${h("CAST(r AS VARCHAR)", "token")} AS col
+       |  FROM p, range(0, $d) rr(r)),
+       |est AS (
+       |  SELECT ph.token, min(coalesce(s.c, 0)) AS cm_count
+       |  FROM ph LEFT JOIN s ON s.r = ph.r AND s.col = ph.col
+       |  GROUP BY 1),
+       |exact AS (
+       |  SELECT token, count(*) AS exact_count FROM t GROUP BY 1)
+       |SELECT token, CAST(cm_count AS BIGINT) AS cm_count,
+       |  CAST(exact_count AS BIGINT) AS exact_count,
+       |  CAST(cm_count - exact_count AS BIGINT) AS overcount
+       |FROM est JOIN exact USING (token)
+       |ORDER BY token""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_doc_chunk" -> q57DocChunk,
     "q64_hll_distinct" -> q64HllDistinct,
     "q65_bloom_semijoin" -> q65BloomSemijoin,
-    "q66_quantile_sketch" -> q66QuantileSketch)
+    "q66_quantile_sketch" -> q66QuantileSketch,
+    "q67_countmin" -> q67CountMin)
 
   val oracles: Map[String, String] = Map(
     "q57_doc_chunk" -> q57Sql,
     "q64_hll_distinct" -> q64Sql,
     "q65_bloom_semijoin" -> q65Sql,
-    "q66_quantile_sketch" -> q66Sql)
+    "q66_quantile_sketch" -> q66Sql,
+    "q67_countmin" -> q67Sql)
 }

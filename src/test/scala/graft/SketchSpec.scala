@@ -110,6 +110,25 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("count-min never undercounts; overcount within the CMS bound") {
+    // 2000 values, zipf-ish duplication via id/7; N = total updates
+    val df = spark.range(6000).select((col("id") % 2000 / 7).cast("long")
+      .cast("string").as("v"))
+    val sketch = Sketches.countMinBuild(df, col("v"))
+    val probes = df.distinct()
+    val exact = df.groupBy("v").agg(count(lit(1)).as("n"))
+    val out = Sketches.countMinProbe(probes, col("v"), sketch)
+      .join(exact, "v").select(col("v"), col("cm_count"), col("n")).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("cm_count") >= r.getAs[Long]("n"),
+      s"undercount at ${r.getString(0)}"))
+    // ε = e/w per update: mean overcount ≤ εN with room (3×)
+    val eps = math.E / Sketches.CmWidth
+    val meanOver = out.map(r => (r.getAs[Long]("cm_count") -
+      r.getAs[Long]("n")).toDouble).sum / out.length
+    assert(meanOver <= 3 * eps * 6000, s"meanOver=$meanOver")
+  }
+
   test("q64/q65 run green on testdata with expected invariants") {
     val hll = SketchQueries.q64HllDistinct(spark, sf).collect()
     assert(hll.nonEmpty)
