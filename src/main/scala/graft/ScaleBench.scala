@@ -63,6 +63,11 @@ object ScaleBench {
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // same fix as Bench: broadcast/codegen debris is only freed when a
+      // driver GC runs; without this the backlog collects mid-op and the
+      // sweep tail reads 10-50× slow (measured factor-10 quality_rules
+      // 409 s vs ~13 s healthy)
+      System.gc()
       dt
     }
     def fmt(d: Double): String = "%.2f".formatLocal(Locale.ROOT, d)
@@ -100,6 +105,23 @@ object ScaleBench {
           graft.ml.LexiconTagger.tagTokens(tok, "doc_id", "words",
               graft.ml.PosLexicon.asDataFrame(spark))
             .groupBy("tag").agg(count(lit(1)).as("cnt"))
+        }),
+        // sketches: the shapes that must stay flat-ish per input row at
+        // any factor — register/counter aggregation is map-side combined
+        // to a fixed-size artifact, bloom probing is broadcast-only
+        "hll_distinct" -> (() => graft.operators.Sketches.hllDistinct(
+          Tables(spark, dir).documents, col("doc_id"), Seq("lang"))),
+        "countmin" -> (() =>
+          graft.queries.SketchQueries.q67CountMin(spark, dir)),
+        "bloom_census" -> (() => {
+          val d = Tables(spark, dir).documents
+          val key = md5(col("text"))
+          val build = d.filter(col("doc_id") < 500).select(key.as("k"))
+          graft.operators.Sketches.bloomProbe(
+              d.select(key.as("k")), col("k"),
+              graft.operators.Sketches.bloomBuild(build, col("k")))
+            .agg(sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+              count(lit(1)).as("n_probe"))
         }))
       // ANN over an N×-replicated embedding corpus, fixed 100-query set
       // (base-copy ids): brute force is O(|corpus|·|queries|) dot

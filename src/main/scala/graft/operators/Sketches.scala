@@ -59,6 +59,8 @@ object Sketches {
     * `groups × 256` generated frame, all post-reduction. */
   def hllDistinct(df: DataFrame, valueCol: Column, groupCols: Seq[String],
                   salt: String = "hll"): DataFrame = {
+    require(groupCols.nonEmpty,
+      "hllDistinct needs >= 1 group column (use a lit constant for a global count)")
     val g = groupCols.map(col)
     val h = md5Hash60(concat(lit(salt + "|"), valueCol.cast("string")))
     val hashed = df.select(g :+ h.as("h"): _*)
