@@ -32,26 +32,39 @@ object RangeJoin {
     *   `binWidth × maxBinsPerInterval` means the caller mis-sized the
     *   bins (the explode would amplify storage); fail loudly, at plan
     *   time on literals and at run time on data. */
+  /** Internal bin key; prefixed so it cannot shadow a caller column. */
+  private val BinCol = "__rangejoin_bin"
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       ptCol: Column, startCol: Column, endCol: Column,
                       binWidth: Long,
                       maxBinsPerInterval: Int = 64): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.contains(BinCol) && !intervals.columns.contains(BinCol),
+      s"rangeJoin: '$BinCol' is reserved for the operator's bin key")
     val firstBin = floorDiv(startCol, binWidth)
     // end is exclusive: an interval ending exactly on a bin edge does
     // not reach into that bin
     val lastBin = floorDiv(endCol - 1, binWidth)
+    // Both bad-data shapes fail loudly here rather than downstream:
+    // an oversize interval would silently amplify storage, and an
+    // empty/inverted interval (end <= start, so lastBin < firstBin)
+    // would make sequence() emit a DESCENDING bin list — spurious rows
+    // at best, a confusing "too long sequence" error at worst.
     val guarded = when(lastBin - firstBin >= maxBinsPerInterval,
       raise_error(concat(lit(s"rangeJoin: interval spans > $maxBinsPerInterval bins; "),
         lit("raise binWidth or split the interval"))))
+      .when(lastBin < firstBin,
+        raise_error(lit("rangeJoin: empty or inverted interval (end <= start); " +
+          "end is exclusive — filter such rows before joining")))
       .otherwise(lastBin)
-    val exploded = intervals.withColumn("_bin",
+    val exploded = intervals.withColumn(BinCol,
       explode(sequence(firstBin, guarded)))
-    val binned = points.withColumn("_bin", floorDiv(ptCol, binWidth))
+    val binned = points.withColumn(BinCol, floorDiv(ptCol, binWidth))
     binned.join(exploded,
-      binned("_bin") === exploded("_bin") &&
+      binned(BinCol) === exploded(BinCol) &&
         startCol <= ptCol && ptCol < endCol)
-      .drop("_bin")
+      .drop(BinCol)
   }
 
   /** Long floor-division as a Column. Must stay in INTEGRAL division:

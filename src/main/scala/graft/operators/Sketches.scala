@@ -61,34 +61,38 @@ object Sketches {
                   salt: String = "hll"): DataFrame = {
     require(groupCols.nonEmpty,
       "hllDistinct needs >= 1 group column (use a lit constant for a global count)")
+    // Internal working columns are __hll_-prefixed so a caller grouping
+    // by e.g. "bucket" or "m" cannot silently collide with them.
+    require(!groupCols.exists(_.startsWith("__hll_")),
+      "hllDistinct: the __hll_ column-name prefix is reserved for sketch internals")
     val g = groupCols.map(col)
     val h = md5Hash60(concat(lit(salt + "|"), valueCol.cast("string")))
-    val hashed = df.select(g :+ h.as("h"): _*)
+    val hashed = df.select(g :+ h.as("__hll_h"): _*)
       .select(g ++ Seq(
-        (col("h") % HllBuckets).as("bucket"),
-        expr(s"h DIV $HllBuckets").as("w")): _*) // integer div: 52-bit remainder
+        (col("__hll_h") % HllBuckets).as("__hll_bucket"),
+        expr(s"__hll_h DIV $HllBuckets").as("__hll_w")): _*) // integer div: 52-bit remainder
     // rank of the leftmost 1-bit in the 52-bit window; bin() emits no
     // leading zeros in both engines, so bit_length = length(bin(w))
-    val rank = when(col("w") === 0, lit(HllRankWidth))
-      .otherwise(lit(HllRankWidth) - length(bin(col("w"))))
+    val rank = when(col("__hll_w") === 0, lit(HllRankWidth))
+      .otherwise(lit(HllRankWidth) - length(bin(col("__hll_w"))))
     val regs = hashed
-      .select(g ++ Seq(col("bucket"), rank.as("rho")): _*)
-      .groupBy(g :+ col("bucket"): _*)
-      .agg(max("rho").as("m"))
+      .select(g ++ Seq(col("__hll_bucket"), rank.as("__hll_rho")): _*)
+      .groupBy(g :+ col("__hll_bucket"): _*)
+      .agg(max("__hll_rho").as("__hll_m"))
     // every group × every bucket, so empty registers count as M=0
     val buckets = regs.select(g: _*).distinct()
-      .select(g :+ explode(sequence(lit(0L), lit(HllBuckets - 1L))).as("bucket"): _*)
-    val filled = buckets.join(regs, groupCols :+ "bucket", "left")
-      .withColumn("m", coalesce(col("m"), lit(0)))
+      .select(g :+ explode(sequence(lit(0L), lit(HllBuckets - 1L))).as("__hll_bucket"): _*)
+    val filled = buckets.join(regs, groupCols :+ "__hll_bucket", "left")
+      .withColumn("__hll_m", coalesce(col("__hll_m"), lit(0)))
     val agg = filled.groupBy(g: _*).agg(
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRankWidth} - m)")).as("s"),
-      sum(when(col("m") === 0, 1L).otherwise(0L)).as("zeros"),
-      sum(when(col("m") > 0, 1L).otherwise(0L)).as("hll_buckets_used"))
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRankWidth} - __hll_m)")).as("__hll_s"),
+      sum(when(col("__hll_m") === 0, 1L).otherwise(0L)).as("__hll_zeros"),
+      sum(when(col("__hll_m") > 0, 1L).otherwise(0L)).as("hll_buckets_used"))
     // raw estimate; linear counting below the standard 2.5m threshold
-    val raw = lit(HllAlphaScaled) / col("s").cast("double")
-    val est = when(raw <= lit(2.5 * HllBuckets) && col("zeros") > 0,
+    val raw = lit(HllAlphaScaled) / col("__hll_s").cast("double")
+    val est = when(raw <= lit(2.5 * HllBuckets) && col("__hll_zeros") > 0,
       lit(HllBuckets.toDouble) *
-        log(lit(HllBuckets.toDouble) / col("zeros").cast("double")))
+        log(lit(HllBuckets.toDouble) / col("__hll_zeros").cast("double")))
       .otherwise(raw)
     agg.select(g ++ Seq(round(est, 4).as("hll_distinct"),
       col("hll_buckets_used")): _*)
@@ -161,20 +165,26 @@ object Sketches {
   /** Point-estimate the count of each probe value: min over the d
     * counters the value hashes to. `sketch` is ≤ d·w rows — broadcast —
     * so probing is d broadcast joins per probe row, no shuffle of the
-    * probe side. Missing counters read as 0 (value never seen). */
+    * probe side. Missing counters read as 0 (value never seen).
+    *
+    * NULL-key semantics: a NULL `keyCol` hashes to NULL, misses every
+    * join, and reads `cm_count = 0` — NULL counts as "never seen", it is
+    * NOT tallied against the sketch's NULL bucket (countMinBuild likewise
+    * drops NULL values: md5 of NULL is NULL, so posexplode emits bins
+    * only for non-null inputs). Filter NULLs beforehand if they matter. */
   def countMinProbe(probes: DataFrame, keyCol: Column, sketch: DataFrame,
                     depth: Int = CmDepth, width: Int = CmWidth): DataFrame = {
     val est = (0 until depth).foldLeft(probes) { (df, r) =>
       val s = broadcast(sketch.filter(col("row") === r)
-        .select(col("col").as(s"_col$r"), col("c").as(s"_c$r")))
+        .select(col("col").as(s"__cm_col$r"), col("c").as(s"__cm_c$r")))
       df.join(s,
         md5Hash60(concat(lit(s"cm$r|"), keyCol.cast("string"))) % width
-          === col(s"_col$r"), "left")
-        .drop(s"_col$r")
+          === col(s"__cm_col$r"), "left")
+        .drop(s"__cm_col$r")
     }
     est.withColumn("cm_count",
-      least((0 until depth).map(r => coalesce(col(s"_c$r"), lit(0L))): _*))
-      .drop((0 until depth).map(r => s"_c$r"): _*)
+      least((0 until depth).map(r => coalesce(col(s"__cm_c$r"), lit(0L))): _*))
+      .drop((0 until depth).map(r => s"__cm_c$r"): _*)
   }
 
   /** Bloom-filter geometry: m bits, k hash functions. k=3 and m=4096
@@ -198,20 +208,26 @@ object Sketches {
     * bit positions of `keyCol` are set in `filter` (no false negatives,
     * by construction). One broadcast LEFT join per hash function against
     * the ≤ m-row position set: no shuffle of the probe side, no row
-    * explosion, and the joins stay inside whole-stage codegen. */
+    * explosion, and the joins stay inside whole-stage codegen.
+    *
+    * NULL-key semantics: a NULL `keyCol` hashes to NULL, misses every
+    * join, and reads `bloom_pass = false` — consistent with bloomBuild,
+    * which never sets bits for NULL keys (md5 of NULL is NULL), so the
+    * no-false-negatives law holds over the non-null domain. Filter NULLs
+    * beforehand if they need pass-through. */
   def bloomProbe(probe: DataFrame, keyCol: Column, filter: DataFrame,
                  bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame = {
     val marked = (0 until hashes).foldLeft(probe) { (df, i) =>
-      val f = broadcast(filter.select(col("pos").as(s"_p$i"),
-        lit(true).as(s"_hit$i")))
+      val f = broadcast(filter.select(col("pos").as(s"__bloom_p$i"),
+        lit(true).as(s"__bloom_hit$i")))
       df.join(f,
         md5Hash60(concat(lit(s"bloom$i|"), keyCol.cast("string"))) % bits
-          === col(s"_p$i"), "left")
-        .drop(s"_p$i")
+          === col(s"__bloom_p$i"), "left")
+        .drop(s"__bloom_p$i")
     }
-    val pass = (0 until hashes).map(i => col(s"_hit$i").isNotNull)
+    val pass = (0 until hashes).map(i => col(s"__bloom_hit$i").isNotNull)
       .reduce(_ && _)
     marked.withColumn("bloom_pass", pass)
-      .drop((0 until hashes).map(i => s"_hit$i"): _*)
+      .drop((0 until hashes).map(i => s"__bloom_hit$i"): _*)
   }
 }

@@ -50,6 +50,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("inverted interval (end <= start) fails loudly, not a descending sequence") {
+    val p = points(10)
+    val i = spark.range(1).select(lit(0L).as("i_id"),
+      lit(500L).as("s"), lit(100L).as("e")) // end < start: corrupted row
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(p, i, col("p_ts"), col("s"), col("e"),
+        binWidth = 10L).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("reserved bin column name in the input is rejected up front") {
+    val p = points(10).withColumn("__rangejoin_bin", lit(1L))
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, intervals(5),
+        col("p_ts"), col("s"), col("e"), binWidth = 10L)
+    }
+  }
+
   test("plan is a hash join on the bin key, not a nested loop") {
     val plan = RangeJoin.pointInInterval(points(100), intervals(30),
       col("p_ts"), col("s"), col("e"), binWidth = 100L)

@@ -129,6 +129,39 @@ class SketchSpec extends SparkSpec {
     assert(meanOver <= 3 * eps * 6000, s"meanOver=$meanOver")
   }
 
+  test("caller columns named like old internals no longer collide") {
+    // Before the __hll_ prefixing, grouping by a column named "bucket"
+    // or "m" broke the sketch's internal groupBy/coalesce. Now the
+    // reserved prefix is guarded and ordinary names pass through.
+    val df = spark.range(200).select(
+      (col("id") % 3).cast("string").as("bucket"), // old internal name
+      (col("id") % 2).cast("string").as("m"),      // old internal name
+      col("id").cast("string").as("v"))
+    val out = Sketches.hllDistinct(df, col("v"), Seq("bucket", "m"))
+    assert(out.count() == 6) // 3 x 2 groups survive intact
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(df.withColumnRenamed("bucket", "__hll_bucket"),
+        col("v"), Seq("__hll_bucket"))
+    }
+  }
+
+  test("NULL keys: cm_count = 0 and bloom_pass = false, never a crash") {
+    val build = spark.range(50).select(col("id").cast("string").as("k"))
+    val probes = spark.range(2).select(
+      when(col("id") === 0, lit(null)).otherwise(lit("7"))
+        .cast("string").as("k"))
+    val cm = Sketches.countMinProbe(probes, col("k"),
+      Sketches.countMinBuild(build, col("k")))
+    assert(cm.filter(col("k").isNull).select("cm_count")
+      .head().getLong(0) == 0L)
+    val bl = Sketches.bloomProbe(probes, col("k"),
+      Sketches.bloomBuild(build, col("k")))
+    assert(!bl.filter(col("k").isNull).select("bloom_pass")
+      .head().getBoolean(0))
+    assert(bl.filter(col("k") === "7").select("bloom_pass")
+      .head().getBoolean(0)) // non-null member still passes
+  }
+
   test("q64/q65 run green on testdata with expected invariants") {
     val hll = SketchQueries.q64HllDistinct(spark, sf).collect()
     assert(hll.nonEmpty)
