@@ -121,6 +121,89 @@ object LexiconTagger {
       .select(col(idCol), col("pos"), col("word"), corrected.as("tag"))
   }
 
+  /** TRAINED sequence-context layer — the learned replacement for the
+    * hand-picked rules of [[tagTokensContext]]: a one-lag greedy HMM
+    * decode over [[PosTransitions]]' trained counts (see [[TrainTagger]]
+    * for the model and training corpus).
+    *
+    * For each token whose lowercased word is in the learned ambiguity
+    * table, choose between its two trained candidate tags by
+    * P(tag|state)·P(word|tag), where `state` is the previous token's
+    * unigram tag — word-specialized (`W:<word>`) for closed-class words,
+    * `START` at position 0. The comparison is pure long arithmetic
+    * ((T+1)·c·C products, denominators cross-multiplied), so the DuckDB
+    * oracle reproduces it bit-for-bit. Tokens outside the ambiguity
+    * table keep their unigram tag.
+    *
+    * Plan shape: the unigram layer's narrow pass + broadcast lexicon
+    * join, ONE lag window (the shuffle any sequence operator needs),
+    * then three broadcast joins (ambiguity table ~90 rows, transition
+    * table ~150 rows twice) — no additional shuffle, corpus side never
+    * widens beyond a few working columns. */
+  def tagTokensHmm(df: DataFrame, idCol: String, tokensCol: String,
+      lexicon: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val prevWord = lower(lag(col("word"), 1).over(w))
+    val prevTag = lag(col("tag"), 1).over(w)
+    val state =
+      when(prevTag.isNull, lit("START"))
+        .when(prevWord.isInCollection(PosTransitions.StateWords),
+          concat(lit("W:"), prevWord))
+        .otherwise(prevTag)
+    val amb = broadcast(PosTransitions.ambiguityDf(spark))
+    val transA = broadcast(PosTransitions.transitionsDf(spark)
+      .select(col("t_state").as("__ta_state"), col("t_tag").as("__ta_tag"),
+        col("t_cnt").as("__ta_cnt")))
+    val transB = broadcast(PosTransitions.transitionsDf(spark)
+      .select(col("t_state").as("__tb_state"), col("t_tag").as("__tb_tag"),
+        col("t_cnt").as("__tb_cnt")))
+    // Candidate pair: trained (tagA, tagB) for ambiguity-table words;
+    // for OOV open-class words the pair is (unigram tag, its NOUN↔VERB
+    // opposite) — the axis the fallback rules actually get wrong.
+    val candA = coalesce(col("amb_taga"), col("tag"))
+    val candB = coalesce(col("amb_tagb"),
+      when(col("tag") === "NOUN", lit("VERB"))
+        .when(col("tag") === "VERB", lit("NOUN")))
+    val ta = coalesce(col("__ta_cnt"), lit(0L))
+    val tb = coalesce(col("__tb_cnt"), lit(0L))
+    // Trained words: choose tagB iff (T(s,B)+1)·cB·C(A) > (T(s,A)+1)·cA·C(B)
+    // — the integer form of the smoothed posterior comparison. With ZERO
+    // transition evidence either way, keep tagA (the most-frequent-tag
+    // baseline) rather than letting the emission-rarity ratio decide.
+    val scoreA = (ta + 1) * col("amb_ca") * col("amb_ctb")
+    val scoreB = (tb + 1) * col("amb_cb") * col("amb_cta")
+    // OOV back-off: no emission counts, so flip the unigram guess only on
+    // strong word-state transition evidence — (T(s,B)+1) > 4·(T(s,A)+1)
+    // (margin pinned on the gold dev sample; 2 lets 2-count states like
+    // W:and mis-flip), states restricted to the dense word-specialized
+    // ones (W:), the flip gated to lowercase-initial words
+    // (capitalization is NOUN evidence the transition table cannot see),
+    // and never applied to closed-class words, whose unigram tag is
+    // authoritative, not a fallback guess.
+    val decoded = when(col("amb_word").isNotNull,
+      when(ta === 0 && tb === 0, col("amb_taga"))
+        .when(scoreB > scoreA, col("amb_tagb"))
+        .otherwise(col("amb_taga")))
+      .when(candB.isNotNull && col("__hmm_state").startsWith("W:") &&
+        col("word").rlike("^[a-z]") &&
+        !lower(col("word")).isInCollection(PosTransitions.StateWords) &&
+        (tb + 1) > (ta + 1) * 4, candB)
+      .otherwise(col("tag"))
+    tagTokens(df, idCol, tokensCol, lexicon)
+      .withColumn("__hmm_state", state)
+      .withColumn("amb_word_key", lower(col("word")))
+      .join(amb, col("amb_word_key") === col("amb_word"), "left")
+      .withColumn("__cand_a", candA)
+      .withColumn("__cand_b", candB)
+      .join(transA, col("__hmm_state") === col("__ta_state") &&
+        col("__cand_a") === col("__ta_tag"), "left")
+      .join(transB, col("__hmm_state") === col("__tb_state") &&
+        col("__cand_b") === col("__tb_tag"), "left")
+      .select(col(idCol), col("pos"), col("word"), decoded.as("tag"))
+  }
+
   /** Array-aligned variant: adds a `tagsCol` array positionally aligned
     * with `tokensCol` (the PosTagger output shape, lexicon-backed).
     * Costs one groupBy-shuffle on `idCol` to rebuild the arrays —

@@ -40,7 +40,8 @@ object PosLexicon {
         "possible available difficult serious entire single certain " +
         "similar likely huge tiny cheap expensive ancient famous tall " +
         "thin slow quick safe weak soft loud sharp sweet clean dirty dry " +
-        "wet many few own other able heavy foreign fresh necessary next")
+        "wet many few own other able heavy foreign fresh necessary next " +
+        "last sudden")
     val verb = m("VERB",
       "run walk talk speak say tell ask call write read eat drink sleep " +
         "play live buy sell pay bring carry send find lose keep hold put " +

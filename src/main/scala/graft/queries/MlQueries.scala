@@ -153,6 +153,81 @@ object MlQueries {
        |GROUP BY tag ORDER BY tag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q53b
+  /** POS-tag distribution after the TRAINED one-lag HMM layer
+    * (LexiconTagger.tagTokensHmm over PosTransitions' learned counts —
+    * the learned replacement for q53's hand-picked rules; see
+    * TrainTagger for the model). Fully oracle-checked: transition and
+    * ambiguity counts are integer literals emitted as VALUES tables,
+    * the decode comparison is exact long arithmetic in both engines. */
+  def q53bPosHmmDist(spark: SparkSession, dir: String): DataFrame = {
+    val tokenized = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    LexiconTagger.tagTokensHmm(tokenized, "doc_id", "words",
+        PosLexicon.asDataFrame(spark))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("tag")
+  }
+
+  val q53bSql: String = {
+    import graft.ml.PosTransitions
+    s"""WITH toks AS (
+       |  SELECT doc_id, u.pos AS pos, u.word AS t FROM (
+       |    SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+       |      (x, i) -> {'pos': i, 'word': x})) AS u
+       |    FROM documents)),
+       |uni AS (
+       |  SELECT doc_id, pos, t,
+       |    ${tagCaseSql(extLexCaseSql).replace("\n", "\n  ")} AS tag0
+       |  FROM toks),
+       |lagd AS (
+       |  SELECT doc_id, pos, t, tag0,
+       |    CASE
+       |      WHEN lag(tag0) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |        THEN 'START'
+       |      WHEN list_contains(${PosTransitions.stateWordsSqlArr},
+       |          lower(lag(t) OVER (PARTITION BY doc_id ORDER BY pos)))
+       |        THEN 'W:' || lower(lag(t) OVER (PARTITION BY doc_id ORDER BY pos))
+       |      ELSE lag(tag0) OVER (PARTITION BY doc_id ORDER BY pos)
+       |    END AS state
+       |  FROM uni),
+       |amb AS (SELECT * FROM (VALUES
+       |      ${PosTransitions.ambValuesSql})
+       |    AS v(word, ta, ca, cta, tb, cb, ctb)),
+       |trans AS (SELECT * FROM (VALUES
+       |      ${PosTransitions.transValuesSql})
+       |    AS v(s, tg, c)),
+       |cand AS (
+       |  SELECT lagd.*, amb.word AS amb_word,
+       |    amb.ta AS a_ta, amb.ca AS a_ca, amb.cta AS a_cta,
+       |    amb.tb AS a_tb, amb.cb AS a_cb, amb.ctb AS a_ctb,
+       |    COALESCE(amb.ta, tag0) AS cand_a,
+       |    COALESCE(amb.tb, CASE WHEN tag0 = 'NOUN' THEN 'VERB'
+       |                          WHEN tag0 = 'VERB' THEN 'NOUN' END) AS cand_b
+       |  FROM lagd LEFT JOIN amb ON lower(lagd.t) = amb.word),
+       |dec AS (
+       |  SELECT CASE
+       |      WHEN cand.amb_word IS NOT NULL THEN
+       |        CASE WHEN COALESCE(ta.c, 0) = 0 AND COALESCE(tb.c, 0) = 0
+       |               THEN cand.a_ta
+       |             WHEN CAST(COALESCE(tb.c, 0) + 1 AS BIGINT) * cand.a_cb * cand.a_cta
+       |                > CAST(COALESCE(ta.c, 0) + 1 AS BIGINT) * cand.a_ca * cand.a_ctb
+       |               THEN cand.a_tb
+       |             ELSE cand.a_ta END
+       |      WHEN cand.cand_b IS NOT NULL AND cand.state LIKE 'W:%'
+       |        AND regexp_matches(cand.t, '^[a-z]')
+       |        AND NOT list_contains(${PosTransitions.stateWordsSqlArr},
+       |          lower(cand.t))
+       |        AND COALESCE(tb.c, 0) + 1 > (COALESCE(ta.c, 0) + 1) * 4
+       |        THEN cand.cand_b
+       |      ELSE cand.tag0 END AS tag
+       |  FROM cand
+       |  LEFT JOIN trans ta ON ta.s = cand.state AND ta.tg = cand.cand_a
+       |  LEFT JOIN trans tb ON tb.s = cand.state AND tb.tg = cand.cand_b)
+       |SELECT tag, count(*) AS cnt FROM dec GROUP BY tag ORDER BY tag""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q51
   /** End-to-end spark.ml pipeline on the documents table: label docs by
     * length (learnable from token statistics), train bigram+LR
@@ -175,12 +250,14 @@ object MlQueries {
     "q50_pos_dist"           -> (q50PosDist _),
     "q51_sentiment_pipeline" -> (q51SentimentPipeline _),
     "q52_pos_lexicon_dist"   -> (q52PosLexiconDist _),
-    "q53_pos_context_dist"   -> (q53PosContextDist _)
+    "q53_pos_context_dist"   -> (q53PosContextDist _),
+    "q53b_pos_hmm_dist"      -> (q53bPosHmmDist _)
   )
 
   val oracles: Map[String, String] = Map(
     "q50_pos_dist" -> q50Sql,
     "q52_pos_lexicon_dist" -> q52Sql,
-    "q53_pos_context_dist" -> q53Sql
+    "q53_pos_context_dist" -> q53Sql,
+    "q53b_pos_hmm_dist" -> q53bSql
   )
 }
