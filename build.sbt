@@ -25,6 +25,8 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
+  // the JPEG codec (javax.imageio) must never try to touch a display
+  "-Djava.awt.headless=true",
   "-Dspark.sql.session.timeZone=UTC",
   // pin the JVM zone too: tests assert with Timestamp.valueOf, which
   // reads the default zone — must agree with the session zone

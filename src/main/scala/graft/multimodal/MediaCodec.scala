@@ -168,6 +168,80 @@ object MediaCodec {
     (sampleRate, samples)
   }
 
+  // ------------------------------------------------------------ JPEG
+
+  /** JPEG via the stock JDK's `javax.imageio` — present in any headless
+    * JDK 17, no native libraries (the container-limitation note in
+    * earlier round docs was too pessimistic). JPEG is LOSSY: round-trip
+    * pixel values are approximate (MultimodalSpec pins MAE bounds), but
+    * DIMENSIONS and pixel-array shape are exact — those are what the
+    * oracle-checked query (q68) verifies through the real decode path.
+    * Encoding pins quality explicitly and writes no metadata, so the
+    * byte stream is deterministic for a given JDK (byte SIZES are still
+    * encoder-dependent, hence q68 oracles decoded facts, not payload
+    * sizes like BMP's q60). */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte],
+                 quality: Float = 0.9f): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"encodeJpeg: need ${width * height * 3} bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < width * height) { // raster wants BGR
+      data(i * 3) = rgb(i * 3 + 2)
+      data(i * 3 + 1) = rgb(i * 3 + 1)
+      data(i * 3 + 2) = rgb(i * 3)
+      i += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Decode a JPEG (any baseline/progressive stream ImageIO handles) to
+    * (width, height, top-down row-major RGB triples). */
+  def decodeJpeg(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(isJpeg(bytes), "decodeJpeg: not a JPEG payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "decodeJpeg: undecodable JPEG stream")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val d = (y * w + x) * 3
+        rgb(d) = ((px >> 16) & 0xff).toByte
+        rgb(d + 1) = ((px >> 8) & 0xff).toByte
+        rgb(d + 2) = (px & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** JPEG magic: SOI marker FF D8 followed by a marker byte FF. */
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte &&
+      bytes(2) == 0xff.toByte
+
+  /** Decode either supported image container (BMP or JPEG) to
+    * (width, height, top-down RGB). */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    if (isJpeg(bytes)) decodeJpeg(bytes) else decodeBmp(bytes)
+
   // ----------------------------------------------------------- video
 
   private val VideoMagic = "GFV1".getBytes("US-ASCII")
@@ -204,6 +278,7 @@ object MediaCodec {
   /** Sniff the container format of a payload. */
   def modalityOf(bytes: Array[Byte]): String =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "image"
+    else if (isJpeg(bytes)) "image"
     else if (bytes.length >= 12 && new String(bytes, 0, 4, "US-ASCII") == "RIFF") "audio"
     else if (bytes.length >= 4 && VideoMagic.indices.forall(i => bytes(i) == VideoMagic(i))) "video"
     else "unknown"

@@ -102,6 +102,33 @@ object Multimodal {
     media.repartition(parts)
   }
 
+  private val jpegUdf = udf { (text: String) =>
+    val b = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+    val w = 16
+    val h = math.max(1, (b.length + 47) / 48)
+    val px = Array.tabulate(w * h * 3)(i => if (i < b.length) b(i) else 0: Byte)
+    MediaCodec.encodeJpeg(w, h, px)
+  }
+
+  /** Build a JPEG media table from the documents table: same pixel
+    * content and dimensions as the BMP image path, compressed through
+    * the real `javax.imageio` encoder. Payload sizes are encoder-
+    * dependent (lossy format), so q68 oracle-checks DECODED facts —
+    * dimensions and pixel-array shape — instead of byte accounting. */
+  def jpegFromDocuments(docs: DataFrame): DataFrame = {
+    val n = length(encode(col("text"), "UTF-8"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("modality"),
+      jpegUdf(col("text")).as("content"),
+      struct(
+        col("source"),
+        lit(16).cast(IntegerType).as("width"),
+        greatest((n + 47).divide(48).cast("int"), lit(1))
+          .cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")).as("meta"))
+  }
+
   /** Decode a payload with the REAL codec for its sniffed container and
     * histogram its decoded content into 16 bins:
     *  - image: pixel channel bytes, bin = v >> 4
@@ -116,8 +143,8 @@ object Multimodal {
       while (i < bs.length) { hist((bs(i) & 0xff) >> 4) += 1; i += 1 }
     }
     MediaCodec.modalityOf(payload) match {
-      case "image" =>
-        val (_, _, rgb) = MediaCodec.decodeBmp(payload)
+      case "image" => // BMP or JPEG, dispatched on magic
+        val (_, _, rgb) = MediaCodec.decodeImage(payload)
         addBytes(rgb)
       case "audio" =>
         val (_, samples) = MediaCodec.decodeWav(payload)
@@ -164,14 +191,16 @@ object Multimodal {
 
   private val resizeUdf = udf { (payload: Array[Byte], newW: Int, newH: Int) =>
     if (payload != null && MediaCodec.modalityOf(payload) == "image") {
-      val (w, h, rgb) = MediaCodec.decodeBmp(payload)
-      MediaCodec.encodeBmp(newW, newH, MediaCodec.resizeRgb(rgb, w, h, newW, newH))
+      val (w, h, rgb) = MediaCodec.decodeImage(payload)
+      val resized = MediaCodec.resizeRgb(rgb, w, h, newW, newH)
+      if (MediaCodec.isJpeg(payload)) MediaCodec.encodeJpeg(newW, newH, resized)
+      else MediaCodec.encodeBmp(newW, newH, resized)
     } else payload
   }
 
-  /** REAL nearest-neighbor image resize: decode BMP pixels, resample,
-    * re-encode. Non-image payloads pass through unchanged. Narrow
-    * per-row work — no shuffle. */
+  /** REAL nearest-neighbor image resize: decode pixels (BMP or JPEG),
+    * resample, re-encode in the ORIGINAL container. Non-image payloads
+    * pass through unchanged. Narrow per-row work — no shuffle. */
   def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame =
     media.withColumn("content", resizeUdf(col("content"), lit(width), lit(height)))
 

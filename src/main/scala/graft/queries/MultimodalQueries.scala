@@ -140,13 +140,52 @@ object MultimodalQueries {
       |  CAST(sum(h7) AS DOUBLE) / CAST(sum(u) AS BIGINT) AS bin7_mass
       |FROM counted GROUP BY md ORDER BY modality""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** REAL JPEG decode through `javax.imageio`: synthesize a JPEG per
+    * document (same pixels/dims as the BMP path, lossy-compressed),
+    * decode every payload back in a batch-shaped partition pass, and
+    * emit the decoded facts that survive lossy compression EXACTLY —
+    * dimensions and pixel-array shape. The oracle computes the same
+    * facts closed-form from the text length; a broken encode or decode
+    * path shifts dims/row counts and hash-fails. Pixel-VALUE fidelity
+    * (MAE bounds, solid-color near-exactness) is pinned in
+    * MultimodalSpec, where tolerance assertions belong. */
+  def q68JpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val media = Multimodal.jpegFromDocuments(Tables(spark, dir).documents)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("jpeg_w", LongType, nullable = false),
+      StructField("jpeg_h", LongType, nullable = false),
+      StructField("n_px_bytes", LongType, nullable = false)))
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = graft.multimodal.MediaCodec.decodeJpeg(
+          r.getAs[Array[Byte]]("content"))
+        org.apache.spark.sql.Row(r.getAs[Long]("media_id"),
+          w.toLong, h.toLong, rgb.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, schema).orderBy("media_id")
+  }
+
+  val q68Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(16 AS BIGINT) AS jpeg_w,
+      |  CAST(greatest((octet_length(encode(text)) + 47) // 48, 1) AS BIGINT) AS jpeg_h,
+      |  CAST(16 * 3 * greatest((octet_length(encode(text)) + 47) // 48, 1) AS BIGINT)
+      |    AS n_px_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_bytes"    -> (q60MediaBytes _),
-    "q61_media_features" -> (q61MediaFeatures _)
+    "q61_media_features" -> (q61MediaFeatures _),
+    "q68_jpeg_decode"    -> (q68JpegDecode _)
   )
 
   val oracles: Map[String, String] = Map(
     "q60_media_bytes" -> q60Sql,
-    "q61_media_features" -> q61Sql
+    "q61_media_features" -> q61Sql,
+    "q68_jpeg_decode" -> q68Sql
   )
 }

@@ -45,6 +45,48 @@ class MultimodalSpec extends SparkSpec {
 
   // ----------------------------------------------------- media table
 
+  test("JPEG round-trip: dims exact, smooth content within MAE bound") {
+    // smooth horizontal gradient — JPEG's favorable case
+    val (w, h) = (32, 16)
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w
+      (x * 255 / (w - 1)).toByte
+    }
+    val jpg = MediaCodec.encodeJpeg(w, h, rgb)
+    assert(MediaCodec.isJpeg(jpg) && MediaCodec.modalityOf(jpg) == "image")
+    val (dw, dh, back) = MediaCodec.decodeJpeg(jpg)
+    assert(dw == w && dh == h && back.length == rgb.length)
+    val mae = rgb.indices.map(i => math.abs((rgb(i) & 0xff) - (back(i) & 0xff))).sum /
+      rgb.length.toDouble
+    assert(mae < 8.0, s"gradient MAE too high: $mae")
+    // solid color decodes near-exactly (DC-only blocks)
+    val solid = Array.fill[Byte](w * h * 3)(100)
+    val (_, _, sBack) = MediaCodec.decodeJpeg(MediaCodec.encodeJpeg(w, h, solid))
+    val sMae = solid.indices.map(i => math.abs(100 - (sBack(i) & 0xff))).sum /
+      solid.length.toDouble
+    assert(sMae < 3.0, s"solid-color MAE too high: $sMae")
+    // decodeImage dispatches on magic: same pixels through either entry
+    assert(MediaCodec.decodeImage(jpg)._3.sameElements(back))
+  }
+
+  test("JPEG media table: payloads decode at the meta dimensions; resize re-encodes JPEG") {
+    val docs = Seq((0L, "a" * 100, "s"), (1L, "", "s"), (2L, "xy", "s"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.jpegFromDocuments(docs)
+    val rows = media.select("media_id", "content", "meta.height").collect()
+    rows.foreach { r =>
+      val (w, h, rgb) = MediaCodec.decodeJpeg(r.getAs[Array[Byte]]("content"))
+      assert(w == 16 && h == r.getAs[Int]("height"))
+      assert(rgb.length == w * h * 3)
+    }
+    // resize keeps the JPEG container and the new dims really decode
+    val resized = Multimodal.resizeImages(media, 8, 8)
+      .select("content").head().getAs[Array[Byte]]("content")
+    assert(MediaCodec.isJpeg(resized))
+    val (rw, rh, _) = MediaCodec.decodeJpeg(resized)
+    assert(rw == 8 && rh == 8)
+  }
+
   test("media table: schema, modality assignment, payloads really decode") {
     assert(media.schema.fieldNames.toSeq ==
       Seq("media_id", "modality", "content", "meta"))
