@@ -142,6 +142,22 @@ object Sketches {
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
+  /** JVM twin of the count-min update — one value folded into a flat
+    * depth×width counter array (mutates `counters`). Hash recipe is
+    * byte-identical to [[countMinBuild]]'s column form (`md5("cm<r>|" +
+    * value)` mod width), so a streaming state built by repeated
+    * [[cmUpdate]] calls equals the batch sketch on the same data —
+    * the reconciliation law StreamingCountMinSpec pins. */
+  def cmUpdate(counters: Array[Long], key: String,
+               depth: Int = CmDepth, width: Int = CmWidth): Unit = {
+    var r = 0
+    while (r < depth) {
+      val c = (md5Hash60Jvm(s"cm$r|" + key) % width).toInt
+      counters(r * width + c) += 1
+      r += 1
+    }
+  }
+
   // ------------------------------------------------------------ count-min
   /** Count-min geometry: d independent hash rows × w counters. Point
     * estimates overcount by ≤ εN with ε = e/w at probability 1−(1/e)^d

@@ -121,6 +121,59 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class CmWinState(counters: Array[Long])
+  case class CmOut(window_start: Timestamp, event_type: String,
+                   row: Int, col: Int, c: Long)
+
+  /** Windowed count-min frequency census per event type — the streaming
+    * twin of Sketches.countMinBuild, completing the streaming sketch
+    * pair next to [[streamingHllDistinct]]. State is EXACTLY d·w longs
+    * (32 KB at the default 4×1024) per open (window × type) regardless
+    * of traffic; emission on event-time timeout is the non-zero
+    * (row, col, count) cells — the SAME artifact shape the batch build
+    * produces, so closed windows reconcile bit-for-bit with a batch
+    * backfill (the hash kernel is shared: Sketches.cmUpdate) and merge
+    * with other sketches by plain addition. Late-straggler policy is
+    * identical to the HLL twin: a post-emission arrival re-opens a
+    * partial window and emits a supplementary sketch, which ADDS
+    * correctly into any downstream merge — the mergeability that makes
+    * a count-min census safe to emit incrementally. */
+  def streamingCountMin(events: Dataset[UserEvent],
+                        windowMillis: Long = 60 * 60 * 1000L,
+                        watermark: String = "2 hours")
+                       (implicit spark: SparkSession): Dataset[CmOut] = {
+    import spark.implicits._
+    import graft.operators.Sketches
+
+    def update(key: (Long, String), rows: Iterator[UserEvent],
+               state: GroupState[CmWinState]): Iterator[CmOut] = {
+      if (state.hasTimedOut) {
+        val c = state.get.counters
+        state.remove()
+        return (0 until Sketches.CmDepth).iterator.flatMap { r =>
+          (0 until Sketches.CmWidth).iterator
+            .filter(w => c(r * Sketches.CmWidth + w) != 0L)
+            .map(w => CmOut(new Timestamp(key._1), key._2, r, w,
+              c(r * Sketches.CmWidth + w)))
+        }
+      }
+      val counters = state.getOption.map(_.counters)
+        .getOrElse(new Array[Long](Sketches.CmDepth * Sketches.CmWidth))
+      rows.foreach(e => Sketches.cmUpdate(counters, e.user_id.toString))
+      state.update(CmWinState(counters))
+      state.setTimeoutTimestamp(
+        math.max(key._1 + windowMillis, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e =>
+        (Math.floorDiv(e.ts.getTime, windowMillis) * windowMillis, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   // ------------------------------------------------- stateful sessions
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
