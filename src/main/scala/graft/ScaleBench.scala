@@ -122,6 +122,41 @@ object ScaleBench {
               graft.operators.Sketches.bloomBuild(build, col("k")))
             .agg(sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
               count(lit(1)).as("n_probe"))
+        }),
+        // quantile sketch: ≤ groups×bins count rows vs a global sort
+        "quantile_sketch" -> (() =>
+          graft.queries.SketchQueries.q66QuantileSketch(spark, dir)),
+        // trained HMM tagging: ONE window shuffle + three broadcast
+        // joins — the whole layer must scale like the unigram pass
+        "pos_hmm" -> (() => {
+          val tok = Tables(spark, dir).documents
+            .select(col("doc_id"), split(col("text"), " ").as("words"))
+          graft.ml.LexiconTagger.tagTokensHmm(tok, "doc_id", "words",
+              graft.ml.PosLexicon.asDataFrame(spark))
+            .groupBy("tag").agg(count(lit(1)).as("cnt"))
+        }),
+        // as-of join on a synthetic axis from the replicated corpus:
+        // every doc a point, every 10th a right-side quote, 64 keys —
+        // ONE shuffle, zero row blow-up is the claim being measured
+        "asof_join" -> (() => {
+          val d = Tables(spark, dir).documents
+          val pts = d.select((col("doc_id") % 64).as("k"),
+            col("doc_id").as("t"), col("doc_id").as("pid"))
+          val quotes = d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") % 64).as("k"),
+              col("doc_id").as("t"), col("doc_id").as("qid"))
+          graft.operators.AsOfJoin.asOf(pts, quotes, "k", "t", "pid", "qid")
+        }),
+        // binned range join: the equi-join-on-quantum shape whose
+        // interval explode stays ~2 rows per interval at any factor
+        "range_join" -> (() => {
+          val d = Tables(spark, dir).documents
+          val pts = d.select(col("doc_id").as("p_ts"), col("doc_id").as("p_id"))
+          val iv = d.filter(col("doc_id") % 20 === 0)
+            .select(col("doc_id").as("s"), (col("doc_id") + 15).as("e"),
+              col("doc_id").as("i_id"))
+          graft.operators.RangeJoin.pointInInterval(pts, iv,
+            col("p_ts"), col("s"), col("e"), binWidth = 16L)
         }))
       // ANN over an N×-replicated embedding corpus, fixed 100-query set
       // (base-copy ids): brute force is O(|corpus|·|queries|) dot
@@ -139,7 +174,11 @@ object ScaleBench {
         "knn_ivf" -> (() => Similarity.ivfKnn(emb, queries100, 10)),
         // deterministic codebook: no fit job — isolates the pure
         // dataflow cost of the IVF shape from the KMeans build above
-        "knn_ivf_det" -> (() => Similarity.ivfKnnDeterministic(emb, queries100, 10)))
+        "knn_ivf_det" -> (() => Similarity.ivfKnnDeterministic(emb, queries100, 10)),
+        // PQ two-stage: corpus side is 8-byte codes, the broadcast
+        // query ships its distance tables — the coarse-scan + re-rank
+        // cost must track corpus size linearly
+        "pq_adc_knn" -> (() => Similarity.pqAdcKnn(emb, queries100, 10, rerank = 50)))
       val timed = (ops ++ annOps).map { case (name, mk) => name -> time(mk()) }
       val js = timed.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
       val rows = spark.read.parquet(s"$dir/documents.parquet").count()

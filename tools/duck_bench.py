@@ -4,10 +4,22 @@
 Times every oracle SQL from a graft.Verify dump against the same
 parquet tables DuckDB-side, printing one JSON line in the same shape as
 BENCH_r*.json so the Spark/DuckDB ratio is a reproducible measurement
-instead of an inference. Usage:
+instead of an inference. DUCK_RUNS=N (default 1) times each query N
+times and keeps the min — the same de-spiking knob as running the
+Spark sweep twice. Usage:
 
     sbt "runMain graft.Verify /root/testdata/sf0.1 /tmp/verify_sf01"
     python3 tools/duck_bench.py /root/testdata/sf0.1 /tmp/verify_sf01
+
+With --pair, ALSO writes a per-query pairing artifact so the
+">2x slower than baseline" check is a mechanical per-query read
+instead of an aggregate inference. Any number of Spark bench JSONs
+(the line graft.Bench prints) may be given; they are grouped by their
+recorded env.warm mode into cold (warm=0, per-query min across runs)
+and warm (warm>0) columns:
+
+    python3 tools/duck_bench.py SF_DIR OUT_DIR \
+        --pair PAIRING.json cold1.json cold2.json warm.json
 """
 import sys, json, os, time
 import duckdb
@@ -15,7 +27,7 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def main(sf_dir, out_dir):
+def time_queries(sf_dir, out_dir, runs):
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
@@ -25,15 +37,98 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(oracle):
-        t0 = time.time()
-        con.execute(oracle[name]).fetchall()
-        results[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            con.execute(oracle[name]).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = round(best, 3)
+    return results
+
+
+def per_query_min(bench_jsons):
+    merged = {}
+    for b in bench_jsons:
+        for q, v in b["queries"].items():
+            v = float(v)
+            if v >= 0:
+                merged[q] = min(merged.get(q, v), v)
+    return merged
+
+
+def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
+    benches = [json.load(open(p)) for p in spark_paths]
+    cold = per_query_min([b for b in benches if b.get("env", {}).get("warm", 0) == 0])
+    warm = per_query_min([b for b in benches if b.get("env", {}).get("warm", 0) > 0])
+    paired = {}
+    for name in sorted(set(duck) & (set(cold) | set(warm))):
+        d = duck[name]
+        row = {"duck_sec": d}
+        for label, src in (("cold", cold), ("warm", warm)):
+            if name in src:
+                row[f"spark_{label}_sec"] = src[name]
+                row[f"{label}_ratio"] = round(src[name] / d, 3) if d > 0 else None
+        paired[name] = row
+
+    def agg(label, src):
+        names = [n for n in paired if n in src]
+        if not names:
+            return None
+        s_tot = sum(src[n] for n in names)
+        d_tot = sum(duck[n] for n in names)
+        ratios = sorted(paired[n][f"{label}_ratio"] for n in names
+                        if paired[n].get(f"{label}_ratio") is not None)
+        return {
+            "n_paired": len(names),
+            "spark_total": round(s_tot, 3),
+            "duck_total": round(d_tot, 3),
+            "total_ratio": round(s_tot / max(d_tot, 1e-9), 3),
+            "median_ratio": ratios[len(ratios) // 2],
+            "n_over_2x": sum(1 for r in ratios if r > 2.0),
+            "over_2x_nontrivial": sorted(
+                n for n in names
+                if (paired[n].get(f"{label}_ratio") or 0) > 2.0
+                and duck[n] >= 0.2),
+        }
+
+    out = {
+        "sf": sf_dir,
+        "protocol": {
+            "spark_runs": [{"path": os.path.basename(p),
+                            "env": b.get("env")} for p, b in zip(spark_paths, benches)],
+            "duck_runs": duck_runs,
+            "note": ("cold = per-query min across idle-start cold sweeps "
+                     "(driver protocol); warm = SPARK_GRAFT_WARM in-JVM "
+                     "steady state, the form that amortizes Spark's fixed "
+                     "multi-stage constants; over_2x lists only queries "
+                     "with duck_sec >= 0.2s - below that the ratio "
+                     "measures per-query session constants, not the data "
+                     "path")},
+        "summary": {"cold": agg("cold", cold), "warm": agg("warm", warm)},
+        "queries": paired,
+    }
+    with open(pairing_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    for label in ("cold", "warm"):
+        s = out["summary"][label]
+        if s:
+            print(f"pairing[{label}]: {s['n_paired']} queries, total ratio "
+                  f"{s['total_ratio']}, >2x nontrivial: {s['over_2x_nontrivial']}")
+
+
+def main(argv):
+    sf_dir, out_dir = argv[0], argv[1]
+    runs = int(os.environ.get("DUCK_RUNS", "1"))
+    results = time_queries(sf_dir, out_dir, runs)
     load = open("/proc/loadavg").read().split()[0]
     print(json.dumps({
         "metric": "duckdb_total", "value": round(sum(results.values()), 3),
         "unit": "sec", "queries": results, "sf": sf_dir,
-        "env": {"cpus": os.cpu_count(), "load_end": float(load)}}))
+        "env": {"cpus": os.cpu_count(), "load_end": float(load), "runs": runs}}))
+    if len(argv) > 3 and argv[2] == "--pair":
+        write_pairing(results, argv[4:], argv[3], sf_dir, runs)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1:])
