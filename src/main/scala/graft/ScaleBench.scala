@@ -123,9 +123,30 @@ object ScaleBench {
             .agg(sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
               count(lit(1)).as("n_probe"))
         }),
-        // quantile sketch: ≤ groups×bins count rows vs a global sort
-        "quantile_sketch" -> (() =>
-          graft.queries.SketchQueries.q66QuantileSketch(spark, dir)),
+        // quantile sketch (q66's shape over the replicated corpus:
+        // p50/p90/p99 of n_chars per lang): ≤ groups×bins count rows
+        // through one map-side-combined shuffle vs a global sort
+        "quantile_sketch" -> (() => {
+          import org.apache.spark.sql.expressions.Window
+          val width = 50.0
+          val hist = Tables(spark, dir).documents
+            .groupBy(col("lang"), floor(col("n_chars") / width).as("bin"))
+            .agg(count(lit(1)).as("c"))
+          val w = Window.partitionBy("lang").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val cum = hist
+            .withColumn("cum", sum("c").over(w))
+            .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+          cum.crossJoin(spark.range(1).select(
+              explode(array(Seq(0.5, 0.9, 0.99).map(lit): _*)).as("q")))
+            .withColumn("target", floor(col("q") * col("n")) + 1)
+            .filter(col("cum") >= col("target") &&
+              col("cum") - col("c") < col("target"))
+            .select(col("lang"), col("q"),
+              (col("bin") * width + (lit(width) *
+                (col("target") - (col("cum") - col("c")))) / col("c"))
+                .as("quantile_est"))
+        }),
         // trained HMM tagging: ONE window shuffle + three broadcast
         // joins — the whole layer must scale like the unigram pass
         "pos_hmm" -> (() => {
