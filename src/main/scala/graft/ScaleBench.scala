@@ -111,8 +111,18 @@ object ScaleBench {
         // to a fixed-size artifact, bloom probing is broadcast-only
         "hll_distinct" -> (() => graft.operators.Sketches.hllDistinct(
           Tables(spark, dir).documents, col("doc_id"), Seq("lang"))),
-        "countmin" -> (() =>
-          graft.queries.SketchQueries.q67CountMin(spark, dir)),
+        // build + probe only: q67 itself also runs the exact-count
+        // yardstick (a full distinct-token shuffle) for the oracle's
+        // never-undercounts law, which at 100x drowns the sketch signal
+        // this row exists to measure
+        "countmin" -> (() => {
+          val toks = Tables(spark, dir).documents
+            .select(col("doc_id"),
+              explode(graft.functions.TextFunctions.whitespaceTokens(col("text"))).as("token"))
+          val sketch = graft.operators.Sketches.countMinBuild(toks, col("token"))
+          val probes = toks.filter(col("doc_id") < 5).select("token").distinct()
+          graft.operators.Sketches.countMinProbe(probes, col("token"), sketch)
+        }),
         "bloom_census" -> (() => {
           val d = Tables(spark, dir).documents
           val key = md5(col("text"))
