@@ -46,6 +46,14 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val factors = if (args.isEmpty) Seq(1, 10, 100) else args.map(_.toInt).toSeq
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional comma-separated op-name filter: lets a volatile row (the
+    // quadratic lsh_pairs, the iterative canonicalize) be re-measured in
+    // ISOLATION on a clean JVM, instead of downstream of the sweep's
+    // heaviest spills — the full unfiltered sweep stays the number of
+    // record, the isolated run bounds the sweep-neighbor effect
+    val opFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").map(_.trim).toSet)
+    def opSelected(name: String): Boolean = opFilter.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scalebench")
@@ -210,7 +218,8 @@ object ScaleBench {
         // query ships its distance tables — the coarse-scan + re-rank
         // cost must track corpus size linearly
         "pq_adc_knn" -> (() => Similarity.pqAdcKnn(emb, queries100, 10, rerank = 50)))
-      val timed = (ops ++ annOps).map { case (name, mk) => name -> time(mk()) }
+      val timed = (ops ++ annOps).filter(p => opSelected(p._1))
+        .map { case (name, mk) => name -> time(mk()) }
       val js = timed.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
       val rows = spark.read.parquet(s"$dir/documents.parquet").count()
       println(s"""{"factor":$factor,"rows":$rows,$js}""")
