@@ -246,4 +246,41 @@ object Sketches {
     marked.withColumn("bloom_pass", pass)
       .drop((0 until hashes).map(i => s"__bloom_hit$i"): _*)
   }
+
+  // --------------------------------------------- histogram quantiles
+
+  /** JVM twin of the batch histogram-quantile column pipeline
+    * (SketchQueries.q66QuantileSketch): given (bin → count) cells with
+    * `bin = floor(value / width)`, estimate each requested quantile by
+    * linear interpolation within the target bin. Arithmetic reproduces
+    * the column form operation-for-operation —
+    * `target = floor(q·n) + 1` (IEEE double product, then floor to
+    * long) and `est = bin·width + (width·(target − cumBefore)) / c` in
+    * that association order — so a streaming sketch emitted through
+    * this kernel reconciles BIT-identically with the batch query over
+    * the same rows (asserted in StreamingQuantileSpec). */
+  def histQuantiles(hist: Seq[(Long, Long)], width: Double,
+                    qs: Seq[Double]): Seq[(Double, Double, Long)] = {
+    val cells = hist.sortBy(_._1)
+    val n = cells.foldLeft(0L)(_ + _._2)
+    if (n == 0L) return Seq.empty
+    qs.flatMap { q =>
+      val target = math.floor(q * n.toDouble).toLong + 1L
+      var cum = 0L
+      var i = 0
+      while (i < cells.size && cum + cells(i)._2 < target) {
+        cum += cells(i)._2
+        i += 1
+      }
+      if (i == cells.size) None // target > n (q >= 1): batch emits no row
+      else {
+        val (bin, c) = cells(i)
+        Some((q, bin.toDouble * width +
+          (width * (target - cum).toDouble) / c.toDouble, n))
+      }
+    }
+  }
+
+  /** Column-side bin assignment matching [[histQuantiles]]'s contract. */
+  def histBin(value: Column, width: Double): Column = floor(value / width)
 }

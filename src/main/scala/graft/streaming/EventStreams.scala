@@ -223,4 +223,61 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  // --------------------------------------- streaming quantile sketch
+
+  case class QsWinState(counts: Map[Long, Long])
+  case class QsOut(window_start: Timestamp, q: Double,
+                   quantile_est: Double, n_rows: Long)
+
+  /** Windowed quantile estimates over `value` — the streaming twin of
+    * the batch histogram-quantile sketch (SketchQueries
+    * .q66QuantileSketch), completing the streaming sketch family next
+    * to [[streamingHllDistinct]] and [[streamingCountMin]]. State per
+    * open window is the (bin → count) histogram — bounded by the value
+    * RANGE / `width`, independent of row count — where an exact
+    * streaming quantile would hold every value. Closed windows emit
+    * through the shared JVM kernel (Sketches.histQuantiles), whose
+    * arithmetic reproduces the batch column pipeline operation-for-
+    * operation, so a stream serving layer and a batch backfill produce
+    * BIT-identical estimates over the same rows (asserted in
+    * StreamingQuantileSpec). Histograms are mergeable by cell-wise
+    * addition, so a supplementary late-straggler window (same policy
+    * as the HLL/CMS twins: re-opened clamped to watermark + 1, emitted
+    * rather than dropped) adds correctly into any downstream merge. */
+  def streamingQuantile(events: Dataset[Event],
+                        windowMillis: Long = 60 * 60 * 1000L,
+                        watermark: String = "2 hours",
+                        width: Double = 10.0,
+                        qs: Seq[Double] = Seq(0.5, 0.9, 0.99))
+                       (implicit spark: SparkSession): Dataset[QsOut] = {
+    import spark.implicits._
+    import graft.operators.Sketches
+
+    def update(windowStart: Long, rows: Iterator[Event],
+               state: GroupState[QsWinState]): Iterator[QsOut] = {
+      if (state.hasTimedOut) {
+        val hist = state.get.counts.toSeq
+        state.remove()
+        return Sketches.histQuantiles(hist, width, qs).iterator.map {
+          case (q, est, n) => QsOut(new Timestamp(windowStart), q, est, n)
+        }
+      }
+      var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+      rows.foreach { e =>
+        val bin = math.floor(e.value / width).toLong
+        counts = counts.updated(bin, counts.getOrElse(bin, 0L) + 1L)
+      }
+      state.update(QsWinState(counts))
+      state.setTimeoutTimestamp(
+        math.max(windowStart + windowMillis, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMillis) * windowMillis)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }
