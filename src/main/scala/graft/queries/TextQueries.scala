@@ -659,6 +659,124 @@ object TextQueries {
       |  GROUP BY token)
       |ORDER BY df DESC, token ASC LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Deterministic weighted reservoir sample: k docs per lang with
+    * inclusion probability proportional to n_chars (length-weighted
+    * curation — longer docs more likely kept), via A-Res keys
+    * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    * reservoir", public): rank by ln(u)/w descending with u an
+    * md5-derived uniform in (0, 1], the order-equivalent of u^(1/w).
+    * Fully deterministic (seeded by doc_id), so partition-layout-
+    * independent AND oracle-expressible — unlike rand()-based
+    * sampling. 100 TB shape: one narrow pass computes keys, then the
+    * per-group top-k runs as a WindowGroupLimit (map-side partial
+    * top-k per partition, only ≤ k·partitions rows per group reach the
+    * shuffle) — the fixed-k complement of q48's rate-based stratified
+    * sampler. */
+  val WSampleK = 10
+  def q69WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = ((md5Hash60(concat(lit("wsample|"), col("doc_id").cast("string")))
+      % 1000000L) + lit(1L)).cast("double") / lit(1000000.0)
+    val key = log(u) / greatest(col("n_chars"), lit(1)).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("__ares_key").desc, col("doc_id").asc)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("__ares_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= WSampleK)
+      .select("lang", "rank", "doc_id", "n_chars")
+      .orderBy("lang", "rank")
+  }
+
+  val q69Sql: String =
+    s"""SELECT lang, rank, doc_id, n_chars FROM (
+       |  SELECT lang, doc_id, n_chars,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY lang ORDER BY ares_key DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT lang, doc_id, n_chars,
+       |      ln(CAST((CAST(('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |            AS BIGINT) % 1000000) + 1 AS DOUBLE) / 1000000.0)
+       |        / CAST(greatest(n_chars, 1) AS DOUBLE) AS ares_key
+       |    FROM documents))
+       |WHERE rank <= $WSampleK ORDER BY lang, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** BM25 top-k retrieval over the corpus for a fixed term set — the
+    * scoring pass behind retrieval-based decontamination and dedup in
+    * training-data pipelines (Robertson-Sparck Jones BM25 with the
+    * Lucene-style ln(1 + (N−df+0.5)/(df+0.5)) idf; k1=1.2, b=0.75 —
+    * public literature). 100 TB shape: the term filter is a literal
+    * InSet pushed into the token explode (only matching (doc, term)
+    * pairs reach the tf shuffle); df/N/avgdl are tiny broadcast
+    * aggregates; doc length is the one full groupBy any token-count
+    * pass pays; the final top-k is TakeOrderedAndProject (map-side
+    * partial top-k, no global sort). Per-doc term contributions fold
+    * in sorted token order on both engines, making the double sum
+    * deterministic (the q49 discipline). */
+  val Bm25Terms: Seq[String] = Seq("spark", "window", "merge", "stream", "vector", "batch")
+  val Bm25TopK = 20
+  def q70Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select(col("doc_id"), explode(toks).as("token"))
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = t.filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val contrib = (col("idf") * (col("tf").cast("double") * lit(2.2))) /
+      (col("tf").cast("double") +
+        (lit(1.2) * ((lit(1.0) - lit(0.75)) +
+          (lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .join(dl, "doc_id")
+      .withColumn("idf", idf)
+      .withColumn("contrib", contrib)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("token"), col("contrib")))).as("cs"),
+        count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("n_terms"),
+        round(aggregate(col("cs"), lit(0.0), (acc, x) => acc + x("contrib")), 6)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  }
+
+  val q70Sql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM t
+       |  WHERE token IN ($termList) GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token,
+       |    (ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+       |        / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * 2.2))
+       |    / (CAST(tf AS DOUBLE)
+       |      + (1.2 * ((1.0 - 0.75)
+       |        + (0.75 * (CAST(dl AS DOUBLE) / avgdl))))) AS contrib
+       |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), stats)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  round(list_reduce(
+       |    list_prepend(0.0, list_transform(
+       |      list(contrib ORDER BY token), x -> x)), (a, b) -> a + b), 6) + 0.0
+       |    AS bm25
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats"     -> (q20TokenStats _),
     "q21_vocab_df"        -> (q21VocabDf _),
@@ -678,7 +796,9 @@ object TextQueries {
     "q47_unicode_tokens"  -> (q47UnicodeTokens _),
     "q48_stratified_sample" -> (q48StratifiedSample _),
     "q49_lm_logprob"      -> (q49LmLogprob _),
-    "q54_seq_pack"        -> (q54SequencePack _)
+    "q54_seq_pack"        -> (q54SequencePack _),
+    "q69_weighted_sample" -> (q69WeightedSample _),
+    "q70_bm25_topk"       -> (q70Bm25TopK _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -700,6 +820,8 @@ object TextQueries {
     "q47_unicode_tokens"  -> q47Sql,
     "q48_stratified_sample" -> q48Sql,
     "q49_lm_logprob"      -> q49Sql,
-    "q54_seq_pack"        -> q54Sql
+    "q54_seq_pack"        -> q54Sql,
+    "q69_weighted_sample" -> q69Sql,
+    "q70_bm25_topk"       -> q70Sql
   )
 }

@@ -57,4 +57,62 @@ class PipelineOpsSpec extends SparkSpec {
     val lnN = math.log(d.toDouble)
     assert(q.filter(col("nll") > lnN + 1e-6).count() == 0)
   }
+
+  test("q69: exactly k per lang, deterministic across layouts, length-weighted") {
+    val s = TextQueries.q69WeightedSample(spark, sf).cache()
+    // k rows per lang (every sf lang has >= k docs), contiguous ranks
+    val perLang = s.groupBy("lang").agg(
+      count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(perLang.filter(col("n") =!= TextQueries.WSampleK ||
+      col("mx") =!= TextQueries.WSampleK || col("mn") =!= 1).count() == 0)
+    // partition-layout independence: md5 keys carry no layout state
+    val again = TextQueries.q69WeightedSample(spark, sf)
+    assert(s.exceptAll(again).count() == 0 && again.exceptAll(s).count() == 0)
+    // A-Res keys weight by n_chars: the sampled docs must skew long —
+    // mean sampled length above the corpus mean (weighted-inclusion law,
+    // deterministic here since the draws are md5-fixed)
+    val sampledMean = s.agg(avg(col("n_chars"))).head.getDouble(0)
+    val corpusMean = Tables(spark, sf).documents
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean $sampledMean <= corpus mean $corpusMean")
+  }
+
+  test("q70: bm25 matches a from-scratch JVM computation on the same corpus") {
+    val out = TextQueries.q70Bm25TopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size == TextQueries.Bm25TopK)
+    // recompute from raw tokens, independently of the query's plan
+    val toks = Tables(spark, sf).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val nDocs = toks.size.toDouble
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / nDocs
+    val terms = TextQueries.Bm25Terms
+    val df = terms.map(t => t -> toks.values.count(_.contains(t))).toMap
+    val scores = toks.map { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val contribs = terms.sorted.flatMap { term =>
+        val tf = ts.count(_ == term).toDouble
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (nDocs - df(term) + 0.5) / (df(term) + 0.5))
+          Some((idf * (tf * 2.2)) /
+            (tf + (1.2 * ((1.0 - 0.75) + (0.75 * (dl / avgdl))))))
+        }
+      }
+      id -> (contribs.size.toLong,
+        BigDecimal(contribs.foldLeft(0.0)(_ + _))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    for ((id, (nTerms, bm25)) <- out) {
+      val (expN, expS) = scores(id)
+      assert(nTerms == expN, s"doc $id n_terms $nTerms != $expN")
+      assert(math.abs(bm25 - expS) < 1e-6, s"doc $id bm25 $bm25 != $expS")
+    }
+    // and the top-k really is the global top-k of the recomputation
+    val expectedTop = scores.toSeq.sortBy { case (id, (_, s0)) => (-s0, id) }
+      .take(TextQueries.Bm25TopK).map(_._1).toSet
+    assert(out.keySet == expectedTop)
+  }
 }
