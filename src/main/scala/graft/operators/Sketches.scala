@@ -79,15 +79,28 @@ object Sketches {
       .select(g ++ Seq(col("__hll_bucket"), rank.as("__hll_rho")): _*)
       .groupBy(g :+ col("__hll_bucket"): _*)
       .agg(max("__hll_rho").as("__hll_m"))
-    // every group × every bucket, so empty registers count as M=0
-    val buckets = regs.select(g: _*).distinct()
-      .select(g :+ explode(sequence(lit(0L), lit(HllBuckets - 1L))).as("__hll_bucket"): _*)
-    val filled = buckets.join(regs, groupCols :+ "__hll_bucket", "left")
-      .withColumn("__hll_m", coalesce(col("__hll_m"), lit(0)))
-    val agg = filled.groupBy(g: _*).agg(
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRankWidth} - __hll_m)")).as("__hll_s"),
-      sum(when(col("__hll_m") === 0, 1L).otherwise(0L)).as("__hll_zeros"),
-      sum(when(col("__hll_m") > 0, 1L).otherwise(0L)).as("hll_buckets_used"))
+    // Empty registers (M=0) each contribute exactly 2^HllRankWidth to
+    // the sum and one zero — reconstructed ARITHMETICALLY from the
+    // count of present buckets instead of materializing a groups×256
+    // fill frame: the earlier distinct→explode→left-join formulation
+    // produced identical integers through two extra small-data stages,
+    // which at sf-scale were most of the query's wall time. Null-hash
+    // rows (NULL value → NULL bucket) are excluded from every present-
+    // bucket term, exactly as the old fill join dropped them; a group
+    // with ONLY null values still emits its all-empty-register row.
+    val present = col("__hll_bucket").isNotNull
+    val agg = regs.groupBy(g: _*).agg(
+      (sum(when(present,
+        expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRankWidth} - __hll_m)"))
+        .otherwise(0L)) +
+        (lit(HllBuckets.toLong) -
+          sum(when(present, 1L).otherwise(0L))) * lit(1L << HllRankWidth))
+        .as("__hll_s"),
+      (sum(when(present && col("__hll_m") === 0, 1L).otherwise(0L)) +
+        (lit(HllBuckets.toLong) - sum(when(present, 1L).otherwise(0L))))
+        .as("__hll_zeros"),
+      sum(when(present && col("__hll_m") > 0, 1L).otherwise(0L))
+        .as("hll_buckets_used"))
     // raw estimate; linear counting below the standard 2.5m threshold
     val raw = lit(HllAlphaScaled) / col("__hll_s").cast("double")
     val est = when(raw <= lit(2.5 * HllBuckets) && col("__hll_zeros") > 0,
