@@ -58,13 +58,25 @@ object Sketches {
     * 256-row-per-group final agg. The empty-bucket fill joins a
     * `groups × 256` generated frame, all post-reduction. */
   def hllDistinct(df: DataFrame, valueCol: Column, groupCols: Seq[String],
-                  salt: String = "hll"): DataFrame = {
+                  salt: String = "hll"): DataFrame =
+    hllEstimateRegisters(hllRegisters(df, valueCol, groupCols, salt), groupCols)
+
+  /** The sketch ARTIFACT: one `(groupCols*, __hll_bucket, __hll_m)` row
+    * per non-empty register — ≤ groups×256 rows after map-side combine,
+    * whatever the input size. This is the mergeable, shippable form: a
+    * 100 TB pipeline materializes per-split registers (per day, per
+    * shard, per engine) once, and any union of splits is answered by
+    * [[hllMergeRegisters]] + [[hllEstimateRegisters]] without rescanning
+    * rows — the register for a value is a pure function of the value, so
+    * max-merge of split registers IS the register set of the union. */
+  def hllRegisters(df: DataFrame, valueCol: Column, groupCols: Seq[String],
+                   salt: String = "hll"): DataFrame = {
     require(groupCols.nonEmpty,
-      "hllDistinct needs >= 1 group column (use a lit constant for a global count)")
+      "hllRegisters needs >= 1 group column (use a lit constant for a global count)")
     // Internal working columns are __hll_-prefixed so a caller grouping
     // by e.g. "bucket" or "m" cannot silently collide with them.
     require(!groupCols.exists(_.startsWith("__hll_")),
-      "hllDistinct: the __hll_ column-name prefix is reserved for sketch internals")
+      "hllRegisters: the __hll_ column-name prefix is reserved for sketch internals")
     val g = groupCols.map(col)
     val h = md5Hash60(concat(lit(salt + "|"), valueCol.cast("string")))
     val hashed = df.select(g :+ h.as("__hll_h"): _*)
@@ -75,10 +87,27 @@ object Sketches {
     // leading zeros in both engines, so bit_length = length(bin(w))
     val rank = when(col("__hll_w") === 0, lit(HllRankWidth))
       .otherwise(lit(HllRankWidth) - length(bin(col("__hll_w"))))
-    val regs = hashed
+    hashed
       .select(g ++ Seq(col("__hll_bucket"), rank.as("__hll_rho")): _*)
       .groupBy(g :+ col("__hll_bucket"): _*)
       .agg(max("__hll_rho").as("__hll_m"))
+  }
+
+  /** Max-merge register frames onto (possibly remapped) group columns:
+    * `union` the frames, relabel groups as needed, then call this. The
+    * result is EXACTLY the register set a direct [[hllRegisters]] over
+    * the concatenated input would produce (register = max of a pure
+    * per-value function), so merged estimates are bit-identical to
+    * direct ones — no epsilon, the law HllMergeSpec pins. */
+  def hllMergeRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    regs.groupBy(groupCols.map(col) :+ col("__hll_bucket"): _*)
+      .agg(max("__hll_m").as("__hll_m"))
+
+  /** Estimate from a register frame ([[hllRegisters]] /
+    * [[hllMergeRegisters]] output). Split out so sketches can be
+    * stored, shipped, and merged between build and estimate. */
+  def hllEstimateRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     // Empty registers (M=0) each contribute exactly 2^HllRankWidth to
     // the sum and one zero — reconstructed ARITHMETICALLY from the
     // count of present buckets instead of materializing a groups×256
@@ -170,6 +199,27 @@ object Sketches {
       r += 1
     }
   }
+
+  /** JVM twin of the bloom build — fold one key's k bit positions into
+    * an m-bit set stored as longs (mutates `bits`; size m/64). The hash
+    * recipe is byte-identical to [[bloomBuild]]'s column form
+    * (`md5("bloom<i>|" + key) % m`), so a streaming state built by
+    * repeated [[bloomUpdate]] calls emits exactly the position rows of
+    * the batch build on the same keys — the law StreamingBloomSpec pins. */
+  def bloomUpdate(bits: Array[Long], key: String,
+                  m: Int = BloomBits, hashes: Int = BloomHashes): Unit = {
+    var i = 0
+    while (i < hashes) {
+      val pos = (md5Hash60Jvm(s"bloom$i|" + key) % m).toInt
+      bits(pos >> 6) |= 1L << (pos & 63)
+      i += 1
+    }
+  }
+
+  /** Set positions of a [[bloomUpdate]] bit set, ascending — the same
+    * ≤ m rows of one int column that [[bloomBuild]] ships. */
+  def bloomPositions(bits: Array[Long], m: Int = BloomBits): Seq[Int] =
+    (0 until m).filter(p => (bits(p >> 6) & (1L << (p & 63))) != 0L)
 
   // ------------------------------------------------------------ count-min
   /** Count-min geometry: d independent hash rows × w counters. Point

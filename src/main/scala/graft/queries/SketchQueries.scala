@@ -307,17 +307,167 @@ object SketchQueries {
        |ORDER BY token""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q71
+  /** Sketch-gated exact heavy hitters: every l_partkey with ≥ T
+    * occurrences, with its EXACT count — found without ever shuffling
+    * the full key space. Two passes: (1) build the d×w count-min census
+    * (map-side combined, ≤ d·w-row broadcast artifact); (2) re-scan,
+    * probe each occurrence against the broadcast sketch (d broadcast
+    * joins — narrow, no shuffle), keep only rows whose estimate clears
+    * T, and exact-count just those. CMS never undercounts, so the gate
+    * passes a SUPERSET of the true heavy keys (the sf0.01 run has 2000
+    * keys vs w=1024 counters — collisions guarantee real false
+    * positives exercising the gate) and the exact filter then makes the
+    * output exact. At 100 TB this is the frequent-URLs / hot-tokens
+    * pattern: the only shuffle is the gated occurrences (heavy
+    * candidates), not the full distinct-key space — vocabulary can be
+    * billions of keys, the shuffle stays proportional to the heavies.
+    * Output is exact → the oracle is plain GROUP BY/HAVING, and the
+    * deterministic cm_count column doubles as a check that the gate
+    * itself matches the oracle's sketch arithmetic. */
+  val HhThreshold = 40L
+
+  def q71HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables(spark, dir).lineitem.select("l_partkey")
+    val sketch = Sketches.countMinBuild(keys, col("l_partkey"))
+    Sketches.countMinProbe(keys, col("l_partkey"), sketch)
+      .filter(col("cm_count") >= HhThreshold)
+      .groupBy("l_partkey")
+      .agg(min("cm_count").as("cm_count"), // constant per key
+        count(lit(1)).as("exact_count"))
+      .filter(col("exact_count") >= HhThreshold)
+      .orderBy(desc("exact_count"), col("l_partkey"))
+  }
+
+  val q71Sql: String = {
+    val d = Sketches.CmDepth; val w = Sketches.CmWidth
+    def h(r: String, v: String) =
+      s"CAST(('0x' || substr(md5('cm' || $r || '|' || $v), 1, 15)) AS BIGINT) % $w"
+    s"""WITH s AS (
+       |  SELECT r, ${h("CAST(r AS VARCHAR)", "CAST(l_partkey AS VARCHAR)")} AS col,
+       |    count(*) AS c
+       |  FROM lineitem, range(0, $d) rr(r) GROUP BY 1, 2),
+       |ph AS (
+       |  SELECT l_partkey, r,
+       |    ${h("CAST(r AS VARCHAR)", "CAST(l_partkey AS VARCHAR)")} AS col
+       |  FROM (SELECT DISTINCT l_partkey FROM lineitem), range(0, $d) rr(r)),
+       |est AS (
+       |  SELECT ph.l_partkey, min(coalesce(s.c, 0)) AS cm_count
+       |  FROM ph LEFT JOIN s ON s.r = ph.r AND s.col = ph.col
+       |  GROUP BY 1),
+       |exact AS (
+       |  SELECT l_partkey, count(*) AS exact_count FROM lineitem GROUP BY 1)
+       |SELECT l_partkey, CAST(cm_count AS BIGINT) AS cm_count,
+       |  CAST(exact_count AS BIGINT) AS exact_count
+       |FROM est JOIN exact USING (l_partkey)
+       |WHERE cm_count >= $HhThreshold AND exact_count >= $HhThreshold
+       |ORDER BY exact_count DESC, l_partkey""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q72
+  /** HLL register merge: per-return-flag register sets max-merged into
+    * a global 'ALL' scope WITHOUT rescanning the data — the operation
+    * that makes HLL the 100 TB distinct-count currency. A pipeline
+    * materializes per-split sketches once (per day, per shard, even per
+    * engine — the artifact is 256 small integers with a documented
+    * hash), and any union is answered from the sketches alone: the
+    * register for a value is a pure function of the value, so max-merge
+    * of split registers IS the union's register set, and the merged
+    * estimate is BIT-IDENTICAL to a direct sketch of the union (no
+    * epsilon — HllMergeSpec pins it; here the oracle recomputes the
+    * same merge in SQL and the hashes must match). Output: one row per
+    * flag scope plus the merged ALL row, each next to its exact
+    * distinct count and relative error. */
+  def q72HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val perFlag = Sketches.hllRegisters(li, col("l_partkey"), Seq("l_returnflag"))
+    val flagEst = Sketches.hllEstimateRegisters(
+      perFlag.withColumnRenamed("l_returnflag", "scope"), Seq("scope"))
+    val allEst = Sketches.hllEstimateRegisters(
+      Sketches.hllMergeRegisters(
+        perFlag.select(lit("ALL").as("scope"), col("__hll_bucket"),
+          col("__hll_m")),
+        Seq("scope")),
+      Seq("scope"))
+    val exact = li.groupBy(col("l_returnflag").as("scope"))
+      .agg(countDistinct("l_partkey").as("exact_distinct"))
+      .unionByName(li.agg(countDistinct("l_partkey").as("exact_distinct"))
+        .select(lit("ALL").as("scope"), col("exact_distinct")))
+    flagEst.unionByName(allEst).join(exact, Seq("scope"))
+      .select(col("scope"), col("hll_distinct"), col("hll_buckets_used"),
+        col("exact_distinct"),
+        round(abs(col("hll_distinct") - col("exact_distinct")) /
+          col("exact_distinct").cast("double"), 4).as("rel_err"))
+      .orderBy("scope")
+  }
+
+  /** Mirrors the arithmetic empty-register reconstruction of
+    * `hllEstimateRegisters` (l_partkey is non-null, so the null-bucket
+    * guards are vacuous): s and zeros are derived from the PRESENT
+    * registers plus the count of absent ones — no 256-row fill frame in
+    * either engine. */
+  val q72Sql: String = {
+    val m = Sketches.HllBuckets
+    s"""WITH h AS (
+       |  SELECT l_returnflag,
+       |    CAST(('0x' || substr(md5('hll|' || CAST(l_partkey AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag AS scope, h % $m AS bucket,
+       |    max(CASE WHEN h // $m = 0 THEN 53
+       |        ELSE 53 - length(bin(h // $m)) END) AS m
+       |  FROM h GROUP BY 1, 2),
+       |regs AS (
+       |  SELECT * FROM r
+       |  UNION ALL
+       |  SELECT 'ALL' AS scope, bucket, max(m) AS m FROM r GROUP BY 2),
+       |agg AS (
+       |  SELECT scope,
+       |    sum(CAST(1 AS BIGINT) << (53 - m))
+       |      + (CAST($m AS BIGINT) - count(*)) * (CAST(1 AS BIGINT) << 53) AS s,
+       |    sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+       |      + (CAST($m AS BIGINT) - count(*)) AS zeros,
+       |    CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hll_buckets_used
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT scope, hll_buckets_used,
+       |    round(CASE WHEN ${Sketches.HllAlphaScaled} / CAST(s AS DOUBLE)
+       |                    <= ${2.5 * m} AND zeros > 0
+       |      THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |      ELSE ${Sketches.HllAlphaScaled} / CAST(s AS DOUBLE) END, 4)
+       |      AS hll_distinct
+       |  FROM agg),
+       |exact AS (
+       |  SELECT l_returnflag AS scope,
+       |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+       |  FROM lineitem GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'ALL', CAST(count(DISTINCT l_partkey) AS BIGINT)
+       |  FROM lineitem)
+       |SELECT e.scope, hll_distinct, hll_buckets_used, exact_distinct,
+       |  round(abs(hll_distinct - exact_distinct) / CAST(exact_distinct AS DOUBLE), 4)
+       |    AS rel_err
+       |FROM est e JOIN exact USING (scope)
+       |ORDER BY scope""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_doc_chunk" -> q57DocChunk,
     "q64_hll_distinct" -> q64HllDistinct,
     "q65_bloom_semijoin" -> q65BloomSemijoin,
     "q66_quantile_sketch" -> q66QuantileSketch,
-    "q67_countmin" -> q67CountMin)
+    "q67_countmin" -> q67CountMin,
+    "q71_heavy_hitters" -> q71HeavyHitters,
+    "q72_hll_merge" -> q72HllMerge)
 
   val oracles: Map[String, String] = Map(
     "q57_doc_chunk" -> q57Sql,
     "q64_hll_distinct" -> q64Sql,
     "q65_bloom_semijoin" -> q65Sql,
     "q66_quantile_sketch" -> q66Sql,
-    "q67_countmin" -> q67Sql)
+    "q67_countmin" -> q67Sql,
+    "q71_heavy_hitters" -> q71Sql,
+    "q72_hll_merge" -> q72Sql)
 }

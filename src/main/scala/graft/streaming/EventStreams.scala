@@ -174,6 +174,56 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class BloomWinState(bits: Array[Long])
+  case class BloomOut(window_start: Timestamp, event_type: String, pos: Int)
+
+  /** Windowed bloom-filter build per event type — the streaming twin of
+    * Sketches.bloomBuild, completing the streaming sketch set (HLL,
+    * count-min, quantile, bloom). State is EXACTLY m bits (512 B at the
+    * default m=4096) per open (window × type); emission on event-time
+    * timeout is the set-bit positions — the SAME ≤ m-row artifact the
+    * batch build broadcasts, so a closed window's filter reconciles
+    * bit-for-bit with a batch backfill (shared kernel:
+    * Sketches.bloomUpdate, asserted in StreamingBloomSpec) and feeds
+    * Sketches.bloomProbe unchanged. The use case is the streaming side
+    * of a pre-join gate: each closed window ships its membership filter
+    * downstream (e.g. "users active in hour H") without ever holding
+    * the distinct-key set. Late stragglers re-open a partial window and
+    * emit a supplementary position set, which ORs correctly into any
+    * downstream filter — bloom bits merge by union, the same
+    * mergeability as the other sketches. */
+  def streamingBloom(events: Dataset[UserEvent],
+                     windowMillis: Long = 60 * 60 * 1000L,
+                     watermark: String = "2 hours")
+                    (implicit spark: SparkSession): Dataset[BloomOut] = {
+    import spark.implicits._
+    import graft.operators.Sketches
+
+    def update(key: (Long, String), rows: Iterator[UserEvent],
+               state: GroupState[BloomWinState]): Iterator[BloomOut] = {
+      if (state.hasTimedOut) {
+        val bits = state.get.bits
+        state.remove()
+        return Sketches.bloomPositions(bits).iterator
+          .map(p => BloomOut(new Timestamp(key._1), key._2, p))
+      }
+      val bits = state.getOption.map(_.bits)
+        .getOrElse(new Array[Long](Sketches.BloomBits / 64))
+      rows.foreach(e => Sketches.bloomUpdate(bits, e.user_id.toString))
+      state.update(BloomWinState(bits))
+      state.setTimeoutTimestamp(
+        math.max(key._1 + windowMillis, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e =>
+        (Math.floorDiv(e.ts.getTime, windowMillis) * windowMillis, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   // ------------------------------------------------- stateful sessions
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

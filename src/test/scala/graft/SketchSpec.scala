@@ -173,4 +173,58 @@ class SketchSpec extends SparkSpec {
     assert(bloom.getAs[Long]("n_false_neg") == 0L)
     assert(bloom.getAs[Long]("n_pass") >= bloom.getAs[Long]("n_present"))
   }
+
+  test("hll register max-merge of splits == direct sketch of the union, bit-identical") {
+    // two overlapping splits (ids 0..399 and 200..599) sketched
+    // separately, merged via register max — the estimate must equal a
+    // direct hllDistinct over the union EXACTLY, not approximately
+    val a = spark.range(0, 400).select(
+      lit("s").as("scope"), concat(lit("v"), col("id")).as("v"))
+    val b = spark.range(200, 600).select(
+      lit("s").as("scope"), concat(lit("v"), col("id")).as("v"))
+    val merged = Sketches.hllEstimateRegisters(
+      Sketches.hllMergeRegisters(
+        Sketches.hllRegisters(a, col("v"), Seq("scope"))
+          .union(Sketches.hllRegisters(b, col("v"), Seq("scope"))),
+        Seq("scope")),
+      Seq("scope")).head()
+    val direct = Sketches.hllDistinct(a.union(b), col("v"), Seq("scope")).head()
+    assert(merged.getAs[Double]("hll_distinct") ==
+      direct.getAs[Double]("hll_distinct"))
+    assert(merged.getAs[Long]("hll_buckets_used") ==
+      direct.getAs[Long]("hll_buckets_used"))
+    // and the refactor seam: hllDistinct == estimate(registers)
+    val viaSeam = Sketches.hllEstimateRegisters(
+      Sketches.hllRegisters(a, col("v"), Seq("scope")), Seq("scope")).head()
+    val directA = Sketches.hllDistinct(a, col("v"), Seq("scope")).head()
+    assert(viaSeam.getAs[Double]("hll_distinct") ==
+      directA.getAs[Double]("hll_distinct"))
+  }
+
+  test("q71: sketch gate passes a superset; output is the exact heavy-hitter set") {
+    val t = graft.Tables(spark, sf).lineitem
+    val got = SketchQueries.q71HeavyHitters(spark, sf).collect()
+    val expected = t.groupBy("l_partkey")
+      .agg(count(lit(1)).as("exact_count"))
+      .filter(col("exact_count") >= SketchQueries.HhThreshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "testdata should contain heavy hitters at the threshold")
+    assert(got.map(r => r.getAs[Long]("l_partkey") ->
+      r.getAs[Long]("exact_count")).toMap == expected)
+    // CMS never undercounts: the gate estimate dominates the exact count
+    got.foreach(r => assert(
+      r.getAs[Long]("cm_count") >= r.getAs[Long]("exact_count")))
+  }
+
+  test("q72 merged ALL estimate == direct global sketch on testdata") {
+    val rows = SketchQueries.q72HllMerge(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("scope")).contains("ALL"))
+    rows.foreach(r => assert(r.getAs[Double]("rel_err") < 0.20))
+    val all = rows.find(_.getAs[String]("scope") == "ALL").get
+    val direct = Sketches.hllDistinct(
+      graft.Tables(spark, sf).lineitem.withColumn("scope", lit("ALL")),
+      col("l_partkey"), Seq("scope")).head()
+    assert(all.getAs[Double]("hll_distinct") ==
+      direct.getAs[Double]("hll_distinct"))
+  }
 }
