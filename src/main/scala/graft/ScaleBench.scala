@@ -141,6 +141,46 @@ object ScaleBench {
             .agg(sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
               count(lit(1)).as("n_probe"))
         }),
+        // sketch-gated heavy hitters (q71's shape): find the texts
+        // duplicated ≥ 2×factor times. The threshold scales WITH the
+        // replication factor, so the true heavy set (the base corpus's
+        // 8 duplicate pairs) is IDENTICAL at every factor — input grows
+        // linearly, output stays 8 rows, and the measured time isolates
+        // the gate pattern's cost: CMS build (map-side combined) + a
+        // narrow broadcast-probe pass + an exact groupBy of only the
+        // gated occurrences. Width 65536 keeps the expected collision
+        // overcount (εN ≈ e/w · rows) below the threshold so the gate
+        // actually discards the ~5000·factor singleton keys
+        "heavy_hitters" -> (() => {
+          val w = 65536
+          val d = Tables(spark, dir).documents.select(md5(col("text")).as("k"))
+          val sketch = graft.operators.Sketches.countMinBuild(
+            d, col("k"), width = w)
+          val thresh = 2L * factor
+          graft.operators.Sketches.countMinProbe(d, col("k"), sketch, width = w)
+            .filter(col("cm_count") >= thresh)
+            .groupBy("k").agg(count(lit(1)).as("exact_count"))
+            .filter(col("exact_count") >= thresh)
+        }),
+        // HLL register merge (q72's shape): per-lang registers
+        // max-merged to a global scope — the merge itself touches only
+        // langs×256 register rows, so this row must time like the
+        // plain hll_distinct build above at every factor
+        "hll_merge" -> (() => {
+          val regs = graft.operators.Sketches.hllRegisters(
+            Tables(spark, dir).documents, col("doc_id"), Seq("lang"))
+          graft.operators.Sketches.hllEstimateRegisters(
+            graft.operators.Sketches.hllMergeRegisters(
+              regs.select(lit("ALL").as("scope"), col("__hll_bucket"),
+                col("__hll_m")),
+              Seq("scope")),
+            Seq("scope"))
+        }),
+        // weighted reservoir sample (q69) and BM25 top-k (q70) run
+        // as-is on the synthesized corpus: both must scale like one
+        // narrow pass + a partial-top-k / broadcast-stats shuffle
+        "weighted_sample" -> (() => TextQueries.q69WeightedSample(spark, dir)),
+        "bm25_topk" -> (() => TextQueries.q70Bm25TopK(spark, dir)),
         // quantile sketch (q66's shape over the replicated corpus:
         // p50/p90/p99 of n_chars per lang): ≤ groups×bins count rows
         // through one map-side-combined shuffle vs a global sort

@@ -430,6 +430,86 @@ object Similarity {
     }
   }
 
+  /** IVF+PQ: the production ANN index shape (FAISS-style IVFADC — Jégou
+    * et al. 2011 §IV, public) composed from this module's two
+    * deterministic pieces. The corpus pays ONE narrow pass computing
+    * its coarse cell (argmax spherical score, [[ivfKnnDeterministic]]'s
+    * quantizer) AND its 8-byte PQ codes ([[pqEncode]]'s codegen
+    * kernel), then ships only (vec_id, cell, codes) — ~28 B/row.
+    * Queries probe their `nprobe` best cells; the ADC scan joins
+    * code-rows to queries ON THE CELL KEY, so it touches ~nprobe/
+    * numCells of the corpus instead of all of it (q63's gain was
+    * compressing the scan; this also SHRINKS it); exact cosine re-rank
+    * then runs on |queries|·rerank pairs only. At 100 TB: a deployment
+    * persists the (cell, codes) index once, the per-query cost is a
+    * broadcast probe of the matching cell partitions — corpus is never
+    * shuffled per query batch. Deterministic end to end (literal
+    * centroids + md5 codebook) → fully oracle-expressible, unlike a
+    * trained IVFPQ. With nprobe = numCells the gate passes everything
+    * and the result equals [[pqAdcKnn]] at the same rerank — the
+    * exactness law PqSpec pins. */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+               numCells: Int = 8, nprobe: Int = 2, rerank: Int = 30,
+               dim: Int = 64): DataFrame = {
+    def scores(emb: Column): Column =
+      array((0 until numCells).map(cc => cellScore(emb, cc, dim)): _*)
+    val enc = graft.plans.PqEncode(
+      col("emb"), pqCodebookFlat, pqNorms2Flat,
+      PqSubspaces, PqCodes, PqSubDim)
+    // cell + codes in ONE pass; the repartition is the same load-bearing
+    // exchange as pqAdcKnn's (without it the encode chain fuses into the
+    // join and re-evaluates per pair)
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("scores", scores(col("emb")))
+      .select(col("vec_id"),
+        (array_position(col("scores"), array_max(col("scores"))) - 1)
+          .cast("int").as("cell"),
+        enc.as("__pq_enc"))
+      .select(col("vec_id"), col("cell"), col("__pq_enc.codes").as("codes"))
+      .repartition(col("vec_id"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cell").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .select(col("query_id"), posexplode(scores(col("q_emb"))).as(Seq("cell", "score")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "cell")
+    val qtab = pqStage(queries, dim).select(
+      col("vec_id").as("query_id"),
+      flatten(array((0 until PqSubspaces).map(s => col(s"d$s")): _*)).as("qtab"))
+    val q = probes.join(qtab, "query_id") // both tiny: |queries|·nprobe rows
+    val adc = (lit(0.0) +: (0 until PqSubspaces).map { s =>
+      element_at(col("qtab"),
+        lit(s * PqCodes) + element_at(col("codes"), s + 1).cast("int") + 1)
+    }).reduce(_ + _)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc_dist", adc)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+      .withColumn("rank", row_number().over(wAdc).cast("long"))
+      .filter(col("rank") <= rerank)
+      .select("query_id", "neighbor_id")
+    val cEmb = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val qEmb = queries.select(col("vec_id").as("qid"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(cand)
+      .join(cEmb, cand("neighbor_id") === cEmb("vec_id"))
+      .join(broadcast(qEmb), col("query_id") === col("qid"))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
   /** Approximate top-k: bucket corpus and queries by sign-LSH signature,
     * rank only within the shared bucket. One shuffle on the signature —
     * the scale path when |queries| is large. Recall < 1 by construction;

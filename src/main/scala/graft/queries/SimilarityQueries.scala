@@ -501,6 +501,78 @@ object SimilarityQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q73
+  /** IVF+PQ two-stage ANN (FAISS-style IVFADC): coarse deterministic
+    * cells gate the scan (nprobe=2 of 8 → ~1/4 of the corpus), the
+    * gated quarter is scored by 8-byte-code ADC lookups, and 30
+    * candidates per query get the exact cosine re-rank. The oracle
+    * composes q43b's literal-centroid cell CTEs with q63's staged PQ
+    * CTEs — every stage bit-reproducible in DuckDB. */
+  def q73IvfPqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.ivfPqKnn(e, e.filter(col("vec_id") < 20), k = 5,
+        numCells = 8, nprobe = 2, rerank = 30)
+      .orderBy("query_id", "rank")
+  }
+
+  val q73Sql: String = {
+    // q43b's spherical score list (over the RAW emb, matching the plan)
+    val scoreList = (0 until 8).map { c =>
+      val cen = (0 until 64)
+        .map(d => s"${Similarity.cellComponentScaled(c, d)}.0/10000.0")
+        .mkString("[", ",", "]")
+      val cnorm = sqlDouble(Similarity.cellNorm(c, 64))
+      s"list_sum(list_transform(range(1, 65), i -> emb[i] * ($cen)[i])) / $cnorm"
+    }.mkString("[", ",\n    ", "]")
+    val posCols = (0 until Similarity.PqSubspaces)
+      .map(s => s"CAST(list_position(d$s, list_min(d$s)) AS INT)")
+      .mkString("[", ", ", "]")
+    val adc = (0 until Similarity.PqSubspaces)
+      .map(s => s"q.d$s[c.pos[${s + 1}]]").mkString("0.0 + ", " + ", "")
+    s"""WITH $pqStagedCte,
+       |sc AS (SELECT vec_id, $scoreList AS scores FROM e),
+       |cellassign AS (
+       |  SELECT vec_id,
+       |    CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
+       |  FROM sc),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT s.vec_id AS query_id, r.c AS cell,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY s.scores[r.c + 1] DESC, r.c ASC) AS pr
+       |    FROM sc s, range(0, 8) r(c)
+       |    WHERE s.vec_id < 20)
+       |  WHERE pr <= 2),
+       |c AS (
+       |  SELECT d.vec_id, $posCols AS pos, cellassign.cell
+       |  FROM d JOIN cellassign USING (vec_id)),
+       |adc AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, $adc AS adc_dist
+       |  FROM probes p
+       |  JOIN d q ON q.vec_id = p.query_id
+       |  JOIN c ON c.cell = p.cell AND c.vec_id != p.query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist ASC, neighbor_id) AS pr
+       |    FROM adc)
+       |  WHERE pr <= 30),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.emb[i] * c2.emb[i]))
+       |      / (q.nrm * c2.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN pn q ON q.vec_id = cand.query_id
+       |  JOIN pn c2 ON c2.vec_id = cand.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_embed_neardup" -> (q44EmbedNearDup _),
     "q45_dedup_canonical" -> (q45DedupCanonical _),
@@ -513,7 +585,8 @@ object SimilarityQueries {
     "q43_knn_ivf"     -> (q43KnnIvf _),
     "q43b_knn_ivf_det" -> (q43bKnnIvfDet _),
     "q62_pq_encode"   -> (q62PqEncode _),
-    "q63_pq_adc_knn"  -> (q63PqAdcKnn _)
+    "q63_pq_adc_knn"  -> (q63PqAdcKnn _),
+    "q73_ivfpq_knn"   -> (q73IvfPqKnn _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -527,6 +600,7 @@ object SimilarityQueries {
     "q43b_knn_ivf_det" -> q43bSql,
     "q44_embed_neardup" -> q44Sql,
     "q62_pq_encode"   -> q62Sql,
-    "q63_pq_adc_knn"  -> q63Sql
+    "q63_pq_adc_knn"  -> q63Sql,
+    "q73_ivfpq_knn"   -> q73Sql
   )
 }

@@ -54,6 +54,35 @@ class PqSpec extends SparkSpec {
     assert(recall > 0.5, s"reranked recall=$recall")
   }
 
+  test("ivfpq with nprobe == numCells equals pqAdcKnn at the same rerank") {
+    // the cell gate wide open passes every corpus row exactly once (a
+    // vector lives in ONE cell), so the two-stage result must be
+    // IDENTICAL to the ungated ADC scan — the gate only ever removes
+    // candidates, never rescores them
+    val qs = emb.filter(col("vec_id") < 10)
+    val gated = Similarity.ivfPqKnn(emb, qs, k = 5,
+      numCells = 8, nprobe = 8, rerank = 30).collect().toSet
+    val ungated = Similarity.pqAdcKnn(emb, qs, k = 5, rerank = 30)
+      .collect().toSet
+    assert(gated == ungated)
+  }
+
+  test("ivfpq recall: gated two-stage still recovers most of brute force") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(emb, qs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqKnn(emb, qs, k = 5, numCells = 8,
+        nprobe = 2, rerank = 30)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // nprobe=2/8 caps attainable recall at the cell-coincidence rate;
+    // the floor pins "the gate is routing related vectors together",
+    // not brute-force parity
+    assert(recall > 0.25, s"ivfpq recall=$recall")
+    // every query still gets its full k
+    assert(got.size == 100)
+  }
+
   test("adc distance approximates true normalized-L2 distance") {
     // ADC(q, c) should correlate with 2-2cos(q, c); spot-check that for
     // one query the ADC-nearest neighbor is within the true top half
