@@ -637,8 +637,72 @@ object Relational {
       |  m.first_purchase_id
       |FROM e LEFT JOIN m USING (error_id) ORDER BY error_id""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** Ordered conversion funnel view → click → purchase per user:
+    * earliest click strictly AFTER the user's first view, earliest
+    * purchase strictly AFTER that click, plus the reached depth. Three
+    * stage aggregations all keyed on user_id: after the first shuffle
+    * the joins and re-aggs reuse the hash partitioning (no extra
+    * exchange at scale), and each stage's frame shrinks to the users
+    * still converting — the standard product-analytics funnel without
+    * ever materializing per-user event arrays. Time math in µs (q55's
+    * rule: DuckDB reads TIMESTAMP(NANOS) µs-truncated, so µs is the
+    * finest cross-engine-exact unit); missing stages are -1 sentinels
+    * (q55's NULL discipline). */
+  def q74Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("ts_us"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1_us"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts_us") > col("t1_us"))
+      .groupBy("user_id").agg(min("ts_us").as("t2_us"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts_us") > col("t2_us"))
+      .groupBy("user_id").agg(min("ts_us").as("t3_us"))
+    e.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (when(col("t1_us").isNotNull, 1L).otherwise(0L) +
+          when(col("t2_us").isNotNull, 1L).otherwise(0L) +
+          when(col("t3_us").isNotNull, 1L).otherwise(0L)).as("funnel_depth"),
+        coalesce(col("t1_us"), lit(-1L)).as("t1_us"),
+        coalesce(col("t2_us"), lit(-1L)).as("t2_us"),
+        coalesce(col("t3_us"), lit(-1L)).as("t3_us"))
+      .orderBy("user_id")
+  }
+
+  val q74Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |t1 AS (
+      |  SELECT user_id, min(ts_us) AS t1_us FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, min(ts_us) AS t2_us FROM e JOIN t1 USING (user_id)
+      |  WHERE event_type = 'click' AND ts_us > t1_us GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, min(ts_us) AS t3_us FROM e JOIN t2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY 1)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN t1_us IS NULL THEN 0 ELSE 1 END
+      |    + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+      |    + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS funnel_depth,
+      |  coalesce(t1_us, -1) AS t1_us,
+      |  coalesce(t2_us, -1) AS t2_us,
+      |  coalesce(t3_us, -1) AS t3_us
+      |FROM (SELECT DISTINCT user_id FROM e) u
+      |LEFT JOIN t1 USING (user_id)
+      |LEFT JOIN t2 USING (user_id)
+      |LEFT JOIN t3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_funnel"              -> (q74Funnel _),
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
     "q02_agg_pricing"         -> (q02AggPricing _),
     "q03_join_broadcast"      -> (q03JoinBroadcast _),
@@ -688,6 +752,7 @@ object Relational {
     "q17_window_suite"        -> q17Sql,
     "q18_rollup"              -> q18Sql,
     "q19_scalar_subquery"     -> q19Sql,
+    "q74_funnel"              -> q74Sql,
     "q33_string_match"        -> q33Sql,
     "q34_date_parts"          -> q34Sql,
     "q35_set_ops"             -> q35Sql

@@ -777,7 +777,102 @@ object TextQueries {
        |ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q75
+  /** Bigram LM scoring with stupid backoff (Brants et al. 2007, "Large
+    * language models in machine translation", public; λ=0.4) — the
+    * context-aware upgrade of q49's unigram NLL for perplexity-style
+    * quality filtering, evaluated properly HELD-OUT: counts come from
+    * the train slice (doc_id ≥ 50), scores go to the held-out docs
+    * (doc_id < 50) — scoring the counting corpus itself can never hit
+    * the backoff branch (every bigram in it is by definition seen).
+    * Per held-out token: first-of-doc scores ln(c1(w)/N); a train-seen
+    * bigram scores ln(c2(prev,w)/c1(prev)); an unseen one backs off to
+    * ln(λ·c1(w)/N). An OOV unigram reads c1 = 1 (floor; none occur in
+    * this corpus but ln(0) must be unreachable). 100 TB shape: the
+    * position/lag pass is one doc-keyed window shuffle (the same any
+    * sequence op pays), both count tables are map-side-combined aggs,
+    * and the count joins are plain equi-joins co-partitioned on the
+    * token keys — the standard distributed LM-scoring plan. Per-doc
+    * fold runs over ASCENDING contribution values (q49's discipline)
+    * so the double sum is order-independent and oracle-exact. */
+  val BackoffLambda = 0.4
+  val LmHeldOutBelow = 50L
+  def q75BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val t = docs(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+    val seq = t.withColumn("prev", lag("token", 1).over(wDoc))
+    val train = seq.filter(col("doc_id") >= LmHeldOutBelow)
+    val held = seq.filter(col("doc_id") < LmHeldOutBelow)
+    val uni = train.groupBy("token").agg(count(lit(1)).as("c1"))
+    val bi = train.filter(col("prev").isNotNull)
+      .groupBy("prev", "token").agg(count(lit(1)).as("c2"))
+    val n = train.agg(count(lit(1)).cast("double").as("n"))
+    val c1f = coalesce(col("c1"), lit(1L)).cast("double")
+    val contrib = when(col("prev").isNull, log(c1f / col("n")))
+      .when(col("c2").isNotNull,
+        log(col("c2").cast("double") / col("c1_prev").cast("double")))
+      .otherwise(log(lit(BackoffLambda) * c1f / col("n")))
+    held.join(uni, Seq("token"), "left")
+      .join(uni.select(col("token").as("prev"), col("c1").as("c1_prev")),
+        Seq("prev"), "left")
+      .join(bi, Seq("prev", "token"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("contrib", contrib)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("contrib"))).as("cs"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(0.0) -
+          aggregate(col("cs"), lit(0.0), (a, x) => a + x) / col("n_tokens"),
+          6).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val q75Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |seq0 AS (
+       |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM d),
+       |seq AS (
+       |  SELECT doc_id, pos, toks[pos] AS token,
+       |    CASE WHEN pos > 1 THEN toks[pos - 1] END AS prev
+       |  FROM seq0),
+       |uni AS (
+       |  SELECT token, count(*) AS c1 FROM seq
+       |  WHERE doc_id >= $LmHeldOutBelow GROUP BY 1),
+       |bi AS (
+       |  SELECT prev, token, count(*) AS c2 FROM seq
+       |  WHERE prev IS NOT NULL AND doc_id >= $LmHeldOutBelow GROUP BY 1, 2),
+       |n AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM seq
+       |  WHERE doc_id >= $LmHeldOutBelow),
+       |j AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN s.prev IS NULL
+       |           THEN ln(CAST(coalesce(u.c1, 1) AS DOUBLE) / n)
+       |         WHEN b.c2 IS NOT NULL
+       |           THEN ln(CAST(b.c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE))
+       |         ELSE ln(CAST($BackoffLambda AS DOUBLE)
+       |           * CAST(coalesce(u.c1, 1) AS DOUBLE) / n)
+       |    END AS contrib
+       |  FROM seq s
+       |  LEFT JOIN uni u USING (token)
+       |  LEFT JOIN uni up ON up.token = s.prev
+       |  LEFT JOIN bi b ON b.prev = s.prev AND b.token = s.token, n
+       |  WHERE s.doc_id < $LmHeldOutBelow),
+       |f AS (
+       |  SELECT doc_id, list(contrib ORDER BY contrib) AS cs,
+       |    count(*) AS n_tokens
+       |  FROM j GROUP BY 1)
+       |SELECT doc_id, n_tokens,
+       |  round(0.0 - list_reduce(list_prepend(0.0, cs), (a, b) -> a + b)
+       |    / n_tokens, 6) + 0.0 AS nll
+       |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_bigram_lm"       -> (q75BigramLm _),
     "q20_token_stats"     -> (q20TokenStats _),
     "q21_vocab_df"        -> (q21VocabDf _),
     "q22_bigram_top"      -> (q22BigramTop _),
@@ -822,6 +917,7 @@ object TextQueries {
     "q49_lm_logprob"      -> q49Sql,
     "q54_seq_pack"        -> q54Sql,
     "q69_weighted_sample" -> q69Sql,
+    "q75_bigram_lm"       -> q75Sql,
     "q70_bm25_topk"       -> q70Sql
   )
 }

@@ -180,6 +180,47 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("q74 funnel: stage times strictly ordered, depth consistent, one row per user") {
+    val rows = graft.queries.Relational.q74Funnel(spark, sf).collect()
+    val users = Tables(spark, sf).events.select("user_id").distinct().count()
+    assert(rows.length == users)
+    rows.foreach { r =>
+      val (d, t1, t2, t3) = (r.getAs[Long]("funnel_depth"),
+        r.getAs[Long]("t1_us"), r.getAs[Long]("t2_us"), r.getAs[Long]("t3_us"))
+      // a stage only exists if the previous one does, strictly later
+      assert((t2 == -1L) || (t1 != -1L && t2 > t1))
+      assert((t3 == -1L) || (t2 != -1L && t3 > t2))
+      assert(d == Seq(t1, t2, t3).count(_ != -1L))
+    }
+    // the funnel is non-degenerate on testdata: some users convert fully,
+    // and depths are not all equal
+    assert(rows.exists(_.getAs[Long]("funnel_depth") == 3L))
+  }
+
+  test("q75 bigram LM: held-out NLL finite and positive, backoff branch live") {
+    val rows = TextQueries.q75BigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("nll")
+      assert(!nll.isNaN && !nll.isInfinite && nll > 0.0)
+    }
+    // the backoff branch is live on this corpus: at least one held-out
+    // bigram is absent from the train slice (guards against the scoring-
+    // the-training-set mistake where backoff is structurally dead)
+    val t = Tables(spark, sf).documents
+      .select(col("doc_id"),
+        posexplode(whitespaceTokens(col("text"))).as(Seq("pos", "token")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val seq = t.withColumn("prev", lag("token", 1).over(w))
+      .filter(col("prev").isNotNull)
+    val trainBi = seq.filter(col("doc_id") >= TextQueries.LmHeldOutBelow)
+      .select("prev", "token").distinct()
+    val unseen = seq.filter(col("doc_id") < TextQueries.LmHeldOutBelow)
+      .join(trainBi, Seq("prev", "token"), "left_anti").count()
+    assert(unseen > 0, "held-out slice exercises the backoff branch")
+  }
+
   test("canonicalization labels are idempotent pointers") {
     val labels = Dedup.minhashCanonicalize(
       Tables(spark, sf).documents, iterations = 2).cache()
