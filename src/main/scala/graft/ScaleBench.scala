@@ -257,7 +257,10 @@ object ScaleBench {
         // PQ two-stage: corpus side is 8-byte codes, the broadcast
         // query ships its distance tables — the coarse-scan + re-rank
         // cost must track corpus size linearly
-        "pq_adc_knn" -> (() => Similarity.pqAdcKnn(emb, queries100, 10, rerank = 50)))
+        "pq_adc_knn" -> (() => Similarity.pqAdcKnn(emb, queries100, 10, rerank = 50)),
+        // IVF+PQ: the cell gate must cut the ADC scan to ~nprobe/numCells
+        // of pq_adc_knn's at every factor
+        "knn_ivfpq" -> (() => Similarity.ivfPqKnn(emb, queries100, 10, rerank = 50)))
       val timed = (ops ++ annOps).filter(p => opSelected(p._1))
         .map { case (name, mk) => name -> time(mk()) }
       val js = timed.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

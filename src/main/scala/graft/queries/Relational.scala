@@ -504,6 +504,29 @@ object Relational {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** CUBE over (returnflag, linestatus): all four grouping sets — per
+    * pair, per flag, per status, grand total — in ONE pass (Catalyst
+    * expands the sets then single-shuffles, exactly like q18's rollup;
+    * this completes the grouping-set family). NULL subtotal markers
+    * sort first on both engines; the group columns are non-null in the
+    * data, so NULL unambiguously means "all". */
+  def q76Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_quantity").as("sum_qty"), // integral doubles: exact
+        moneySum("l_extendedprice").as("sum_price"))
+      .sort(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val q76Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- q19
   /** Scalar-subquery predicate: customers above the global mean balance.
     * The mean is one broadcast row — no per-row recomputation. */
@@ -703,6 +726,7 @@ object Relational {
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_funnel"              -> (q74Funnel _),
+    "q76_cube"                -> (q76Cube _),
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
     "q02_agg_pricing"         -> (q02AggPricing _),
     "q03_join_broadcast"      -> (q03JoinBroadcast _),
@@ -753,6 +777,7 @@ object Relational {
     "q18_rollup"              -> q18Sql,
     "q19_scalar_subquery"     -> q19Sql,
     "q74_funnel"              -> q74Sql,
+    "q76_cube"                -> q76Sql,
     "q33_string_match"        -> q33Sql,
     "q34_date_parts"          -> q34Sql,
     "q35_set_ops"             -> q35Sql
