@@ -527,6 +527,30 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Fuzzy entity-resolution self-join: customer-name pairs within
+    * Hamming distance 1, found WITHOUT a cross join — pigeonhole
+    * segment blocking turns candidate generation into an equi-join on
+    * (segment_idx, segment, length) and only candidates pay the
+    * verification (operators.FuzzyJoin scaladoc; FuzzyJoinSpec proves
+    * == the brute-force pairing). The oracle is the brute-force form —
+    * DuckDB's O(n²) hamming scan is affordable at oracle scale and
+    * deliberately DIFFERENT plan-wise: agreeing outputs from different
+    * plans is the point of the check. */
+  def q77FuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.hammingSelfJoin(
+        Tables(spark, dir).customer, "c_custkey", "c_name", maxDist = 1)
+      .orderBy("id_a", "id_b")
+
+  val q77Sql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(hamming(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |  AND length(a.c_name) = length(b.c_name)
+      |  AND hamming(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q19
   /** Scalar-subquery predicate: customers above the global mean balance.
     * The mean is one broadcast row — no per-row recomputation. */
@@ -727,6 +751,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_funnel"              -> (q74Funnel _),
     "q76_cube"                -> (q76Cube _),
+    "q77_fuzzy_join"          -> (q77FuzzyJoin _),
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
     "q02_agg_pricing"         -> (q02AggPricing _),
     "q03_join_broadcast"      -> (q03JoinBroadcast _),
@@ -778,6 +803,7 @@ object Relational {
     "q19_scalar_subquery"     -> q19Sql,
     "q74_funnel"              -> q74Sql,
     "q76_cube"                -> q76Sql,
+    "q77_fuzzy_join"          -> q77Sql,
     "q33_string_match"        -> q33Sql,
     "q34_date_parts"          -> q34Sql,
     "q35_set_ops"             -> q35Sql

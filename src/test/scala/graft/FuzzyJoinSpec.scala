@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.FuzzyJoin
+import org.apache.spark.sql.functions._
+
+/** Pigeonhole fuzzy join: the blocking scheme must be EXACT (no missed
+  * pairs vs brute force) and must never degenerate into a cross
+  * product — the two properties the DuckDB hash check alone cannot
+  * localize. */
+class FuzzyJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("segment blocking == brute-force hamming join, maxDist 1 and 2") {
+    val c = Tables(spark, sf).customer
+      .filter(col("c_custkey") < 300).select("c_custkey", "c_name")
+    for (k <- Seq(1, 2)) {
+      val blocked = FuzzyJoin.hammingSelfJoin(c, "c_custkey", "c_name", k)
+        .as[(Long, Long, Long)].collect().toSet
+      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("ka"))
+      val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("kb"))
+      val brute = a.crossJoin(b)
+        .filter(col("id_a") < col("id_b") &&
+          length(col("ka")) === length(col("kb")))
+        .withColumn("dist",
+          FuzzyJoin.hammingDist(col("ka"), col("kb")).cast("long"))
+        .filter(col("dist") <= k)
+        .select("id_a", "id_b", "dist")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(blocked == brute, s"maxDist=$k")
+      assert(blocked.nonEmpty)
+    }
+  }
+
+  test("mixed-length keys never pair; dist is exact") {
+    val df = Seq((1L, "abcd"), (2L, "abce"), (3L, "abcde"), (4L, "zbcd"))
+      .toDF("id", "k")
+    val got = FuzzyJoin.hammingSelfJoin(df, "id", "k", 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // 1-2 differ at pos 4; 1-4 differ at pos 1; 3 (length 5) pairs with
+    // nothing; 2-4 differ at two positions (out at maxDist 1)
+    assert(got == Set((1L, 2L, 1L), (1L, 4L, 1L)))
+  }
+
+  test("candidate generation is an equi-join, not a cross product") {
+    val plan = FuzzyJoin.hammingSelfJoin(
+      Tables(spark, sf).customer, "c_custkey", "c_name", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
