@@ -551,6 +551,57 @@ object Relational {
       |  AND hamming(a.c_name, b.c_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Connected components of the high-quantity co-purchase graph:
+    * parts are connected when they appear in the same order with
+    * l_quantity ≥ 48; each part gets its component id (= min part id
+    * in the component) plus the component size. The Spark side is
+    * iterative min-label propagation run to fixpoint
+    * (operators.Graph); the oracle computes the SAME fixpoint as a
+    * DuckDB recursive CTE — two entirely different evaluation
+    * strategies agreeing on the closure is the strongest cross-check
+    * in the catalog. Edge generation is a per-order self-join: at
+    * 100 TB the quantity filter prunes first, and pair fanout is
+    * bounded by per-order line counts (single digits), not corpus
+    * size. */
+  def q78ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables(spark, dir).lineitem
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = hi.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(hi.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        "l_orderkey")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+    val comp = graft.operators.Graph.connectedComponents(edges, "src", "dst")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("component_size"))
+    comp.join(sizes, "component")
+      .select(col("node").as("part_id"), col("component"),
+        col("component_size"))
+      .orderBy("part_id")
+  }
+
+  val q78Sql: String =
+    """WITH RECURSIVE hi AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 48),
+      |e0 AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM hi a JOIN hi b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |reach(node, root) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.node),
+      |comp AS (
+      |  SELECT node, min(root) AS component FROM reach GROUP BY 1),
+      |sizes AS (
+      |  SELECT component, CAST(count(*) AS BIGINT) AS component_size
+      |  FROM comp GROUP BY 1)
+      |SELECT node AS part_id, component, component_size
+      |FROM comp JOIN sizes USING (component)
+      |ORDER BY part_id""".stripMargin
+
   // ---------------------------------------------------------------- q19
   /** Scalar-subquery predicate: customers above the global mean balance.
     * The mean is one broadcast row — no per-row recomputation. */
@@ -752,6 +803,7 @@ object Relational {
     "q74_funnel"              -> (q74Funnel _),
     "q76_cube"                -> (q76Cube _),
     "q77_fuzzy_join"          -> (q77FuzzyJoin _),
+    "q78_connected_components" -> (q78ConnectedComponents _),
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
     "q02_agg_pricing"         -> (q02AggPricing _),
     "q03_join_broadcast"      -> (q03JoinBroadcast _),
@@ -804,6 +856,7 @@ object Relational {
     "q74_funnel"              -> q74Sql,
     "q76_cube"                -> q76Sql,
     "q77_fuzzy_join"          -> q77Sql,
+    "q78_connected_components" -> q78Sql,
     "q33_string_match"        -> q33Sql,
     "q34_date_parts"          -> q34Sql,
     "q35_set_ops"             -> q35Sql

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Connected components: structural laws on known graphs (exact
+  * component structure, convergence on paths longer than one round's
+  * reach, edge-direction invariance) — properties the q78 hash check
+  * can't localize to the operator. */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("known graph: two chains and a triangle resolve exactly") {
+    // components: {1,2,3,4} (path), {10,11,12} (triangle), {20,21} (edge)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L)).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges past single-round reach (30 nodes, diameter 29)") {
+    val edges = (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(got.length == 30 && got.forall(_._2 == 0L))
+  }
+
+  test("component labels are edge-direction and edge-order invariant") {
+    val edges = Seq((5L, 3L), (3L, 9L), (7L, 8L)).toDF("src", "dst")
+    val flipped = edges.select(col("dst").as("src"), col("src").as("dst"))
+      .orderBy(rand(42))
+    val a = Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.connectedComponents(flipped, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a == Map(5L -> 3L, 3L -> 3L, 9L -> 3L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("unconverged exit fails loudly instead of returning wrong labels") {
+    val edges = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(edges, "src", "dst", maxIterations = 2)
+        .collect()
+    }
+  }
+}
