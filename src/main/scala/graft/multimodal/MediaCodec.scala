@@ -242,6 +242,90 @@ object MediaCodec {
   def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
     if (isJpeg(bytes)) decodeJpeg(bytes) else decodeBmp(bytes)
 
+  // ------------------------------------------------------------- MP3
+
+  /** MPEG-1 Layer III framing constants (ISO/IEC 11172-3 header
+    * layout, public). The synthesis profile is CBR 128 kbps @ 44100 Hz
+    * mono, no CRC, no padding: frame length = 144·128000/44100 = 417
+    * bytes (4-byte header + 413 carried bytes). The PROBE side parses
+    * the real header tables, not just this profile. */
+  val Mp3FrameSize = 417
+  val Mp3PayloadSize: Int = Mp3FrameSize - 4
+  val Mp3SamplesPerFrame = 1152
+  val Mp3SampleRate = 44100
+  /** MPEG-1 Layer III bitrate table, kbps (index 0 = free, 15 = bad). */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+
+  /** Encode `data` as a valid MPEG-1 Layer III frame stream (the bytes
+    * ride in the frame payloads; this is a framing fixture, not an
+    * audio encoder — any MP3 tool walks these frames and reports
+    * 128 kbps / 44.1 kHz / mono / 26.12 ms per frame). Empty input
+    * still emits one frame, like the WAV/BMP synthesizers. */
+  def encodeMp3(data: Array[Byte]): Array[Byte] = {
+    val nFrames = math.max(1, (data.length + Mp3PayloadSize - 1) / Mp3PayloadSize)
+    val out = new Array[Byte](nFrames * Mp3FrameSize)
+    var f = 0
+    while (f < nFrames) {
+      val base = f * Mp3FrameSize
+      out(base) = 0xFF.toByte     // sync 0xFFE...
+      out(base + 1) = 0xFB.toByte // MPEG-1, Layer III, no CRC
+      out(base + 2) = 0x90.toByte // bitrate idx 9 (128k), 44100, no pad
+      out(base + 3) = 0xC0.toByte // mono
+      var i = 0
+      while (i < Mp3PayloadSize) {
+        val src = f * Mp3PayloadSize + i
+        out(base + 4 + i) = if (src < data.length) data(src) else 0
+        i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** MP3 magic: frame sync (11 set bits) at offset 0. */
+  def isMp3(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0
+
+  /** Header-walk metadata probe: parse every frame header (sync,
+    * version, layer, bitrate/samplerate table lookups, padding bit),
+    * hop frame to frame, and return (n_frames, total_samples,
+    * duration_ms) with duration = samples·1000 DIV samplerate in exact
+    * integer math. Fails loudly on lost sync, non-MPEG-1-Layer-III
+    * frames, reserved table indices, a mid-stream samplerate change,
+    * truncation, or trailing garbage — a malformed stream must never
+    * yield silently-wrong metadata. */
+  def probeMp3(bytes: Array[Byte]): (Int, Long, Long) = {
+    var pos = 0
+    var frames = 0
+    var sampleRate = -1
+    while (pos + 4 <= bytes.length) {
+      require((bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xe0) == 0xe0,
+        s"probeMp3: lost frame sync at byte $pos")
+      require((bytes(pos + 1) & 0x18) == 0x18, "probeMp3: not MPEG-1")
+      require((bytes(pos + 1) & 0x06) == 0x02, "probeMp3: not Layer III")
+      val brIdx = (bytes(pos + 2) & 0xf0) >> 4
+      val srIdx = (bytes(pos + 2) & 0x0c) >> 2
+      require(brIdx >= 1 && brIdx <= 14, s"probeMp3: reserved bitrate index $brIdx")
+      require(srIdx <= 2, s"probeMp3: reserved samplerate index $srIdx")
+      val sr = Mp3SampleRates(srIdx)
+      require(sampleRate == -1 || sr == sampleRate,
+        "probeMp3: mid-stream samplerate change")
+      sampleRate = sr
+      val pad = (bytes(pos + 2) & 0x02) >> 1
+      val frameLen = 144 * Mp3Bitrates(brIdx) * 1000 / sr + pad
+      require(pos + frameLen <= bytes.length,
+        s"probeMp3: truncated frame at byte $pos")
+      pos += frameLen
+      frames += 1
+    }
+    require(pos == bytes.length && frames > 0,
+      "probeMp3: trailing bytes after last frame (or empty stream)")
+    val samples = frames.toLong * Mp3SamplesPerFrame
+    (frames, samples, samples * 1000L / sampleRate)
+  }
+
   // ----------------------------------------------------------- video
 
   private val VideoMagic = "GFV1".getBytes("US-ASCII")

@@ -129,6 +129,36 @@ object Multimodal {
         lit(null).cast(LongType).as("duration_ms")).as("meta"))
   }
 
+  private val mp3Udf = udf { (text: String) =>
+    MediaCodec.encodeMp3(
+      if (text == null) Array.emptyByteArray else text.getBytes("UTF-8"))
+  }
+
+  case class Mp3Meta(n_frames: Int, total_samples: Long, duration_ms: Long)
+
+  private val mp3ProbeUdf = udf { (payload: Array[Byte]) =>
+    val (f, s, d) = MediaCodec.probeMp3(payload)
+    Mp3Meta(f, s, d)
+  }
+
+  /** Build an MP3 media table from the documents table: text bytes ride
+    * in real MPEG-1 Layer III frames (MediaCodec.encodeMp3). Framing is
+    * closed-form in the text's byte length, so q79 oracle-checks the
+    * full probe arithmetic — frames, samples, duration — unlike the
+    * lossy JPEG path. */
+  def mp3FromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("lang"),
+      lit("audio").as("modality"),
+      mp3Udf(col("text")).as("content"))
+
+  /** Header-walk every stream (MediaCodec.probeMp3 under one narrow
+    * UDF pass — the binary column never shuffles): appends an `mp3`
+    * struct column (n_frames, total_samples, duration_ms). */
+  def probeMp3Streams(media: DataFrame): DataFrame =
+    media.withColumn("mp3", mp3ProbeUdf(col("content")))
+
   /** Decode a payload with the REAL codec for its sniffed container and
     * histogram its decoded content into 16 bins:
     *  - image: pixel channel bytes, bin = v >> 4

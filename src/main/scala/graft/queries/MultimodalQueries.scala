@@ -177,15 +177,58 @@ object MultimodalQueries {
       |    AS n_px_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** REAL MP3 header-walk metadata probe, rolled up per language:
+    * synthesize an MPEG-1 Layer III stream per document (text bytes in
+    * real frames — MediaCodec.encodeMp3), parse every frame header
+    * back (sync, version/layer bits, bitrate/samplerate table lookups,
+    * padding hop — MediaCodec.probeMp3), and aggregate streams,
+    * frames, bytes, samples, and integer-exact duration. Framing is
+    * closed-form in the text byte length, so unlike the lossy JPEG
+    * path the WHOLE probe arithmetic is oracle-checked: a parser that
+    * hops one byte short, misreads a table index, or drops the last
+    * frame hash-fails. Malformed-stream behavior (lost sync, reserved
+    * indices, truncation → loud failure) is pinned in MultimodalSpec. */
+  def q79Mp3Probe(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.probeMp3Streams(
+        Multimodal.mp3FromDocuments(Tables(spark, dir).documents))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_streams"),
+        sum(col("mp3.n_frames").cast("long")).as("total_frames"),
+        sum(length(col("content"))).cast("long").as("total_bytes"),
+        sum(col("mp3.total_samples")).as("total_samples"),
+        sum(col("mp3.duration_ms")).as("total_duration_ms"))
+      .orderBy("lang")
+
+  // per doc (n = utf-8 byte length): frames = max(ceil(n/413), 1),
+  // bytes = 417·frames, samples = 1152·frames,
+  // duration_ms = samples·1000 DIV 44100 — the identical integer ops
+  // probeMp3 performs after its header walk
+  val q79Sql: String =
+    """SELECT lang, count(*) AS n_streams,
+      |  CAST(sum(frames) AS BIGINT) AS total_frames,
+      |  CAST(sum(417 * frames) AS BIGINT) AS total_bytes,
+      |  CAST(sum(1152 * frames) AS BIGINT) AS total_samples,
+      |  CAST(sum((1152 * frames * 1000) // 44100) AS BIGINT)
+      |    AS total_duration_ms
+      |FROM (
+      |  SELECT lang,
+      |    greatest((octet_length(encode(text)) + 412) // 413, 1) AS frames
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_bytes"    -> (q60MediaBytes _),
     "q61_media_features" -> (q61MediaFeatures _),
-    "q68_jpeg_decode"    -> (q68JpegDecode _)
+    "q68_jpeg_decode"    -> (q68JpegDecode _),
+    "q79_mp3_probe"      -> (q79Mp3Probe _)
   )
 
   val oracles: Map[String, String] = Map(
     "q60_media_bytes" -> q60Sql,
     "q61_media_features" -> q61Sql,
-    "q68_jpeg_decode" -> q68Sql
+    "q68_jpeg_decode" -> q68Sql,
+    "q79_mp3_probe" -> q79Sql
   )
 }

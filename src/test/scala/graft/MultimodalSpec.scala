@@ -195,6 +195,43 @@ class MultimodalSpec extends SparkSpec {
     assert(same.toSeq == wav.toSeq)
   }
 
+  test("mp3: frames carry the bytes, probe matches closed form, malformed fails loudly") {
+    import graft.multimodal.MediaCodec
+    // closed-form frame count, including the empty-input single frame
+    for (n <- Seq(0, 1, 412, 413, 414, 1000)) {
+      val data = Array.tabulate(n)(i => (i % 251).toByte)
+      val enc = MediaCodec.encodeMp3(data)
+      val expFrames = math.max(1, (n + 412) / 413)
+      assert(enc.length == expFrames * MediaCodec.Mp3FrameSize)
+      assert(MediaCodec.isMp3(enc))
+      val (frames, samples, durMs) = MediaCodec.probeMp3(enc)
+      assert(frames == expFrames)
+      assert(samples == expFrames.toLong * 1152)
+      assert(durMs == samples * 1000L / 44100)
+      // payload bytes survive framing verbatim
+      val payload = (0 until frames).flatMap(f =>
+        enc.slice(f * 417 + 4, (f + 1) * 417).toSeq).take(n)
+      assert(payload == data.toSeq)
+    }
+    // corruption modes all fail loudly, never silently-wrong metadata
+    val good = MediaCodec.encodeMp3(Array.tabulate(900)(_.toByte))
+    def corrupt(mut: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); mut(c); c
+    }
+    intercept[IllegalArgumentException] { // lost sync mid-stream
+      MediaCodec.probeMp3(corrupt(_(417) = 0x00))
+    }
+    intercept[IllegalArgumentException] { // reserved bitrate index 15
+      MediaCodec.probeMp3(corrupt(_(2) = 0xF0.toByte))
+    }
+    intercept[IllegalArgumentException] { // truncated final frame
+      MediaCodec.probeMp3(good.dropRight(1))
+    }
+    intercept[IllegalArgumentException] { // MPEG-2 version bits
+      MediaCodec.probeMp3(corrupt(_(1) = 0xF3.toByte))
+    }
+  }
+
   test("sampleFrames: evenly spaced, every frame decodes as BMP") {
     val frames = (0 until 4).map(i =>
       MediaCodec.encodeBmp(1, 1, Array[Byte](i.toByte, i.toByte, i.toByte)))
