@@ -71,4 +71,39 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("dist"))
   }
+
+  /** All pairs (id_a < id_b) with Levenshtein(key_a, key_b) ≤ 1, found
+    * without a cross join via the deletion neighborhood (FastSS —
+    * Bocek, Hunt & Stiller 2007, "Fast Similarity Search in Large
+    * Dictionaries", public): index every key under itself plus each of
+    * its single-character-deletion variants. If ed(A,B) ≤ 1 the edit
+    * script is one substitution (both sides share the variant deleting
+    * that position), one insertion/deletion (the longer side's deletion
+    * IS the shorter side, whose identity variant collides), or empty
+    * (identity variants collide) — so pairs sharing ≥ 1 variant key are
+    * a candidate superset and only they pay the exact Levenshtein
+    * verification (which also absorbs any md5 collision). Variant keys
+    * are md5'd so the shuffle carries fixed-width digests, not O(len)
+    * substrings. At 100 TB the index frame is (len+1)× the input rows —
+    * the equi-join shape that survives, vs the all-pairs form that
+    * doesn't. Unlike `hammingSelfJoin`, differing-length pairs DO match
+    * here (insertion/deletion is a unit edit). */
+  def editSelfJoin(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    def variants(side: String): DataFrame =
+      df.select(col(idCol).as(s"${side}_id"), col(keyCol).as(s"${side}_key"))
+        .select(col(s"${side}_id"), col(s"${side}_key"),
+          explode(expr(
+            s"""transform(sequence(0, length(${side}_key)),
+               |  p -> md5(if(p = 0, ${side}_key,
+               |    concat(substring(${side}_key, 1, p - 1),
+               |           substring(${side}_key, p + 1)))))""".stripMargin))
+            .as("vk"))
+    variants("a").join(variants("b"), "vk")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_key"), col("b_key"))
+      .distinct() // a pair sharing several variant keys appears once
+      .withColumn("dist", levenshtein(col("a_key"), col("b_key")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("dist"))
+  }
 }

@@ -799,11 +799,184 @@ object Relational {
       |ORDER BY user_id""".stripMargin
 
   /** name → query */
+  // ---------------------------------------------------------------- q80
+  /** Time-series resample + gap-fill: per-user DAILY activity grid from
+    * first to last active day, zero-filling silent days and carrying
+    * the last active day forward (LOCF) to expose idle streaks. The
+    * grid comes from `sequence` + `explode` — per-key generation, no
+    * driver loop — and the forward fill is a running `max` over days
+    * with activity, which needs only the per-user window shuffle the
+    * sessionize family already pays. At 100 TB the explode fanout is
+    * bounded by per-key day spans (not corpus size), and every stage is
+    * keyed on user_id so one exchange serves grid join and fill alike.
+    * The user sample (% 17) bounds oracle output; time math on raw
+    * ns longs (q55's rule). */
+  def q80Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .filter(col("user_id") % 17 === 0)
+      .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+    val daily = e.groupBy("user_id", "day").agg(count(lit(1)).as("n_events"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("last_active_day",
+        max(when(col("n_events") > 0, col("day"))).over(w))
+      .withColumn("days_idle", col("day") - col("last_active_day"))
+      .select("user_id", "day", "n_events", "last_active_day", "days_idle")
+      .orderBy("user_id", "day")
+  }
+
+  val q80Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events WHERE user_id % 17 = 0),
+      |daily AS (
+      |  SELECT user_id, day, count(*) AS n_events FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+      |  FROM daily GROUP BY user_id),
+      |f AS (
+      |  SELECT g.user_id, g.day,
+      |    CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+      |  FROM grid g LEFT JOIN daily d
+      |    ON g.user_id = d.user_id AND g.day = d.day)
+      |SELECT user_id, day, n_events, last_active_day,
+      |  day - last_active_day AS days_idle
+      |FROM (
+      |  SELECT user_id, day, n_events,
+      |    max(CASE WHEN n_events > 0 THEN day END) OVER
+      |      (PARTITION BY user_id ORDER BY day
+      |       ROWS UNBOUNDED PRECEDING) AS last_active_day
+      |  FROM f)
+      |ORDER BY user_id, day""".stripMargin
+
+  // ---------------------------------------------------------------- q81
+  /** Edit-distance (Levenshtein ≤ 1) entity-resolution self-join via
+    * the FastSS deletion neighborhood (operators.FuzzyJoin.editSelfJoin
+    * scaladoc) — q77's Hamming variant extended to insertions and
+    * deletions, still with NO cross join. The oracle is deliberately
+    * the brute-force levenshtein scan (DuckDB ships the same unit-cost
+    * edit distance): two different plans agreeing is the check. The
+    * customer sample (% 3) bounds the oracle's quadratic side. */
+  def q81EditDistJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.editSelfJoin(
+        Tables(spark, dir).customer.filter(col("c_custkey") % 3 === 0),
+        "c_custkey", "c_name")
+      .orderBy("id_a", "id_b")
+
+  val q81Sql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |  AND levenshtein(a.c_name, b.c_name) <= 1
+      |WHERE a.c_custkey % 3 = 0 AND b.c_custkey % 3 = 0
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q83
+  /** Robust per-group outlier flagging by rank-based percentile bounds:
+    * customers outside their market segment's [p05, p95] balance band.
+    * "Value at rank ceil(q·n)" is pure integer logic — row_number plus
+    * a conditional min — so the bounds are deterministic and
+    * cross-engine exact where interpolated quantiles are not (Spark and
+    * DuckDB round interpolation differently; ranks they agree on).
+    * One window shuffle on the group key computes n and rank; the
+    * 5-row bounds frame broadcasts back. At 100 TB swap the exact rank
+    * for the histogram-quantile sketch (q66) — same query shape, the
+    * bounds frame just comes from the sketch. */
+  def q83RankOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    val ranked = Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+    val bounds = ranked
+      .groupBy("c_mktsegment")
+      .agg(
+        min(when(col("rn") === expr("(n * 5 + 99) DIV 100"), col("c_acctbal")))
+          .as("lo_val"),
+        min(when(col("rn") === expr("(n * 95 + 99) DIV 100"), col("c_acctbal")))
+          .as("hi_val"))
+    ranked.join(broadcast(bounds), "c_mktsegment")
+      .filter(col("c_acctbal") < col("lo_val") || col("c_acctbal") > col("hi_val"))
+      .select("c_custkey", "c_mktsegment", "c_acctbal", "lo_val", "hi_val")
+      .orderBy("c_custkey")
+  }
+
+  val q83Sql: String =
+    """WITH r AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal, c_custkey) AS rn,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_mktsegment,
+      |    min(CASE WHEN rn = (n * 5 + 99) // 100 THEN c_acctbal END) AS lo_val,
+      |    min(CASE WHEN rn = (n * 95 + 99) // 100 THEN c_acctbal END) AS hi_val
+      |  FROM r GROUP BY 1)
+      |SELECT c_custkey, c_mktsegment, c_acctbal, lo_val, hi_val
+      |FROM r JOIN b USING (c_mktsegment)
+      |WHERE c_acctbal < lo_val OR c_acctbal > hi_val
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Z-order clustering census: Morton-interleave quantized
+    * (l_quantity, l_extendedprice) — power-of-two scaling, so
+    * quantization is exact floor arithmetic in both engines — and
+    * aggregate per coarse Z-cell (zkey DIV 16 = a 4×4 quantized
+    * rectangle). The min/max columns per cell ARE the row-group
+    * statistics a 100 TB parquet layout would carry after
+    * `ZOrder.clusterBy`: every cell is a tight rectangle in BOTH
+    * dimensions, which is what makes predicates on either column prune
+    * row groups. The Morton expression and its oracle SQL come from the
+    * same generator (operators.ZOrder), so the bit interleave is
+    * hash-checked literally. */
+  def q84ZOrderCluster(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables(spark, dir).lineitem.select(
+      least(floor(col("l_quantity")), lit(63.0)).cast("long").as("qx"),
+      least(floor(col("l_extendedprice") / 2048), lit(63.0)).cast("long").as("qy"),
+      col("l_quantity"), col("l_extendedprice"))
+    q.select(
+        graft.operators.ZOrder.mortonColumn(Seq(col("qx"), col("qy")), 6)
+          .as("zkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .groupBy(expr("zkey DIV 16").as("z_cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("z_cell")
+  }
+
+  val q84Sql: String = {
+    val morton = graft.operators.ZOrder.mortonSql(Seq("qx", "qy"), 6)
+    s"""WITH q AS (
+       |  SELECT CAST(least(floor(l_quantity), 63) AS BIGINT) AS qx,
+       |    CAST(least(floor(l_extendedprice / 2048), 63) AS BIGINT) AS qy,
+       |    l_quantity, l_extendedprice
+       |  FROM lineitem),
+       |z AS (SELECT $morton AS zkey, l_quantity, l_extendedprice FROM q)
+       |SELECT zkey // 16 AS z_cell, count(*) AS n_rows,
+       |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+       |FROM z GROUP BY 1 ORDER BY z_cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_funnel"              -> (q74Funnel _),
     "q76_cube"                -> (q76Cube _),
     "q77_fuzzy_join"          -> (q77FuzzyJoin _),
     "q78_connected_components" -> (q78ConnectedComponents _),
+    "q80_gapfill"             -> (q80Gapfill _),
+    "q81_editdist_join"       -> (q81EditDistJoin _),
+    "q83_rank_outliers"       -> (q83RankOutliers _),
+    "q84_zorder_cluster"      -> (q84ZOrderCluster _),
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
     "q02_agg_pricing"         -> (q02AggPricing _),
     "q03_join_broadcast"      -> (q03JoinBroadcast _),
@@ -857,6 +1030,10 @@ object Relational {
     "q76_cube"                -> q76Sql,
     "q77_fuzzy_join"          -> q77Sql,
     "q78_connected_components" -> q78Sql,
+    "q80_gapfill"             -> q80Sql,
+    "q81_editdist_join"       -> q81Sql,
+    "q83_rank_outliers"       -> q83Sql,
+    "q84_zorder_cluster"      -> q84Sql,
     "q33_string_match"        -> q33Sql,
     "q34_date_parts"          -> q34Sql,
     "q35_set_ops"             -> q35Sql

@@ -871,6 +871,46 @@ object TextQueries {
        |    / n_tokens, 6) + 0.0 AS nll
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Set-similarity self-join: ALL document pairs with token-set
+    * Jaccard ≥ 0.8 — the completion of the near-dup family: q28 scores
+    * a fixed pairing, q29/q40 find pairs probabilistically (MinHash
+    * banding can miss), this finds every qualifying pair EXACTLY with
+    * no cross join, via frequency-ordered prefix filtering
+    * (operators.SetSimJoin scaladoc; PPJoin family, public
+    * literature). The oracle generates candidates from ANY shared
+    * token — sound because Jaccard ≥ 0.8 > 0 implies a shared token,
+    * and affordable at oracle scale where it is quadratic-ish; the
+    * Spark side's prefix filter is the form that survives 100 TB. The
+    * doc sample (% 5) bounds the oracle's candidate fanout. */
+  def q82SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        array_distinct(whitespaceTokens(col("text"))).as("toks"))
+    graft.operators.SetSimJoin.jaccardSelfJoin(d, "doc_id", "toks", 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q82Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |e AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |v AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS inter,
+      |    CAST(len(list_distinct(list_concat(da.toks, db.toks))) AS BIGINT) AS uni
+      |  FROM cand
+      |  JOIN d da ON da.doc_id = cand.id_a
+      |  JOIN d db ON db.doc_id = cand.id_b)
+      |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+      |FROM v WHERE inter * 1000000 >= uni * 800000
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_bigram_lm"       -> (q75BigramLm _),
     "q20_token_stats"     -> (q20TokenStats _),
@@ -893,7 +933,8 @@ object TextQueries {
     "q49_lm_logprob"      -> (q49LmLogprob _),
     "q54_seq_pack"        -> (q54SequencePack _),
     "q69_weighted_sample" -> (q69WeightedSample _),
-    "q70_bm25_topk"       -> (q70Bm25TopK _)
+    "q70_bm25_topk"       -> (q70Bm25TopK _),
+    "q82_setsim_join"     -> (q82SetSimJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -918,6 +959,7 @@ object TextQueries {
     "q54_seq_pack"        -> q54Sql,
     "q69_weighted_sample" -> q69Sql,
     "q75_bigram_lm"       -> q75Sql,
+    "q82_setsim_join"     -> q82Sql,
     "q70_bm25_topk"       -> q70Sql
   )
 }

@@ -49,4 +49,56 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+
+  test("deletion neighborhood == brute-force levenshtein join") {
+    // substitutions, insertions, deletions, exact dups, and non-matches
+    val df = Seq(
+      (1L, "spark"), (2L, "spork"),   // substitution
+      (3L, "sparks"),                 // insertion vs 1
+      (4L, "park"),                   // deletion vs 1 (prefix cut)
+      (5L, "spark"),                  // exact duplicate of 1
+      (6L, "flink"), (7L, "blink"),   // substitution pair, far from spark
+      (8L, "totally-unrelated"),
+      (9L, "s"), (10L, "")            // boundary lengths
+    ).toDF("id", "k")
+    val got = FuzzyJoin.editSelfJoin(df, "id", "k")
+      .as[(Long, Long, Long)].collect().toSet
+    val a = df.select(col("id").as("id_a"), col("k").as("ka"))
+    val b = df.select(col("id").as("id_b"), col("k").as("kb"))
+    val brute = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("ka"), col("kb")) <= 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ka"), col("kb")).cast("long").as("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    // the cases the neighborhood must cover, spelled out
+    assert(got.contains((1L, 2L, 1L))) // substitution
+    assert(got.contains((1L, 3L, 1L))) // insertion
+    assert(got.contains((1L, 4L, 1L))) // deletion
+    assert(got.contains((1L, 5L, 0L))) // identity
+    assert(got.contains((9L, 10L, 1L))) // single char vs empty
+    assert(!got.exists(p => p._1 == 8L || p._2 == 8L))
+  }
+
+  test("editSelfJoin on customer names == brute force; no cross product") {
+    val c = Tables(spark, sf).customer
+      .filter(col("c_custkey") < 300).select("c_custkey", "c_name")
+    val got = FuzzyJoin.editSelfJoin(c, "c_custkey", "c_name")
+      .as[(Long, Long, Long)].collect().toSet
+    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("ka"))
+    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("kb"))
+    val brute = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("ka"), col("kb")) <= 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ka"), col("kb")).cast("long").as("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+    val plan = FuzzyJoin.editSelfJoin(c, "c_custkey", "c_name")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.SetSimJoin
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered set-similarity join: the filter must be EXACT (no
+  * missed pairs vs brute force, at several thresholds) and candidate
+  * generation must stay an equi-join — the two properties the DuckDB
+  * hash check cannot localize. */
+class SetSimJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val corpus = {
+    // clusters of near-identical token sets + singletons + an empty doc
+    val rows = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over a lazy dog",
+      3L -> "the quick brown fox leaps over the lazy dog today",
+      4L -> "entirely different words about spark catalyst plans",
+      5L -> "words about spark catalyst plans entirely different",
+      6L -> "one token",
+      7L -> "one token extra",
+      8L -> "",
+      9L -> "the the the quick quick dog" // duplicates collapse upstream
+    )
+    rows.toDF("id", "text")
+      .select(col("id"), array_distinct(split(col("text"), " ")).as("toks"))
+  }
+
+  private def brute(threshold: Double): Set[(Long, Long)] = {
+    val a = corpus.select(col("id").as("id_a"), col("toks").as("ta"))
+    val b = corpus.select(col("id").as("id_b"), col("toks").as("tb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("long"))
+      .filter(col("uni") > 0 &&
+        col("inter") * 1000000L >= col("uni") * math.round(threshold * 1000000L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+  }
+
+  test("prefix filtering == brute force at t = 0.3, 0.5, 0.8") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = SetSimJoin.jaccardSelfJoin(corpus, "id", "toks", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute(t), s"threshold=$t")
+    }
+    assert(brute(0.5).nonEmpty) // the test must actually exercise pairs
+  }
+
+  test("jaccard values are exact |intersect| / |union|") {
+    val got = SetSimJoin.jaccardSelfJoin(corpus, "id", "toks", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // docs 4 and 5 are permutations: identical sets, jaccard exactly 1.0
+    assert(got((4L, 5L)) == 1.0)
+    // doc2 = doc1's 8-token set plus "a": intersect 8, union 9
+    assert(got((1L, 2L)) == 8.0 / 9.0)
+  }
+
+  test("candidate generation is an equi-join, not a cross product") {
+    val plan = SetSimJoin.jaccardSelfJoin(corpus, "id", "toks", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
