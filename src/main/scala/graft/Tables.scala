@@ -20,18 +20,32 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = t("part")
   def orders: DataFrame    = t("orders")
   def lineitem: DataFrame  = t("lineitem")
-  /** The events table carries a TIMESTAMP(NANOS) parquet column, which
-    * Spark's schema converter rejects outright. We read it as a raw
-    * nanosecond long (`nanosAsLong`) and expose both:
-    *   - `ts_ns`: epoch nanoseconds (exact — matches DuckDB `epoch_ns`)
-    *   - `ts`:    microsecond-truncated TimestampType for humans
+  /** The events table's `ts` column has shipped in two physical shapes
+    * across testdata generations: TIMESTAMP(NANOS) (which Spark's schema
+    * converter rejects, so we read it as a raw nanosecond long via
+    * `nanosAsLong`) and plain TIMESTAMP(MICROS). Either way we expose:
+    *   - `ts_ns`: epoch nanoseconds (exact — matches DuckDB `epoch_ns`,
+    *     which yields micros*1000 on a microsecond timestamp)
+    *   - `ts`:    microsecond TimestampType for humans
     * All oracle-checked time arithmetic uses `ts_ns`.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ =>
+        // TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ; every graft session
+        // pins spark.sql.session.timeZone=UTC (build.sbt forces the JVM tz
+        // too), so the cast to TIMESTAMP is value-exact and `ts_ns` equals
+        // DuckDB's naive `epoch_ns(ts)` bit-for-bit.
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
