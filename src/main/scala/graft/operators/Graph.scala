@@ -65,4 +65,91 @@ object Graph {
         "(graph diameter exceeds maxIterations)")
     labels
   }
+
+  /** Fixed-iteration PageRank in scaled-INTEGER arithmetic (Page et al.
+    * 1999, the public PageRank paper — damping 0.85, uniform teleport).
+    *
+    * Ranks are longs in millionths: rank0 = 1_000_000 per node; each
+    * round every node sends `rank DIV degree` to each neighbor and
+    * resets to `150_000 + (85 × Σ incoming) DIV 100`. Integer division
+    * sheds sub-millionth mass — a DECLARED semantic, not an
+    * approximation bug: it makes every round exact and order-independent
+    * (long sums commute), so a DuckDB oracle reproduces the result
+    * bit-for-bit where a float PageRank would drift by fold order.
+    * Ranking quality is unaffected at this scale (ulp-level mass loss).
+    *
+    * Each round is one join (edges ⋈ ranks, co-partitioned on src) and
+    * one map-side-combined sum — the Pregel shape; K rounds = K shuffles
+    * on the same key. Long overflow bound: 85 × Σ ranks ≤ 85 × n × 10⁶
+    * stays inside 2⁶³ up to n ≈ 10¹¹ nodes. Callers pass SYMMETRIC or
+    * already-directed edges; every node that appears as a src has
+    * degree ≥ 1 (dangling mass simply evaporates, mirrored exactly in
+    * the oracle). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node")).distinct()
+    var ranks = nodes.withColumn("pr", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = ranks
+        .join(deg.withColumnRenamed("src", "node"), "node")
+        .withColumn("c", expr("pr DIV deg"))
+        .join(e.withColumnRenamed("src", "node"), "node")
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("in_mass"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("85 * coalesce(in_mass, 0L) DIV 100")).as("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Triangle counting by degree orientation (the compact-forward /
+    * Chiba–Nishizeki kernel, public literature): orient each undirected
+    * edge from its lower-(degree, id) endpoint to the higher one, then a
+    * triangle (a≺b≺c) is exactly one pair of oriented wedges a→b, a→c
+    * with the closing oriented edge b→c. Each triangle is counted ONCE,
+    * and the wedge fanout per node is bounded by its ORIENTED out-degree
+    * ≤ O(√m) on any graph — the hub-explosion guard that plain id
+    * orientation lacks. Three hash joins, all on node keys; at 100 TB
+    * the wedge join is the big shuffle and its skew is capped by the
+    * orientation.
+    *
+    * Input: symmetric or one-per-pair edge list; self-loops dropped.
+    * Output: one row per node appearing in ≥1 triangle, with its
+    * triangle count. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // total order ≺ = (deg, id); orient src→dst iff src ≺ dst
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "sdeg"), "src")
+      .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+    val oriented = withDeg.filter(
+        col("sdeg") < col("ddeg") ||
+          (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+      .select("src", "dst")
+      .localCheckpoint()  // reused three times below; cut the join lineage
+    // A triangle {a,b,c} has a unique ≺-minimum vertex `a` carrying both
+    // oriented wedge edges a→b and a→c, and exactly ONE of b→c / c→b is
+    // oriented — so probing wedges against the oriented edge list counts
+    // each triangle exactly once, with no ordering filter needed.
+    val tri = oriented.as("w1")
+      .join(oriented.as("w2"), col("w1.src") === col("w2.src"))
+      .filter(col("w1.dst") =!= col("w2.dst"))
+      .join(oriented.as("cl"),
+        col("w1.dst") === col("cl.src") && col("w2.dst") === col("cl.dst"))
+      .select(col("w1.src").as("a"), col("w1.dst").as("b"), col("w2.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("triangles"))
+  }
 }

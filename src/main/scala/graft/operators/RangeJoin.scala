@@ -67,6 +67,52 @@ object RangeJoin {
       .drop(BinCol)
   }
 
+  /** Interval × interval overlap join: match `[lStart, lEnd)` to
+    * `[rStart, rEnd)` when they overlap (`lStart < rEnd && rStart < lEnd`).
+    *
+    * Same bin-equi-join rescue as `pointInInterval` — a bare overlap
+    * predicate plans as BroadcastNestedLoopJoin. Both sides explode into
+    * their covered bins and hash-join on the bin key. An overlapping pair
+    * shares every bin of the overlap region, so a naive bin join emits
+    * duplicates; instead each pair is CLAIMED by exactly one bin — the one
+    * containing `max(lStart, rStart)`. That point lies inside both
+    * intervals whenever they overlap, so both sides' bin lists contain its
+    * bin, and no other bin passes the claim predicate. One shuffle, no
+    * post-dedup — the argument mirrors the LSH band join in Dedup.
+    *
+    * Cost model: each side inflates by `ceil(len/bin)+1`; bounded by the
+    * same `maxBinsPerInterval` guard as pointInInterval. Pick binWidth ≈
+    * the typical interval length. Skewed bins (flash-crowd windows) are an
+    * AQE skew-join case like any hot key. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: Column, lEnd: Column,
+                      rStart: Column, rEnd: Column,
+                      binWidth: Long,
+                      maxBinsPerInterval: Int = 64): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(!left.columns.contains(BinCol) && !right.columns.contains(BinCol),
+      s"intervalOverlap: '$BinCol' is reserved for the operator's bin key")
+    def explodeBins(df: DataFrame, start: Column, end: Column): DataFrame = {
+      val firstBin = floorDiv(start, binWidth)
+      val lastBin = floorDiv(end - 1, binWidth)
+      val guarded = when(lastBin - firstBin >= maxBinsPerInterval,
+        raise_error(lit(s"intervalOverlap: interval spans > $maxBinsPerInterval bins; " +
+          "raise binWidth or split the interval")))
+        .when(lastBin < firstBin,
+          raise_error(lit("intervalOverlap: empty or inverted interval (end <= start); " +
+            "end is exclusive — filter such rows before joining")))
+        .otherwise(lastBin)
+      df.withColumn(BinCol, explode(sequence(firstBin, guarded)))
+    }
+    val l = explodeBins(left, lStart, lEnd)
+    val r = explodeBins(right, rStart, rEnd)
+    l.join(r,
+      l(BinCol) === r(BinCol) &&
+        lStart < rEnd && rStart < lEnd &&
+        l(BinCol) === floorDiv(greatest(lStart, rStart), binWidth))
+      .drop(BinCol)
+  }
+
   /** Long floor-division as a Column. Must stay in INTEGRAL division:
     * epoch-ns values (~1.7e18) exceed 2^53, where a double `/` loses
     * ulps. `div` truncates toward zero; axis values here are epoch

@@ -602,6 +602,144 @@ object Relational {
       |FROM comp JOIN sizes USING (component)
       |ORDER BY part_id""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Interval × interval overlap join: 10-minute error windows against
+    * 5-minute purchase windows that overlap them. No equality key exists,
+    * so the naive plan is a BroadcastNestedLoopJoin over every
+    * (error, purchase) pair; `RangeJoin.intervalOverlap` restores a hash
+    * join on a time bin, with each overlapping pair claimed by exactly
+    * one bin (the one containing the later start) — one shuffle, no
+    * dedup. The oracle states the plain overlap-predicate semantics. */
+  def q85IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val errNs = 600000000000L  // 10 min
+    val purNs = 300000000000L  //  5 min
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        col("ts_ns").as("e_start"), (col("ts_ns") + errNs).as("e_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"),
+        col("ts_ns").as("p_start"), (col("ts_ns") + purNs).as("p_end"))
+    graft.operators.RangeJoin.intervalOverlap(
+        errors, purchases,
+        col("e_start"), col("e_end"), col("p_start"), col("p_end"),
+        binWidth = errNs)
+      .select(col("error_id"), col("p_id"),
+        (least(col("e_end"), col("p_end")) -
+          greatest(col("e_start"), col("p_start"))).as("overlap_ns"))
+      .orderBy("error_id", "p_id")
+  }
+
+  val q85Sql: String =
+    """WITH e AS (
+      |  SELECT event_id AS error_id, epoch_ns(ts) AS e_start,
+      |    epoch_ns(ts) + 600000000000 AS e_end
+      |  FROM events WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT event_id AS p_id, epoch_ns(ts) AS p_start,
+      |    epoch_ns(ts) + 300000000000 AS p_end
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT error_id, p_id,
+      |  least(e_end, p_end) - greatest(e_start, p_start) AS overlap_ns
+      |FROM e JOIN p ON e_start < p_end AND p_start < e_end
+      |ORDER BY error_id, p_id""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** PageRank over the co-purchase graph (same edges as q78) in scaled-
+    * integer arithmetic: 5 fixed rounds, damping 0.85, ranks in
+    * millionths (operators.Graph.pageRank — the integer semantics are
+    * what make an iterative float algorithm hash-checkable across
+    * engines). The oracle unrolls the same five rounds as chained CTEs:
+    * two entirely different evaluation strategies computing the same
+    * fixpoint prefix. */
+  def q86PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables(spark, dir).lineitem
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = hi.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(hi.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        "l_orderkey")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    graft.operators.Graph.pageRank(sym, "src", "dst", iterations = 5)
+      .select(col("node").as("part_id"), col("pr"))
+      .orderBy("part_id")
+  }
+
+  val q86Sql: String = {
+    val k = 5
+    val rounds = (1 to k).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node, 150000 + (85 * COALESCE(s.c, 0)) // 100 AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.pr // d.deg) AS c
+         |    FROM r${i - 1} p
+         |    JOIN deg d ON d.node = p.node
+         |    JOIN e ON e.src = p.node
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH hi AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 48),
+       |e0 AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM hi a JOIN hi b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |r0 AS (SELECT node, 1000000 AS pr FROM nodes),
+       |$rounds
+       |SELECT node AS part_id, CAST(pr AS BIGINT) AS pr
+       |FROM r$k ORDER BY part_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q87
+  /** Per-node triangle counts on the co-purchase graph via degree
+    * orientation (operators.Graph.triangleCounts): wedge fanout bounded
+    * by oriented out-degree ≤ O(√m), the guard that survives hub nodes
+    * at 100 TB. The oracle runs the same orientation as plain SQL
+    * joins. */
+  def q87Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables(spark, dir).lineitem
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = hi.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(hi.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        "l_orderkey")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+    graft.operators.Graph.triangleCounts(e0, "src", "dst")
+      .select(col("node").as("part_id"), col("triangles"))
+      .orderBy("part_id")
+  }
+
+  val q87Sql: String =
+    """WITH hi AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 48),
+      |e0 AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM hi a JOIN hi b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+      |o AS (
+      |  SELECT e.src, e.dst FROM e
+      |  JOIN deg ds ON ds.node = e.src
+      |  JOIN deg dd ON dd.node = e.dst
+      |  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+      |tri AS (
+      |  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+      |  FROM o w1
+      |  JOIN o w2 ON w1.src = w2.src AND w1.dst <> w2.dst
+      |  JOIN o cl ON cl.src = w1.dst AND cl.dst = w2.dst)
+      |SELECT node AS part_id, CAST(count(*) AS BIGINT) AS triangles
+      |FROM (SELECT a AS node FROM tri
+      |      UNION ALL SELECT b FROM tri
+      |      UNION ALL SELECT c FROM tri)
+      |GROUP BY 1 ORDER BY part_id""".stripMargin
+
   // ---------------------------------------------------------------- q19
   /** Scalar-subquery predicate: customers above the global mean balance.
     * The mean is one broadcast row — no per-row recomputation. */
@@ -975,6 +1113,9 @@ object Relational {
     "q78_connected_components" -> (q78ConnectedComponents _),
     "q80_gapfill"             -> (q80Gapfill _),
     "q81_editdist_join"       -> (q81EditDistJoin _),
+    "q85_interval_overlap"    -> (q85IntervalOverlap _),
+    "q86_pagerank"            -> (q86PageRank _),
+    "q87_triangles"           -> (q87Triangles _),
     "q83_rank_outliers"       -> (q83RankOutliers _),
     "q84_zorder_cluster"      -> (q84ZOrderCluster _),
     "q01_scan_filter_project" -> (q01ScanFilterProject _),
@@ -1032,6 +1173,9 @@ object Relational {
     "q78_connected_components" -> q78Sql,
     "q80_gapfill"             -> q80Sql,
     "q81_editdist_join"       -> q81Sql,
+    "q85_interval_overlap"    -> q85Sql,
+    "q86_pagerank"            -> q86Sql,
+    "q87_triangles"           -> q87Sql,
     "q83_rank_outliers"       -> q83Sql,
     "q84_zorder_cluster"      -> q84Sql,
     "q33_string_match"        -> q33Sql,

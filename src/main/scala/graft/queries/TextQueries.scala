@@ -911,7 +911,46 @@ object TextQueries {
       |FROM v WHERE inter * 1000000 >= uni * 800000
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Positional inverted index build: the retrieval-side artifact every
+    * search/decontamination pipeline materializes. One narrow
+    * posexplode (token, 0-based position), one shuffle on (token,
+    * doc_id) for tf + the position list, and a window over token for
+    * document frequency — at 100 TB the index is naturally partitioned
+    * by term (the serving layout) and no stage holds more than one
+    * doc's positions in a row. Positions sort as INTEGERS before
+    * rendering to the comma string (lexicographic "10"<"2" would
+    * diverge between engines). */
+  def q88InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("l"))
+      .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "token")))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        array_join(
+          transform(sort_array(collect_list(col("pos"))), _.cast("string")),
+          ",").as("positions"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("token")).cast("long"))
+      .select("token", "doc_id", "tf", "positions", "df")
+      .orderBy("token", "doc_id")
+  }
+
+  val q88Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(l) AS token, unnest(range(len(l))) AS pos
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |g AS (
+      |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf,
+      |    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+      |  FROM t GROUP BY 1, 2)
+      |SELECT token, doc_id, tf, positions,
+      |  CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+      |FROM g ORDER BY token, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_inverted_index"  -> (q88InvertedIndex _),
     "q75_bigram_lm"       -> (q75BigramLm _),
     "q20_token_stats"     -> (q20TokenStats _),
     "q21_vocab_df"        -> (q21VocabDf _),
@@ -960,6 +999,7 @@ object TextQueries {
     "q69_weighted_sample" -> q69Sql,
     "q75_bigram_lm"       -> q75Sql,
     "q82_setsim_join"     -> q82Sql,
-    "q70_bm25_topk"       -> q70Sql
+    "q70_bm25_topk"       -> q70Sql,
+    "q88_inverted_index"  -> q88Sql
   )
 }
