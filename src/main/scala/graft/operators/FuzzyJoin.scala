@@ -10,19 +10,31 @@ import org.apache.spark.sql.functions._
   * matches here).
   *
   * The scale problem is candidate generation: the naive form is an
-  * all-pairs cross join. This operator uses pigeonhole segment blocking
-  * (the PassJoin family — Li, Deng & Feng 2011, "PASS-JOIN: a
-  * partition-based method for similarity joins", public): split each
-  * key into `maxDist + 1` contiguous segments; two equal-length strings
-  * within Hamming distance ≤ maxDist differ in ≤ maxDist positions, so
-  * by pigeonhole they agree EXACTLY on at least one segment. Candidates
-  * therefore come from a plain equi-join on (segment_idx, segment,
-  * length) — shuffle-partitioned like any join, no cross product — and
-  * only candidates pay the O(len) verification. At 100 TB the segment
-  * frame is (maxDist+1)× the input rows with short string payloads, and
-  * skew is bounded by the blocking key's selectivity (a degenerate
-  * corpus where everyone shares a segment degrades toward the true
-  * candidate count, which is the output's own lower bound).
+  * all-pairs cross join. This operator blocks on the POSITION-WILDCARD
+  * neighborhood (the mask/wildcard indexing device of the FastSS family
+  * — Bocek, Hunt & Stiller 2007, "Fast Similarity Search in Large
+  * Dictionaries", public — specialized to Hamming distance): index each
+  * key under every variant obtained by masking `maxDist` of its
+  * positions with a sentinel character. Two equal-length keys agree on
+  * a same-positions masked variant IFF they agree at every unmasked
+  * position, i.e. IFF their Hamming distance is ≤ maxDist — so the
+  * variant equi-join's candidate set IS the result set (overgeneration
+  * factor ≈ 1; the exact-distance verification only absorbs md5
+  * collisions and sentinel-containing keys). Crucially the blocking key
+  * carries the FULL unmasked content of the string, so shared prefixes,
+  * templated IDs, and other low-entropy regions — the NORM in entity
+  * resolution, and the corpus shape that collapses segment/prefix
+  * blocking schemes (PassJoin-style) into an all-pairs join — cost
+  * nothing: a variant collision still requires near-total agreement.
+  *
+  * Cost shape: C(len, maxDist) variant rows per input row (len for
+  * maxDist=1, len·(len−1)/2 for 2), each a fixed-width md5 digest —
+  * shuffle volume is rows × C(len, k) × 16 bytes, independent of key
+  * entropy. At 100 TB with maxDist ≤ 2 and short join keys (names,
+  * titles, SKUs) this is the equi-join shape that survives; for long
+  * keys or k ≥ 3 the neighborhood grows combinatorially and a
+  * q-gram/PassJoin hybrid with entropy-aware segment selection would be
+  * the next tool — not needed for the catalog's workloads.
   */
 object FuzzyJoin {
 
@@ -34,39 +46,55 @@ object FuzzyJoin {
         (x, y) => when(x =!= y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
 
+  /** Candidate pairs (a_id < b_id, keys carried) from the masked-variant
+    * equi-join — exposed for the overgeneration spec: on sentinel-free
+    * keys this count EQUALS the final output count (variant agreement ⟺
+    * Hamming ≤ maxDist), which is the property that makes the operator
+    * safe on ID-prefixed/templated key corpora. */
+  private[graft] def hammingCandidates(df: DataFrame, idCol: String,
+                                       keyCol: String, maxDist: Int): DataFrame = {
+    val k = maxDist
+    // All md5'd variants of `key` with exactly k positions replaced by
+    // the chr(1) sentinel, as one generated-SQL array expression:
+    // nested transforms pick ascending position combinations p1<…<pk
+    // (levels ≥ 2 filter the position range rather than sequence(lo,hi),
+    // because Spark's sequence runs DESCENDING when lo > hi). Keys
+    // shorter than k — where every same-length pair is trivially within
+    // distance k — block on length alone via a chr(2)-tagged variant.
+    def variants(side: String): DataFrame = {
+      val key = s"${side}_key"
+      val masked = (1 to k).foldLeft(key)((acc, i) =>
+        s"overlay($acc, chr(1), p$i, 1)")
+      def gen(level: Int): String =
+        if (level > k) s"md5($masked)"
+        else if (level == 1)
+          s"transform(sequence(1, length($key)), p1 -> ${gen(2)})"
+        else
+          s"transform(filter(sequence(1, length($key)), q -> q > p${level - 1}), " +
+            s"p$level -> ${gen(level + 1)})"
+      val flat = (1 until k).foldLeft(gen(1))((acc, _) => s"flatten($acc)")
+      val vks = s"if(length($key) < $k, " +
+        s"array(md5(concat(chr(2), length($key)))), $flat)"
+      df.select(col(idCol).as(s"${side}_id"), col(keyCol).as(s"${side}_key"))
+        .select(col(s"${side}_id"), col(key), length(col(key)).as(s"${side}_len"),
+          explode(expr(vks)).as("vk"))
+    }
+    variants("a").join(variants("b"), "vk")
+      .filter(col("a_id") < col("b_id") && col("a_len") === col("b_len"))
+      .select(col("a_id"), col("b_id"), col("a_key"), col("b_key"))
+      .distinct() // identical keys share ALL C(len,k) variants; dedup pairs
+  }
+
   /** All pairs (id_a < id_b) with Hamming(key_a, key_b) ≤ maxDist.
-    * Output: `id_a, id_b, dist` (dist as long). Exact — the pigeonhole
-    * guarantees no candidate misses; the verification filter guarantees
-    * no false positives. */
+    * Output: `id_a, id_b, dist` (dist as long). Exact — the wildcard
+    * neighborhood misses no pair (a pair within distance k agrees on
+    * the variant masking its differing positions, padded to k); the
+    * verification filter removes the only possible false positives
+    * (md5 collisions, sentinel characters occurring in keys). */
   def hammingSelfJoin(df: DataFrame, idCol: String, keyCol: String,
                       maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1 (use equality for 0)")
-    val nSeg = maxDist + 1
-    // segment i of a length-L key spans (L*i DIV n, L*(i+1) DIV n] —
-    // the same integer arithmetic on both sides of the join, so equal
-    // lengths produce aligned segments (and ONLY equal lengths can
-    // collide: the length is part of the join key)
-    def segments(side: String): DataFrame = {
-      val key = col(s"${side}_key")
-      val segIdx = (0 until nSeg).map { i =>
-        val start = expr(s"(length(${side}_key) * $i) DIV $nSeg")
-        val len = expr(s"(length(${side}_key) * ${i + 1}) DIV $nSeg") - start
-        key.substr(start + 1, len)
-      }
-      df.select(col(idCol).as(s"${side}_id"), col(keyCol).as(s"${side}_key"))
-        .select(col(s"${side}_id"), key, length(key).as(s"${side}_len"),
-          posexplode(array(segIdx: _*))
-            .as(Seq(s"${side}_seg_idx", s"${side}_seg")))
-    }
-    val a = segments("a")
-    val b = segments("b")
-    a.join(b,
-        col("a_len") === col("b_len") &&
-          col("a_seg_idx") === col("b_seg_idx") &&
-          col("a_seg") === col("b_seg") &&
-          col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_key"), col("b_key"))
-      .distinct() // a pair sharing several segments appears once
+    hammingCandidates(df, idCol, keyCol, maxDist)
       .withColumn("dist", hammingDist(col("a_key"), col("b_key")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("dist"))

@@ -529,11 +529,13 @@ object Relational {
 
   // ---------------------------------------------------------------- q77
   /** Fuzzy entity-resolution self-join: customer-name pairs within
-    * Hamming distance 1, found WITHOUT a cross join — pigeonhole
-    * segment blocking turns candidate generation into an equi-join on
-    * (segment_idx, segment, length) and only candidates pay the
-    * verification (operators.FuzzyJoin scaladoc; FuzzyJoinSpec proves
-    * == the brute-force pairing). The oracle is the brute-force form —
+    * Hamming distance 1, found WITHOUT a cross join — position-wildcard
+    * (FastSS-style) masked variants turn candidate generation into an
+    * equi-join on md5'd variant digests whose candidate set equals the
+    * result set even on ID-prefixed keys like `Customer#…`
+    * (operators.FuzzyJoin scaladoc; FuzzyJoinSpec proves == the
+    * brute-force pairing AND pins overgeneration ≈ 1 on exactly this
+    * corpus shape). The oracle is the brute-force form —
     * DuckDB's O(n²) hamming scan is affordable at oracle scale and
     * deliberately DIFFERENT plan-wise: agreeing outputs from different
     * plans is the point of the check. */

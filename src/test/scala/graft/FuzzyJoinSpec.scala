@@ -3,15 +3,16 @@ package graft
 import graft.operators.FuzzyJoin
 import org.apache.spark.sql.functions._
 
-/** Pigeonhole fuzzy join: the blocking scheme must be EXACT (no missed
-  * pairs vs brute force) and must never degenerate into a cross
-  * product — the two properties the DuckDB hash check alone cannot
-  * localize. */
+/** Wildcard-variant fuzzy join: the blocking scheme must be EXACT (no
+  * missed pairs vs brute force), must never degenerate into a cross
+  * product, and must not overgenerate candidates on low-entropy
+  * (ID-prefixed) keys — the three properties the DuckDB hash check
+  * alone cannot localize. */
 class FuzzyJoinSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("segment blocking == brute-force hamming join, maxDist 1 and 2") {
+  test("wildcard blocking == brute-force hamming join, maxDist 1 and 2") {
     val c = Tables(spark, sf).customer
       .filter(col("c_custkey") < 300).select("c_custkey", "c_name")
     for (k <- Seq(1, 2)) {
@@ -48,6 +49,27 @@ class FuzzyJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("no overgeneration on ID-prefixed keys: candidates == output") {
+    // The round-7 scale-killer: every customer name shares the
+    // `Customer#` prefix and a fixed length, so any blocking scheme
+    // keyed on shared substrings (segments, prefixes) degenerates to
+    // all-pairs. The wildcard neighborhood must NOT: a masked-variant
+    // collision requires agreement at every unmasked position, so the
+    // candidate count must EQUAL the true result count — not n².
+    // (At this sf the output itself can be dense — 150 numeric-suffix
+    // names put most pairs within distance 2 — so the pinned property
+    // is candidates == output exactly: the output is the LOWER bound of
+    // any exact scheme, and hitting it means zero wasted verification.)
+    val c = Tables(spark, sf).customer.select("c_custkey", "c_name")
+    for (k <- Seq(1, 2)) {
+      val cands = FuzzyJoin.hammingCandidates(c, "c_custkey", "c_name", k).count()
+      val out = FuzzyJoin.hammingSelfJoin(c, "c_custkey", "c_name", k).count()
+      assert(cands == out,
+        s"maxDist=$k: $cands candidates vs $out results — blocking overgenerates")
+      assert(out > 0)
+    }
   }
 
 
