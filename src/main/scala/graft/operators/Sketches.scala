@@ -186,15 +186,20 @@ object Sketches {
 
   /** JVM twin of the count-min update — one value folded into a flat
     * depth×width counter array (mutates `counters`). Hash recipe is
-    * byte-identical to [[countMinBuild]]'s column form (`md5("cm<r>|" +
-    * value)` mod width), so a streaming state built by repeated
-    * [[cmUpdate]] calls equals the batch sketch on the same data —
-    * the reconciliation law StreamingCountMinSpec pins. */
+    * byte-identical to [[countMinBuild]]'s column form (disjoint 8-hex-
+    * digit slices of ONE `md5("cm|" + value)` digest, each mod width),
+    * so a streaming state built by repeated [[cmUpdate]] calls equals
+    * the batch sketch on the same data — the reconciliation law
+    * StreamingCountMinSpec pins. */
   def cmUpdate(counters: Array[Long], key: String,
                depth: Int = CmDepth, width: Int = CmWidth): Unit = {
+    require(depth * 8 <= 32, s"cm depth $depth exceeds the 32 hex digits of md5")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(("cm|" + key).getBytes("UTF-8")).map("%02x".format(_)).mkString
     var r = 0
     while (r < depth) {
-      val c = (md5Hash60Jvm(s"cm$r|" + key) % width).toInt
+      val c = (java.lang.Long.parseLong(hex.substring(r * 8, r * 8 + 8), 16)
+        % width).toInt
       counters(r * width + c) += 1
       r += 1
     }
@@ -229,42 +234,92 @@ object Sketches {
   val CmDepth = 4
   val CmWidth = 1024
 
+  /** The d hash rows all derive from ONE md5 digest per value: row r
+    * reads hex digits [8r+1, 8r+8] (32 independent bits) mod width.
+    * Hashing the value once instead of d times is the standard
+    * multiple-hashes-from-one-digest device (cf. Kirsch & Mitzenmacher
+    * 2006, "Less hashing, same performance", public) and cuts the
+    * dominant per-row cost of both build and probe by d×; the slices
+    * stay disjoint so the rows behave as independent hash functions,
+    * and the recipe remains one-line-expressible in the DuckDB oracle. */
+  private def cmDigest(valueCol: Column): Column =
+    md5(concat(lit("cm|"), valueCol.cast("string")))
+
+  private def cmSlices(digest: Column, depth: Int, width: Int): Seq[Column] = {
+    require(depth * 8 <= 32, s"cm depth $depth exceeds the 32 hex digits of md5")
+    (0 until depth).map(r =>
+      conv(substring(digest, r * 8 + 1, 8), 16, 10).cast("long") % width)
+  }
+
+  private def cmHashes(valueCol: Column, depth: Int, width: Int): Seq[Column] =
+    cmSlices(cmDigest(valueCol), depth, width)
+
   /** Build the sketch: one row per NON-ZERO (row, col) counter —
     * ≤ d·w rows regardless of input size, after a map-side-combined
     * shuffle of (row, col, partial count). The batch twin of the
     * streaming update loop; mergeable across any data split by plain
-    * addition, which is what makes it the 100 TB frequency census. */
+    * addition, which is what makes it the 100 TB frequency census.
+    *
+    * The digest is materialized in its own projection BELOW the
+    * posexplode: generator expressions sit outside whole-stage codegen's
+    * common-subexpression elimination, so an md5 written inline in the
+    * explode array would be recomputed depth× per row (measured 3× the
+    * build's scan cost at sf0.1). */
   def countMinBuild(df: DataFrame, valueCol: Column,
                     depth: Int = CmDepth, width: Int = CmWidth): DataFrame =
-    df.select(posexplode(array((0 until depth).map(r =>
-        md5Hash60(concat(lit(s"cm$r|"), valueCol.cast("string"))) % width): _*))
+    df.select(cmDigest(valueCol).as("__cm_md5"))
+      .select(posexplode(array(
+          cmSlices(col("__cm_md5"), depth, width): _*))
         .as(Seq("row", "col")))
       .groupBy("row", "col").agg(count(lit(1)).as("c"))
 
   /** Point-estimate the count of each probe value: min over the d
-    * counters the value hashes to. `sketch` is ≤ d·w rows — broadcast —
-    * so probing is d broadcast joins per probe row, no shuffle of the
-    * probe side. Missing counters read as 0 (value never seen).
+    * counters the value hashes to. The sketch artifact is ≤ d·w
+    * non-zero counters BY CONSTRUCTION (a few KB), so it is evaluated
+    * ONCE here — collected driver-side into a dense d×w literal — and
+    * probing becomes a PURE PROJECTION over the probe rows: zero joins,
+    * zero shuffles, one `element_at` per hash row, all inside
+    * whole-stage codegen. (The earlier formulation probed via d
+    * broadcast joins against the un-materialized build frame; each join
+    * re-ran the full build DAG, so a d=4 probe scanned the build input
+    * four times — measured as q71's 32 s at sf0.1.) Missing counters
+    * read as 0 (value never seen).
     *
-    * NULL-key semantics: a NULL `keyCol` hashes to NULL, misses every
-    * join, and reads `cm_count = 0` — NULL counts as "never seen", it is
-    * NOT tallied against the sketch's NULL bucket (countMinBuild likewise
-    * drops NULL values: md5 of NULL is NULL, so posexplode emits bins
-    * only for non-null inputs). Filter NULLs beforehand if they matter. */
+    * NULL-key semantics: a NULL `keyCol` hashes to NULL, indexes to a
+    * NULL estimate, and reads `cm_count = 0` — NULL counts as "never
+    * seen", it is NOT tallied against the sketch's NULL bucket
+    * (countMinBuild likewise drops NULL values: md5 of NULL is NULL, so
+    * posexplode emits bins only for non-null inputs). Filter NULLs
+    * beforehand if they matter. */
   def countMinProbe(probes: DataFrame, keyCol: Column, sketch: DataFrame,
-                    depth: Int = CmDepth, width: Int = CmWidth): DataFrame = {
-    val est = (0 until depth).foldLeft(probes) { (df, r) =>
-      val s = broadcast(sketch.filter(col("row") === r)
-        .select(col("col").as(s"__cm_col$r"), col("c").as(s"__cm_c$r")))
-      df.join(s,
-        md5Hash60(concat(lit(s"cm$r|"), keyCol.cast("string"))) % width
-          === col(s"__cm_col$r"), "left")
-        .drop(s"__cm_col$r")
-    }
-    est.withColumn("cm_count",
-      least((0 until depth).map(r => coalesce(col(s"__cm_c$r"), lit(0L))): _*))
-      .drop((0 until depth).map(r => s"__cm_c$r"): _*)
+                    depth: Int = CmDepth, width: Int = CmWidth): DataFrame =
+    probes.withColumn("cm_count",
+      countMinEstimate(countMinLiteral(sketch, depth, width), keyCol,
+        depth, width))
+
+  /** Materialize the sketch frame into a dense d×w nested-array literal
+    * — ONE bounded-size collect (≤ d·w rows: the mergeable-census
+    * design means the artifact, not the data, crosses to the driver,
+    * the same shape a 100 TB pipeline ships between jobs). Callers that
+    * probe the same sketch in several places (q71 gates rows AND
+    * annotates survivors) share one literal instead of re-collecting. */
+  def countMinLiteral(sketch: DataFrame, depth: Int = CmDepth,
+                      width: Int = CmWidth): Column = {
+    val dense = Array.fill(depth, width)(0L)
+    sketch.select(col("row").cast("int"), col("col").cast("int"),
+        col("c").cast("long"))
+      .collect().foreach(r => dense(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    typedLit(dense.map(_.toSeq).toSeq)
   }
+
+  /** Point-estimate expression against a [[countMinLiteral]]: min over
+    * the d counters the key hashes to — a pure projection usable in
+    * filters and post-aggregation annotations alike. */
+  def countMinEstimate(litSketch: Column, keyCol: Column,
+                       depth: Int = CmDepth, width: Int = CmWidth): Column =
+    coalesce(least(cmHashes(keyCol, depth, width).zipWithIndex.map {
+      case (h, r) => element_at(element_at(litSketch, r + 1), h.cast("int") + 1)
+    }: _*), lit(0L))
 
   /** Bloom-filter geometry: m bits, k hash functions. k=3 and m=4096
     * give a false-positive rate ≈ (1−e^{−kn/m})^k ≈ 0.1% at n=500 keys;

@@ -280,19 +280,21 @@ object SketchQueries {
 
   val q67Sql: String = {
     val d = Sketches.CmDepth; val w = Sketches.CmWidth
+    // row r reads hex digits [8r+1, 8r+8] of ONE md5 per value — must
+    // mirror Sketches.cmHashes digit-for-digit
     def h(r: String, v: String) =
-      s"CAST(('0x' || substr(md5('cm' || $r || '|' || $v), 1, 15)) AS BIGINT) % $w"
+      s"CAST(('0x' || substr(md5('cm|' || $v), 1 + 8 * ($r), 8)) AS BIGINT) % $w"
     s"""WITH t AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
        |  FROM documents),
        |s AS (
-       |  SELECT r, ${h("CAST(r AS VARCHAR)", "token")} AS col,
+       |  SELECT r, ${h("r", "token")} AS col,
        |    count(*) AS c
        |  FROM t, range(0, $d) rr(r) GROUP BY 1, 2),
        |p AS (
        |  SELECT DISTINCT token FROM t WHERE doc_id < 5),
        |ph AS (
-       |  SELECT token, r, ${h("CAST(r AS VARCHAR)", "token")} AS col
+       |  SELECT token, r, ${h("r", "token")} AS col
        |  FROM p, range(0, $d) rr(r)),
        |est AS (
        |  SELECT ph.token, min(coalesce(s.c, 0)) AS cm_count
@@ -330,26 +332,34 @@ object SketchQueries {
   def q71HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val keys = Tables(spark, dir).lineitem.select("l_partkey")
     val sketch = Sketches.countMinBuild(keys, col("l_partkey"))
-    Sketches.countMinProbe(keys, col("l_partkey"), sketch)
-      .filter(col("cm_count") >= HhThreshold)
-      .groupBy("l_partkey")
-      .agg(min("cm_count").as("cm_count"), // constant per key
-        count(lit(1)).as("exact_count"))
+    // Gate WITHOUT carrying cm_count through the shuffle: a carried
+    // column gets its defining expression duplicated when Catalyst
+    // pushes the gate predicate back through the projection (measured:
+    // the gate stage ran the whole md5 probe twice, 3.3 s vs 1.7 s).
+    // cm_count is a pure function of the key, so it is re-derived on
+    // the handful of post-aggregation survivors instead — per-row work
+    // once over the data, per-KEY work once over the candidates.
+    val litS = Sketches.countMinLiteral(sketch)
+    def cm = Sketches.countMinEstimate(litS, col("l_partkey"))
+    keys.filter(cm >= HhThreshold)
+      .groupBy("l_partkey").agg(count(lit(1)).as("exact_count"))
       .filter(col("exact_count") >= HhThreshold)
+      .select(col("l_partkey"), cm.as("cm_count"), col("exact_count"))
       .orderBy(desc("exact_count"), col("l_partkey"))
   }
 
   val q71Sql: String = {
     val d = Sketches.CmDepth; val w = Sketches.CmWidth
+    // same single-digest slicing as q67 / Sketches.cmHashes
     def h(r: String, v: String) =
-      s"CAST(('0x' || substr(md5('cm' || $r || '|' || $v), 1, 15)) AS BIGINT) % $w"
+      s"CAST(('0x' || substr(md5('cm|' || $v), 1 + 8 * ($r), 8)) AS BIGINT) % $w"
     s"""WITH s AS (
-       |  SELECT r, ${h("CAST(r AS VARCHAR)", "CAST(l_partkey AS VARCHAR)")} AS col,
+       |  SELECT r, ${h("r", "CAST(l_partkey AS VARCHAR)")} AS col,
        |    count(*) AS c
        |  FROM lineitem, range(0, $d) rr(r) GROUP BY 1, 2),
        |ph AS (
        |  SELECT l_partkey, r,
-       |    ${h("CAST(r AS VARCHAR)", "CAST(l_partkey AS VARCHAR)")} AS col
+       |    ${h("r", "CAST(l_partkey AS VARCHAR)")} AS col
        |  FROM (SELECT DISTINCT l_partkey FROM lineitem), range(0, $d) rr(r)),
        |est AS (
        |  SELECT ph.l_partkey, min(coalesce(s.c, 0)) AS cm_count

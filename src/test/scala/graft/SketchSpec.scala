@@ -129,6 +129,21 @@ class SketchSpec extends SparkSpec {
     assert(meanOver <= 3 * eps * 6000, s"meanOver=$meanOver")
   }
 
+  test("count-min probe is a pure projection: no joins, build not re-run") {
+    // Round-7 regression site: the probe used to issue d broadcast
+    // joins against the UN-materialized build frame, re-running the
+    // full build DAG once per hash row (4x at d=4 — q71's 32 s). Now
+    // the <= d*w artifact is collected once and the probe plan must
+    // contain no join and no exchange at all — the build input appears
+    // nowhere in it.
+    val df = spark.range(6000).select((col("id") % 97).cast("string").as("v"))
+    val probed = Sketches.countMinProbe(df, col("v"),
+      Sketches.countMinBuild(df, col("v")))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"probe plan joins:\n$plan")
+    assert(!plan.contains("Exchange"), s"probe plan shuffles:\n$plan")
+  }
+
   test("caller columns named like old internals no longer collide") {
     // Before the __hll_ prefixing, grouping by a column named "bucket"
     // or "m" broke the sketch's internal groupBy/coalesce. Now the
