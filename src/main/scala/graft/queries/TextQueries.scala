@@ -447,7 +447,7 @@ object TextQueries {
     def xlog(c: Column): Column = when(c > 0.0, c * log2(c)).otherwise(lit(0.0))
     val fold = aggregate(
       array_sort(col("l")),
-      struct(lit(" ").as("prev"), lit(0.0).as("run"), lit(0.0).as("acc")),
+      struct(lit("\u0000").as("prev"), lit(0.0).as("run"), lit(0.0).as("acc")),
       (st, t) => struct(
         t.as("prev"),
         when(t === st.getField("prev"), st.getField("run") + 1.0)
