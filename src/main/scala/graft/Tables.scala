@@ -32,7 +32,7 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
-    raw.schema("ts").dataType match {
+    val converted = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw
           .withColumnRenamed("ts", "ts_ns")
@@ -46,6 +46,11 @@ final case class Tables(spark: SparkSession, dir: String) {
           .withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
     }
+    // Canonical column order regardless of which physical shape shipped:
+    // the file's own order with `ts` in its original slot, `ts_ns`
+    // appended last — so select("*") / positional consumers behave
+    // identically across testdata generations.
+    converted.select(raw.columns.map(col).toIndexedSeq :+ col("ts_ns"): _*)
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

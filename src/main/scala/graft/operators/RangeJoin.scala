@@ -83,7 +83,13 @@ object RangeJoin {
     * Cost model: each side inflates by `ceil(len/bin)+1`; bounded by the
     * same `maxBinsPerInterval` guard as pointInInterval. Pick binWidth ≈
     * the typical interval length. Skewed bins (flash-crowd windows) are an
-    * AQE skew-join case like any hot key. */
+    * AQE skew-join case like any hot key.
+    *
+    * Column-name contract: the two inputs must have DISJOINT column
+    * names (enforced below). The caller's `lStart`/`rEnd`/… Column
+    * objects are embedded unqualified in the join condition, so a name
+    * present on both sides (e.g. both carrying `start`) would make the
+    * predicate ambiguous at analysis time — rename one side first. */
   def intervalOverlap(left: DataFrame, right: DataFrame,
                       lStart: Column, lEnd: Column,
                       rStart: Column, rEnd: Column,
@@ -92,6 +98,10 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     require(!left.columns.contains(BinCol) && !right.columns.contains(BinCol),
       s"intervalOverlap: '$BinCol' is reserved for the operator's bin key")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalOverlap: inputs share column names ${shared.mkString(", ")} — " +
+        "the start/end predicates would be ambiguous; rename one side")
     def explodeBins(df: DataFrame, start: Column, end: Column): DataFrame = {
       val firstBin = floorDiv(start, binWidth)
       val lastBin = floorDiv(end - 1, binWidth)

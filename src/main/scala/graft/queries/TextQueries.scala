@@ -915,15 +915,17 @@ object TextQueries {
   /** Positional inverted index build: the retrieval-side artifact every
     * search/decontamination pipeline materializes. One narrow
     * posexplode (token, 0-based position), one shuffle on (token,
-    * doc_id) for tf + the position list, and a window over token for
-    * document frequency — at 100 TB the index is naturally partitioned
-    * by term (the serving layout) and no stage holds more than one
-    * doc's positions in a row. Positions sort as INTEGERS before
-    * rendering to the comma string (lexicographic "10"<"2" would
-    * diverge between engines). */
+    * doc_id) for tf + the position list, and document frequency as a
+    * separate aggregate joined back on token — NOT a window over token:
+    * a window partition buffers every posting of a hot term (with its
+    * positions payload) in one task, exactly the stop-word skew a
+    * 100 TB index build dies on, while the groupBy+join form shuffles
+    * the same key with map-side-combined counts and no single-task
+    * buffering. Positions sort as INTEGERS before rendering to the
+    * comma string (lexicographic "10"<"2" would diverge between
+    * engines). */
   def q88InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs(spark, dir)
+    val postings = docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
       .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "token")))
       .groupBy("token", "doc_id")
@@ -931,8 +933,8 @@ object TextQueries {
         array_join(
           transform(sort_array(collect_list(col("pos"))), _.cast("string")),
           ",").as("positions"))
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("token")).cast("long"))
+    val df = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    postings.join(df, "token")
       .select("token", "doc_id", "tf", "positions", "df")
       .orderBy("token", "doc_id")
   }
