@@ -236,6 +236,69 @@ object ScaleBench {
               col("doc_id").as("i_id"))
           graft.operators.RangeJoin.pointInInterval(pts, iv,
             col("p_ts"), col("s"), col("e"), binWidth = 16L)
+        }),
+        // fuzzy Hamming join (q77's shape) on DELIBERATELY templated
+        // IDs — every key shares the `ID…#` prefix and a fixed length,
+        // the corpus shape that collapsed round-7's segment blocking
+        // into all-pairs. The copy index is embedded TWICE, so cross-
+        // copy keys differ in ≥ 2 positions and never match: matches
+        // (and wildcard-variant candidates, which EQUAL the matches)
+        // grow linearly with the factor. The claim measured: runtime
+        // tracks rows × key-length variants, independent of prefix
+        // entropy
+        "fuzzy_hamming" -> (() => {
+          val d = Tables(spark, dir).documents.select(
+            col("doc_id"),
+            concat(lit("ID"),
+              lpad((col("doc_id") / 10000000L).cast("long").cast("string"), 2, "0"),
+              lpad((col("doc_id") / 10000000L).cast("long").cast("string"), 2, "0"),
+              lit("#"),
+              lpad((col("doc_id") % 10000000L).cast("string"), 7, "0")).as("k"))
+          graft.operators.FuzzyJoin.hammingSelfJoin(d, "doc_id", "k", 1)
+        }),
+        // set-similarity join (q82's shape): base tokens come from the
+        // tiny shared vocabulary (every token hot — the degenerate
+        // round-7 corpus), plus 6 group tokens per 10-doc bucket. The
+        // rarest-first prefix picks the group tokens, so candidates ≈
+        // C(10,2) per bucket — candidate count, output, and runtime
+        // must all grow linearly with the factor
+        "setsim_join" -> (() => {
+          val d = Tables(spark, dir).documents
+            .filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"),
+              array_union(
+                array_distinct(graft.functions.TextFunctions
+                  .whitespaceTokens(col("text"))),
+                array((0 until 6).map(j =>
+                  concat(lit("g"), (col("doc_id") / 50L).cast("long"),
+                    lit(s"_$j"))): _*)).as("toks"))
+          graft.operators.SetSimJoin.jaccardSelfJoin(d, "doc_id", "toks", 0.8)
+        }),
+        // graph kernel on a synthesized per-copy topology (5-node stars
+        // + a triangle per 3rd node): component count, ranks, and
+        // triangle count all scale linearly; rounds stay CONSTANT —
+        // the property that makes label propagation viable at 100 TB
+        "connected_components" -> (() => {
+          val d = Tables(spark, dir).documents
+          val edges = d.select(col("doc_id").as("src"),
+              (col("doc_id") - col("doc_id") % 5).as("dst"))
+            .filter(col("src") =!= col("dst"))
+          graft.operators.Graph.connectedComponents(edges, "src", "dst")
+        }),
+        "pagerank" -> (() => {
+          val d = Tables(spark, dir).documents
+          val edges = d.select(col("doc_id").as("src"),
+              (col("doc_id") - col("doc_id") % 5).as("dst"))
+            .filter(col("src") =!= col("dst"))
+          graft.operators.Graph.pageRank(edges, "src", "dst")
+        }),
+        "triangles" -> (() => {
+          val d = Tables(spark, dir).documents
+            .filter(col("doc_id") % 3 === 0 && col("doc_id") % 10000000L < 4998)
+          val edges = d.select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+            .union(d.select((col("doc_id") + 1).as("src"), (col("doc_id") + 2).as("dst")))
+            .union(d.select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst")))
+          graft.operators.Graph.triangleCounts(edges, "src", "dst")
         }))
       // ANN over an N×-replicated embedding corpus, fixed 100-query set
       // (base-copy ids): brute force is O(|corpus|·|queries|) dot

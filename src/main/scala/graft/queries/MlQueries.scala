@@ -231,7 +231,21 @@ object MlQueries {
   // ---------------------------------------------------------------- q51
   /** End-to-end spark.ml pipeline on the documents table: label docs by
     * length (learnable from token statistics), train bigram+LR
-    * (script5 config), report the seeded-split confusion rollup. */
+    * (script5 config), report the seeded-split confusion rollup.
+    * Rows-only for the DuckDB compare (an LR fit is not
+    * SQL-expressible), but NOT quality-unchecked: the query derives
+    * held-out accuracy from its own confusion cells and RAISES if it
+    * falls below the spec floor (0.8, same as MlPipelineSpec) — a
+    * rows-present correctness entry certifies the floor held.
+    *
+    * The confusion rollup maps `prediction` back into RAW label space
+    * through the fitted StringIndexerModel before comparing: the
+    * pipeline's alphabetDesc indexer sends raw 1.0 → index 0.0, and
+    * the earlier rollup compared the two spaces directly — an
+    * inversion the rows-only check could never see (the gate below
+    * caught it: accuracy read 0.068 when it was really 0.93). */
+  val Q51AccuracyFloor = 0.8
+
   def q51SentimentPipeline(spark: SparkSession, dir: String): DataFrame = {
     val data = Tables(spark, dir).documents
       .select(col("text").as("review"),
@@ -240,9 +254,24 @@ object MlQueries {
     // bounded vocab for the demo query: the full 2^18 default spends its
     // time allocating vocabulary, not learning, on this corpus
     val model = GraftPipelines.script5(vocabSize = 8192).fit(train)
-    model.transform(test)
-      .groupBy(col("label"), col("prediction"))
+    val indexerLabels: Seq[String] = model.stages.collectFirst {
+      case m: org.apache.spark.ml.feature.StringIndexerModel =>
+        m.labelsArray.head.toSeq
+    }.getOrElse(sys.error("q51: fitted pipeline has no StringIndexerModel"))
+    val predRaw = element_at(typedLit(indexerLabels),
+      col("prediction").cast("int") + 1).cast("double")
+    val conf = model.transform(test)
+      .groupBy(col("label"), predRaw.as("prediction"))
       .agg(count(lit(1)).as("cnt"))
+    val gate = conf.agg(
+      (sum(when(col("label") === col("prediction"), col("cnt")).otherwise(0L))
+        .cast("double") / sum(col("cnt"))).as("acc"))
+    conf.crossJoin(broadcast(gate))
+      .filter(when(col("acc") >= Q51AccuracyFloor, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"q51 accuracy floor $Q51AccuracyFloor violated: "),
+          col("acc").cast("string")))))
+      .drop("acc")
       .orderBy("label", "prediction")
   }
 

@@ -233,13 +233,33 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------- q43
   /** IVF ANN (KMeans coarse quantizer, nprobe=2 of 8 cells, 5 KMeans
-    * iterations) — the second approximate scale path. Rows-only;
-    * exact-equivalence at nprobe=numCells is asserted in
-    * SimilaritySpec. */
+    * iterations) — the second approximate scale path. Rows-only for the
+    * DuckDB compare (the KMeans fit is not SQL-expressible), but NOT
+    * quality-unchecked: the query computes its own mean recall@5
+    * against the exact brute-force neighbors and RAISES if it falls
+    * below the spec floor (0.2, same as SimilaritySpec) — so a
+    * rows-present result in the correctness artifact certifies the
+    * floor held, not merely that the query ran. Exact-equivalence at
+    * nprobe=numCells is additionally asserted in SimilaritySpec. */
+  val Q43RecallFloor = 0.2
+
   def q43KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    Similarity.ivfKnn(e, e.filter(col("vec_id") < 20), k = 5,
-        numCells = 8, nprobe = 2, maxIter = 5)
+    val q = e.filter(col("vec_id") < 20)
+    val ivf = Similarity.ivfKnn(e, q, k = 5, numCells = 8, nprobe = 2,
+      maxIter = 5)
+    val exact = Similarity.bruteForceKnn(e, q, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val gate = exact.join(
+        ivf.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(avg(coalesce(col("hit"), lit(0))).as("mean_recall"))
+    ivf.crossJoin(broadcast(gate))
+      .filter(when(col("mean_recall") >= Q43RecallFloor, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"q43 recall floor $Q43RecallFloor violated: "),
+          col("mean_recall").cast("string")))))
+      .drop("mean_recall")
       .orderBy("query_id", "rank")
   }
 
