@@ -258,10 +258,15 @@ object ScaleBench {
         }),
         // set-similarity join (q82's shape): base tokens come from the
         // tiny shared vocabulary (every token hot — the degenerate
-        // round-7 corpus), plus 6 group tokens per 10-doc bucket. The
-        // rarest-first prefix picks the group tokens, so candidates ≈
-        // C(10,2) per bucket — candidate count, output, and runtime
-        // must all grow linearly with the factor
+        // round-7 corpus), plus 8 group tokens per 10-doc bucket. Eight,
+        // not six: prefix_len = n − ⌈0.8n⌉ + 1 reaches 8 at the corpus's
+        // largest n ≈ 39, and a prefix slot NOT covered by (rare) group
+        // tokens falls to a hot base token whose bucket floods the
+        // candidate join quadratically (measured: 2755 s at factor 100
+        // with 6 group tokens vs linear with 8). With full coverage the
+        // rarest-first prefix is group-tokens-only, so candidates ≈
+        // C(10,2) per bucket — candidate count, output, and runtime all
+        // grow linearly with the factor
         "setsim_join" -> (() => {
           val d = Tables(spark, dir).documents
             .filter(col("doc_id") % 5 === 0)
@@ -269,7 +274,7 @@ object ScaleBench {
               array_union(
                 array_distinct(graft.functions.TextFunctions
                   .whitespaceTokens(col("text"))),
-                array((0 until 6).map(j =>
+                array((0 until 8).map(j =>
                   concat(lit("g"), (col("doc_id") / 50L).cast("long"),
                     lit(s"_$j"))): _*)).as("toks"))
           graft.operators.SetSimJoin.jaccardSelfJoin(d, "doc_id", "toks", 0.8)
