@@ -207,15 +207,21 @@ object Sketches {
 
   /** JVM twin of the bloom build — fold one key's k bit positions into
     * an m-bit set stored as longs (mutates `bits`; size m/64). The hash
-    * recipe is byte-identical to [[bloomBuild]]'s column form
-    * (`md5("bloom<i>|" + key) % m`), so a streaming state built by
-    * repeated [[bloomUpdate]] calls emits exactly the position rows of
-    * the batch build on the same keys — the law StreamingBloomSpec pins. */
+    * recipe is byte-identical to [[bloomBuild]]'s column form (disjoint
+    * 8-hex-digit slices of ONE `md5("bloom|" + key)` digest, each mod
+    * m), so a streaming state built by repeated [[bloomUpdate]] calls
+    * emits exactly the position rows of the batch build on the same
+    * keys — the law StreamingBloomSpec pins. */
   def bloomUpdate(bits: Array[Long], key: String,
                   m: Int = BloomBits, hashes: Int = BloomHashes): Unit = {
+    require(hashes * 8 <= 32,
+      s"bloom hashes $hashes exceeds the 32 hex digits of md5")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(("bloom|" + key).getBytes("UTF-8")).map("%02x".format(_)).mkString
     var i = 0
     while (i < hashes) {
-      val pos = (md5Hash60Jvm(s"bloom$i|" + key) % m).toInt
+      val pos = (java.lang.Long.parseLong(hex.substring(i * 8, i * 8 + 8), 16)
+        % m).toInt
       bits(pos >> 6) |= 1L << (pos & 63)
       i += 1
     }
@@ -327,6 +333,20 @@ object Sketches {
   val BloomBits = 4096
   val BloomHashes = 3
 
+  /** The k bloom bit positions all derive from ONE md5 per key —
+    * same Kirsch–Mitzenmacher-style slicing as [[cmHashes]], same
+    * oracle-expressible recipe. Digest materialized below the explode
+    * in [[bloomBuild]] for the same generator-CSE reason. */
+  private def bloomDigest(keyCol: Column): Column =
+    md5(concat(lit("bloom|"), keyCol.cast("string")))
+
+  private def bloomSlices(digest: Column, bits: Int, hashes: Int): Seq[Column] = {
+    require(hashes * 8 <= 32,
+      s"bloom hashes $hashes exceeds the 32 hex digits of md5")
+    (0 until hashes).map(i =>
+      conv(substring(digest, i * 8 + 1, 8), 16, 10).cast("long") % bits)
+  }
+
   /** The filter itself: the DISTINCT set bit positions of `keyCol` over
     * `build` — at most `min(k·n, m)` rows of one int column. THIS is
     * what makes the operator scale: the build side may be arbitrarily
@@ -334,35 +354,36 @@ object Sketches {
     * (a few KB), always broadcastable. */
   def bloomBuild(build: DataFrame, keyCol: Column,
                  bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame =
-    build.select(explode(array((0 until hashes).map(i =>
-      md5Hash60(concat(lit(s"bloom$i|"), keyCol.cast("string"))) % bits): _*))
-      .as("pos")).distinct()
+    build.select(bloomDigest(keyCol).as("__bloom_md5"))
+      .select(explode(array(
+          bloomSlices(col("__bloom_md5"), bits, hashes): _*))
+        .as("pos")).distinct()
 
   /** Probe: marks each row of `probe` with `bloom_pass` — true iff ALL k
     * bit positions of `keyCol` are set in `filter` (no false negatives,
-    * by construction). One broadcast LEFT join per hash function against
-    * the ≤ m-row position set: no shuffle of the probe side, no row
-    * explosion, and the joins stay inside whole-stage codegen.
+    * by construction). The ≤ m-row position set is evaluated ONCE —
+    * collected into a dense m-slot boolean literal — and the probe is a
+    * PURE PROJECTION: one md5 + k element_at per row, zero joins, zero
+    * shuffles of the probe side. (The earlier formulation probed via k
+    * broadcast left joins against the un-materialized build frame; each
+    * join re-ran the whole build DAG — countMinProbe's round-8 defect,
+    * same fix.)
     *
-    * NULL-key semantics: a NULL `keyCol` hashes to NULL, misses every
-    * join, and reads `bloom_pass = false` — consistent with bloomBuild,
-    * which never sets bits for NULL keys (md5 of NULL is NULL), so the
-    * no-false-negatives law holds over the non-null domain. Filter NULLs
-    * beforehand if they need pass-through. */
+    * NULL-key semantics: a NULL `keyCol` hashes to NULL, indexes to a
+    * NULL bit, and reads `bloom_pass = false` — consistent with
+    * bloomBuild, which never sets bits for NULL keys (md5 of NULL is
+    * NULL), so the no-false-negatives law holds over the non-null
+    * domain. Filter NULLs beforehand if they need pass-through. */
   def bloomProbe(probe: DataFrame, keyCol: Column, filter: DataFrame,
                  bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame = {
-    val marked = (0 until hashes).foldLeft(probe) { (df, i) =>
-      val f = broadcast(filter.select(col("pos").as(s"__bloom_p$i"),
-        lit(true).as(s"__bloom_hit$i")))
-      df.join(f,
-        md5Hash60(concat(lit(s"bloom$i|"), keyCol.cast("string"))) % bits
-          === col(s"__bloom_p$i"), "left")
-        .drop(s"__bloom_p$i")
-    }
-    val pass = (0 until hashes).map(i => col(s"__bloom_hit$i").isNotNull)
+    val dense = Array.fill(bits)(false)
+    filter.select(col("pos").cast("int")).collect()
+      .foreach(r => dense(r.getInt(0)) = true)
+    val litBits = typedLit(dense.toSeq)
+    val pass = bloomSlices(bloomDigest(keyCol), bits, hashes)
+      .map(p => element_at(litBits, p.cast("int") + 1))
       .reduce(_ && _)
-    marked.withColumn("bloom_pass", pass)
-      .drop((0 until hashes).map(i => s"__bloom_hit$i"): _*)
+    probe.withColumn("bloom_pass", coalesce(pass, lit(false)))
   }
 
   // --------------------------------------------- histogram quantiles

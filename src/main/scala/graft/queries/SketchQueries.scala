@@ -162,17 +162,19 @@ object SketchQueries {
 
   val q65Sql: String = {
     val m = Sketches.BloomBits
+    // hash i reads hex digits [8i+1, 8i+8] of ONE md5 per key — must
+    // mirror Sketches.bloomSlices digit-for-digit
     s"""WITH build AS (
        |  SELECT p_partkey FROM part WHERE p_size >= 45),
        |pos AS (
        |  SELECT DISTINCT
-       |    CAST(('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || '|'
-       |      || CAST(p_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % $m AS pos
+       |    CAST(('0x' || substr(md5('bloom|' || CAST(p_partkey AS VARCHAR)),
+       |      1 + 8 * i, 8)) AS BIGINT) % $m AS pos
        |  FROM build, range(0, ${Sketches.BloomHashes}) t(i)),
        |ph AS (
        |  SELECT l_partkey,
        |${(0 until Sketches.BloomHashes).map(i =>
-        s"    CAST(('0x' || substr(md5('bloom$i|' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % $m AS pp$i")
+        s"    CAST(('0x' || substr(md5('bloom|' || CAST(l_partkey AS VARCHAR)), ${8 * i + 1}, 8)) AS BIGINT) % $m AS pp$i")
         .mkString("", ",\n", "")}
        |  FROM lineitem),
        |f AS (

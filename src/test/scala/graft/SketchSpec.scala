@@ -48,14 +48,17 @@ class SketchSpec extends SparkSpec {
     assert(fp.toDouble / misses.count() < 0.05, s"fp=$fp")
   }
 
-  test("bloom probe plan broadcasts and adds no shuffle") {
+  test("bloom probe is a pure projection: no joins, no shuffle") {
+    // Same contract as the count-min probe: the <= m-row position set
+    // is collected once into a dense boolean literal, so the probe
+    // plan must contain no join and no exchange at all.
     val build = spark.range(100).select(col("id").as("k"))
     val probe = spark.range(1000).select(col("id").as("k"))
     val plan = Sketches.bloomProbe(probe, col("k"),
       Sketches.bloomBuild(build, col("k")))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"))
-    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Join"), s"bloom probe plan joins:\n$plan")
+    assert(!plan.contains("Exchange"), s"bloom probe plan shuffles:\n$plan")
   }
 
   test("q57 chunks reassemble to the original token stream") {
