@@ -951,8 +951,124 @@ object TextQueries {
       |  CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
       |FROM g ORDER BY token, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Bigram collocation extraction by pointwise mutual information —
+    * the classic corpus-statistics pass a pretraining pipeline runs to
+    * find multiword units worth protecting from tokenization (Church &
+    * Hanks 1990, "Word association norms, mutual information, and
+    * lexicography", public). pmi(a,b) = ln(p(ab) / (p(a)p(b))) with
+    * p(ab) = c_ab/N_bi over adjacent pairs and p(x) = c_x/N_uni over
+    * tokens; a min-count floor (5) suppresses the low-count PMI
+    * explosion. Scale shape: two map-side-combined groupBys (bigrams,
+    * unigrams) + two broadcast-sized scalar totals + one join of the
+    * bigram census against two unigram frames on their tokens — every
+    * shuffle is key-partitioned counts, nothing quadratic. Determinism:
+    * counts are exact integers, ONE double expression in a pinned
+    * association order on both engines, and round(…,4) absorbs the
+    * ≤1-ulp libm `ln` divergence (q49's discipline); ties order by
+    * bigram text. */
+  val PmiMinCount = 5L
+
+  def q89BigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(col("doc_id"), toks.as("l"))
+    val uni = tok.select(explode(col("l")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val big = tok.select(explode(expr(
+        "zip_with(slice(l, 1, greatest(size(l) - 1, 0)), " +
+          "slice(l, 2, greatest(size(l) - 1, 0)), " +
+          "(a, b) -> concat(a, ' ', b))")).as("bigram"),
+        expr("null").as("_"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= PmiMinCount)
+    val nUni = uni.agg(sum("c").as("n_uni"))
+    val nBig = tok.select(
+        sum(greatest(size(col("l")) - 1, lit(0))).as("n_bi"))
+    val withParts = big
+      .withColumn("tok_a", expr("split_part(bigram, ' ', 1)"))
+      .withColumn("tok_b", expr("split_part(bigram, ' ', 2)"))
+      .join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+    // ((c_ab * n_uni) * n_uni) / (((n_bi * c_a) * c_b)) — the EXACT
+    // association order the oracle repeats, so the double is
+    // bit-identical before the ln
+    withParts
+      .withColumn("pmi", round(log(
+        ((col("c_ab").cast("double") * col("n_uni")) * col("n_uni")) /
+          ((col("n_bi").cast("double") * col("c_a")) * col("c_b"))), 4))
+      .select(col("bigram"), col("c_ab"), col("pmi"))
+      .orderBy(desc("pmi"), col("bigram"))
+      .limit(50)
+  }
+
+  val q89Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |uni AS (
+       |  SELECT tok, count(*) AS c
+       |  FROM (SELECT unnest(l) AS tok FROM t) GROUP BY 1),
+       |big AS (
+       |  SELECT bigram, count(*) AS c_ab FROM (
+       |    SELECT unnest(list_transform(range(1, greatest(len(l), 1)),
+       |      i -> l[i] || ' ' || l[i + 1])) AS bigram
+       |    FROM t)
+       |  GROUP BY 1 HAVING count(*) >= $PmiMinCount),
+       |nu AS (SELECT sum(c) AS n_uni FROM uni),
+       |nb AS (SELECT sum(greatest(len(l) - 1, 0)) AS n_bi FROM t)
+       |SELECT bigram, c_ab,
+       |  round(ln(((CAST(c_ab AS DOUBLE) * n_uni) * n_uni) /
+       |    ((CAST(n_bi AS DOUBLE) * ca.c) * cb.c)), 4) AS pmi
+       |FROM big, nu, nb
+       |JOIN uni ca ON ca.tok = split_part(bigram, ' ', 1)
+       |JOIN uni cb ON cb.tok = split_part(bigram, ' ', 2)
+       |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  /** Repeated-n-gram boilerplate score per document — the C4/Gopher-
+    * family quality signal (Raffel et al. 2020; Rae et al. 2021,
+    * public): the fraction of a doc's trigram OCCURRENCES that are
+    * duplicates of an earlier trigram in the same doc. Pure per-row
+    * projection (trigram render, array_distinct, two sizes — no
+    * explode, no shuffle at all before the output sort): the narrow
+    * single-pass shape that runs at any corpus size. dup_ratio is one
+    * integer-exact division rounded to 4dp. */
+  def q90BoilerplateNgram(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("l"))
+      .withColumn("tri", expr(
+        "if(size(l) < 3, array(), transform(sequence(1, size(l) - 2), " +
+          "i -> concat(element_at(l, i), ' ', element_at(l, i + 1), ' ', " +
+          "element_at(l, i + 2))))"))
+      .select(col("doc_id"), size(col("tri")).cast("long").as("n_tri"),
+        (size(col("tri")) - size(array_distinct(col("tri"))))
+          .cast("long").as("n_dup"))
+      .withColumn("dup_ratio",
+        when(col("n_tri") > 0,
+          round(col("n_dup").cast("double") / col("n_tri"), 4))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+
+  val q90Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(l) < 3 THEN [] ELSE
+      |      list_transform(range(1, len(l) - 1),
+      |        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]) END AS tri
+      |  FROM t)
+      |SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_tri,
+      |  CAST(len(tri) - len(list_distinct(tri)) AS BIGINT) AS n_dup,
+      |  CASE WHEN len(tri) > 0 THEN
+      |    round(CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+      |      / len(tri), 4)
+      |  ELSE 0.0 END AS dup_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_inverted_index"  -> (q88InvertedIndex _),
+    "q89_bigram_pmi"      -> (q89BigramPmi _),
+    "q90_boilerplate_ngram" -> (q90BoilerplateNgram _),
     "q75_bigram_lm"       -> (q75BigramLm _),
     "q20_token_stats"     -> (q20TokenStats _),
     "q21_vocab_df"        -> (q21VocabDf _),
@@ -1002,6 +1118,8 @@ object TextQueries {
     "q75_bigram_lm"       -> q75Sql,
     "q82_setsim_join"     -> q82Sql,
     "q70_bm25_topk"       -> q70Sql,
-    "q88_inverted_index"  -> q88Sql
+    "q88_inverted_index"  -> q88Sql,
+    "q89_bigram_pmi"      -> q89Sql,
+    "q90_boilerplate_ngram" -> q90Sql
   )
 }
