@@ -1065,10 +1065,99 @@ object TextQueries {
       |  ELSE 0.0 END AS dup_ratio
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Vocabulary-budget OOV analysis: fix a top-K token vocabulary
+    * (count desc, token asc — a total order both engines reproduce) and
+    * report each document's out-of-vocabulary rate under that budget —
+    * the measurement behind every tokenizer-vocab-size decision. Scale
+    * shape: one map-side-combined token census, a K-row vocabulary
+    * frame (broadcast — the vocabulary is bounded by the BUDGET, not
+    * the corpus), a broadcast membership join on the token stream, and
+    * a per-doc aggregation; no shuffle grows with corpus size except
+    * the doc-keyed rollup. oov_ratio is one integer-exact division
+    * rounded to 4dp. */
+  val VocabBudget = 25
+
+  def q91VocabOov(spark: SparkSession, dir: String,
+                  budget: Int = VocabBudget): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("token")).limit(budget)
+      .select(col("token"), lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast("double") / col("n_tok"), 4))
+      .orderBy("doc_id")
+  }
+
+  val q91Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |v AS (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS c FROM t GROUP BY 1)
+       |  ORDER BY c DESC, token LIMIT $VocabBudget)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_oov,
+       |  round(CAST(sum(CASE WHEN token IN (SELECT token FROM v)
+       |      THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 4) AS oov_ratio
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** N-gram novelty curve: for each document (in doc_id order), the
+    * fraction of its DISTINCT bigrams whose global first occurrence is
+    * this document — the dataset-growth/diversity diagnostic that tells
+    * a crawl pipeline when additional data stops contributing new
+    * constructions. First occurrence = min(doc_id) per bigram: one
+    * map-side-combined groupBy over the exploded distinct bigrams and a
+    * join back on the bigram — no ordered scan, no window over the
+    * whole corpus, so the computation is order-free and shuffle-bounded
+    * by the distinct-bigram census. */
+  def q92NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val big = docs(spark, dir)
+      .select(col("doc_id"), toks.as("l"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(zip_with(slice(l, 1, greatest(size(l) - 1, 0)), " +
+          "slice(l, 2, greatest(size(l) - 1, 0)), " +
+          "(a, b) -> concat(a, ' ', b)))")).as("bigram"))
+    val first = big.groupBy("bigram").agg(min("doc_id").as("first_doc"))
+    big.join(first, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ratio",
+        round(col("n_novel").cast("double") / col("n_bigrams"), 4))
+      .orderBy("doc_id")
+  }
+
+  val q92Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(l), 1)), i -> l[i] || ' ' || l[i + 1])))
+      |    AS bigram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |f AS (SELECT bigram, min(doc_id) AS first_doc FROM b GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 4) AS novelty_ratio
+      |FROM b JOIN f USING (bigram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_inverted_index"  -> (q88InvertedIndex _),
     "q89_bigram_pmi"      -> (q89BigramPmi _),
     "q90_boilerplate_ngram" -> (q90BoilerplateNgram _),
+    "q91_vocab_oov"       -> ((s: SparkSession, d: String) => q91VocabOov(s, d)),
+    "q92_ngram_novelty"   -> (q92NgramNovelty _),
     "q75_bigram_lm"       -> (q75BigramLm _),
     "q20_token_stats"     -> (q20TokenStats _),
     "q21_vocab_df"        -> (q21VocabDf _),
@@ -1120,6 +1209,8 @@ object TextQueries {
     "q70_bm25_topk"       -> q70Sql,
     "q88_inverted_index"  -> q88Sql,
     "q89_bigram_pmi"      -> q89Sql,
-    "q90_boilerplate_ngram" -> q90Sql
+    "q90_boilerplate_ngram" -> q90Sql,
+    "q91_vocab_oov"       -> q91Sql,
+    "q92_ngram_novelty"   -> q92Sql
   )
 }

@@ -38,6 +38,33 @@ class CorpusStatsSpec extends SparkSpec {
       (3L, 8L, 6L, 0.75)))
   }
 
+  test("q91: OOV ratios under a 2-token budget match paper arithmetic") {
+    // Census: a=8, b=7, x=5, c=1 → top-2 vocabulary {a, b}.
+    // doc0 "a b a b" → 0/4; doc1 "a c" → 1/2; doc2 "x×5" → 5/5;
+    // doc3 (a b alternating ×10) → 0/10.
+    val got = TextQueries.q91VocabOov(spark, dir, budget = 2)
+      .select("doc_id", "n_tok", "n_oov", "oov_ratio")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, 0L, 0.0),
+      (1L, 2L, 1L, 0.5),
+      (2L, 5L, 5L, 1.0),
+      (3L, 10L, 0L, 0.0)))
+  }
+
+  test("q92: first-occurrence novelty matches paper arithmetic") {
+    // Distinct bigrams: doc0 {a b, b a} (both globally first here),
+    // doc1 {a c} first, doc2 {x x} first, doc3 {a b, b a} seen in doc0.
+    val got = TextQueries.q92NgramNovelty(spark, dir)
+      .select("doc_id", "n_bigrams", "n_novel", "novelty_ratio")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 1.0),
+      (1L, 1L, 1L, 1.0),
+      (2L, 1L, 1L, 1.0),
+      (3L, 2L, 0L, 0.0)))
+  }
+
   test("q89: PMI value and floor match paper arithmetic") {
     val got = TextQueries.q89BigramPmi(spark, dir)
       .as[(String, Long, Double)].collect().toSeq
