@@ -45,19 +45,22 @@ object Graph {
         .join(labels.select(col("node").as("dst"),
           col("component").as("dst_comp")), "dst")
         .groupBy("src").agg(min("dst_comp").as("nbr_min"))
+      // the convergence signal rides along in the checkpointed frame
+      // (changed ⟺ a neighbor label undercuts the node's own), so each
+      // round costs ONE materializing job; the isEmpty below scans the
+      // checkpoint blocks instead of re-running a join (was a second
+      // full join job per round)
       val next = labels
         .join(nbrMin.withColumnRenamed("src", "node"), "node")
         .select(col("node"),
-          least(col("component"), col("nbr_min")).as("component"))
+          least(col("component"), col("nbr_min")).as("component"),
+          (col("nbr_min") < col("component")).as("changed"))
         .localCheckpoint()
       // checked EVERY round (unlike canonicalize's fixed-iteration
       // heuristic): the result is only the true component labeling at
       // the fixpoint, so an unconverged exit must fail loudly
-      converged = next
-        .join(labels.withColumnRenamed("component", "prev"), "node")
-        .filter(col("component") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       round += 1
     }
     require(converged,
