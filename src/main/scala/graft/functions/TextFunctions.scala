@@ -104,6 +104,13 @@ object TextFunctions {
     * both engines can compute bit-identically (15 hex chars < 2^63).
     * Used for MinHash and SimHash so signatures are oracle-checkable. */
   def md5Hash60(c: Column): Column =
+    graft.plans.Md5Hash60Expr.column(c.cast("string"))
+
+  /** The composed-SQL form of [[md5Hash60]] — what every oracle states,
+    * and what the native expression must stay bit-identical to
+    * (VectorExpressionSpec pins the parity on random/unicode/empty
+    * inputs). */
+  def md5Hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** 32-bit base hash (low 32 bits of the md5 slice). Universal-hash

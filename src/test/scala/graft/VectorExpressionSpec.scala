@@ -122,6 +122,40 @@ class VectorExpressionSpec extends SparkSpec {
     }
   }
 
+  test("Md5Hash60Expr == composed conv(substring(md5)) form, all input shapes") {
+    import graft.functions.TextFunctions.{md5Hash60, md5Hash60Composed}
+    // random ASCII, unicode, empty, long, and null inputs — the native
+    // byte-path kernel must equal the hex-string-parsing composed form
+    // (which is also what every DuckDB oracle states) bit-for-bit
+    val rows = (0 until 2000).map { i =>
+      if (i % 97 == 0) null
+      else if (i % 31 == 0) s"übergrößé-∆-$i-" + ("x" * (i % 257))
+      else if (i % 13 == 0) ""
+      else s"key-$i-${i * 2654435761L}"
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val mismatches = df
+      .select(md5Hash60(col("s")).as("native"),
+        md5Hash60Composed(col("s")).as("composed"))
+      .filter(!(col("native") <=> col("composed")))
+      .count()
+    assert(mismatches == 0)
+    // interpreted path (codegen off) agrees too
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val m2 = df
+        .select(md5Hash60(col("s")).as("native"),
+          md5Hash60Composed(col("s")).as("composed"))
+        .filter(!(col("native") <=> col("composed")))
+        .count()
+      assert(m2 == 0)
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
