@@ -248,34 +248,29 @@ object Sketches {
     * dominant per-row cost of both build and probe by d×; the slices
     * stay disjoint so the rows behave as independent hash functions,
     * and the recipe remains one-line-expressible in the DuckDB oracle. */
-  private def cmDigest(valueCol: Column): Column =
-    md5(concat(lit("cm|"), valueCol.cast("string")))
-
-  private def cmSlices(digest: Column, depth: Int, width: Int): Seq[Column] = {
+  /** All depth hash positions of one value as ONE native array<long>
+    * expression (graft.plans.Md5SlicesExpr): one md5, byte-sliced
+    * positions, no hex-string materialization, no conv parse — and
+    * because the whole recipe is a single expression, the build's
+    * posexplode evaluates it exactly once per row (the earlier
+    * hex-slice form needed a separate digest projection below the
+    * Generate to dodge depth× recomputation). Bit-parity with the
+    * oracle's `('0x' || substr(md5(…), 8r+1, 8))::BIGINT % w` is
+    * pinned in VectorExpressionSpec. */
+  private def cmHashArray(valueCol: Column, depth: Int, width: Int): Column = {
     require(depth * 8 <= 32, s"cm depth $depth exceeds the 32 hex digits of md5")
-    (0 until depth).map(r =>
-      conv(substring(digest, r * 8 + 1, 8), 16, 10).cast("long") % width)
+    graft.plans.Md5SlicesExpr.column(
+      concat(lit("cm|"), valueCol.cast("string")), depth, width)
   }
-
-  private def cmHashes(valueCol: Column, depth: Int, width: Int): Seq[Column] =
-    cmSlices(cmDigest(valueCol), depth, width)
 
   /** Build the sketch: one row per NON-ZERO (row, col) counter —
     * ≤ d·w rows regardless of input size, after a map-side-combined
     * shuffle of (row, col, partial count). The batch twin of the
     * streaming update loop; mergeable across any data split by plain
-    * addition, which is what makes it the 100 TB frequency census.
-    *
-    * The digest is materialized in its own projection BELOW the
-    * posexplode: generator expressions sit outside whole-stage codegen's
-    * common-subexpression elimination, so an md5 written inline in the
-    * explode array would be recomputed depth× per row (measured 3× the
-    * build's scan cost at sf0.1). */
+    * addition, which is what makes it the 100 TB frequency census. */
   def countMinBuild(df: DataFrame, valueCol: Column,
                     depth: Int = CmDepth, width: Int = CmWidth): DataFrame =
-    df.select(cmDigest(valueCol).as("__cm_md5"))
-      .select(posexplode(array(
-          cmSlices(col("__cm_md5"), depth, width): _*))
+    df.select(posexplode(cmHashArray(valueCol, depth, width))
         .as(Seq("row", "col")))
       .groupBy("row", "col").agg(count(lit(1)).as("c"))
 
@@ -320,12 +315,17 @@ object Sketches {
 
   /** Point-estimate expression against a [[countMinLiteral]]: min over
     * the d counters the key hashes to — a pure projection usable in
-    * filters and post-aggregation annotations alike. */
+    * filters and post-aggregation annotations alike. The repeated
+    * hash-array subexpression is deduplicated by codegen CSE (it is
+    * one deterministic expression). */
   def countMinEstimate(litSketch: Column, keyCol: Column,
-                       depth: Int = CmDepth, width: Int = CmWidth): Column =
-    coalesce(least(cmHashes(keyCol, depth, width).zipWithIndex.map {
-      case (h, r) => element_at(element_at(litSketch, r + 1), h.cast("int") + 1)
+                       depth: Int = CmDepth, width: Int = CmWidth): Column = {
+    val hashes = cmHashArray(keyCol, depth, width)
+    coalesce(least((0 until depth).map { r =>
+      element_at(element_at(litSketch, r + 1),
+        element_at(hashes, r + 1).cast("int") + 1)
     }: _*), lit(0L))
+  }
 
   /** Bloom-filter geometry: m bits, k hash functions. k=3 and m=4096
     * give a false-positive rate ≈ (1−e^{−kn/m})^k ≈ 0.1% at n=500 keys;
@@ -333,18 +333,14 @@ object Sketches {
   val BloomBits = 4096
   val BloomHashes = 3
 
-  /** The k bloom bit positions all derive from ONE md5 per key —
-    * same Kirsch–Mitzenmacher-style slicing as [[cmHashes]], same
-    * oracle-expressible recipe. Digest materialized below the explode
-    * in [[bloomBuild]] for the same generator-CSE reason. */
-  private def bloomDigest(keyCol: Column): Column =
-    md5(concat(lit("bloom|"), keyCol.cast("string")))
-
-  private def bloomSlices(digest: Column, bits: Int, hashes: Int): Seq[Column] = {
+  /** The k bloom bit positions all derive from ONE md5 per key — same
+    * native single-digest kernel as [[cmHashArray]], same
+    * oracle-expressible recipe. */
+  private def bloomHashArray(keyCol: Column, bits: Int, hashes: Int): Column = {
     require(hashes * 8 <= 32,
       s"bloom hashes $hashes exceeds the 32 hex digits of md5")
-    (0 until hashes).map(i =>
-      conv(substring(digest, i * 8 + 1, 8), 16, 10).cast("long") % bits)
+    graft.plans.Md5SlicesExpr.column(
+      concat(lit("bloom|"), keyCol.cast("string")), hashes, bits)
   }
 
   /** The filter itself: the DISTINCT set bit positions of `keyCol` over
@@ -354,10 +350,8 @@ object Sketches {
     * (a few KB), always broadcastable. */
   def bloomBuild(build: DataFrame, keyCol: Column,
                  bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame =
-    build.select(bloomDigest(keyCol).as("__bloom_md5"))
-      .select(explode(array(
-          bloomSlices(col("__bloom_md5"), bits, hashes): _*))
-        .as("pos")).distinct()
+    build.select(explode(bloomHashArray(keyCol, bits, hashes)).as("pos"))
+      .distinct()
 
   /** Probe: marks each row of `probe` with `bloom_pass` — true iff ALL k
     * bit positions of `keyCol` are set in `filter` (no false negatives,
@@ -380,8 +374,9 @@ object Sketches {
     filter.select(col("pos").cast("int")).collect()
       .foreach(r => dense(r.getInt(0)) = true)
     val litBits = typedLit(dense.toSeq)
-    val pass = bloomSlices(bloomDigest(keyCol), bits, hashes)
-      .map(p => element_at(litBits, p.cast("int") + 1))
+    val hashArr = bloomHashArray(keyCol, bits, hashes)
+    val pass = (0 until hashes)
+      .map(i => element_at(litBits, element_at(hashArr, i + 1).cast("int") + 1))
       .reduce(_ && _)
     probe.withColumn("bloom_pass", coalesce(pass, lit(false)))
   }

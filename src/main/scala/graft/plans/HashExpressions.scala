@@ -56,7 +56,7 @@ object Md5Hash60Expr {
 
   /** Per-thread digest instance — MessageDigest is stateful and not
     * thread-safe; `digest(bytes)` resets it after each computation. */
-  private val digests: ThreadLocal[MessageDigest] =
+  private[plans] val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   /** Value of the first 15 hex characters of md5(bytes), base 16 —
@@ -76,4 +76,68 @@ object Md5Hash60Expr {
   /** Column-API entry point. */
   def column(c: Column): Column =
     GraftSqlBridge.column(Md5Hash60Expr(GraftSqlBridge.expression(c)))
+}
+
+/** All `depth` sketch hash positions of one key from ONE md5 digest —
+  * the native form of the CMS/bloom slice recipe: position r is hex
+  * characters [8r+1, 8r+8] of the digest base-16, i.e. digest bytes
+  * [4r, 4r+4) as an unsigned big-endian int, mod `width` (bit-parity
+  * with `conv(substring(md5(c), 8r+1, 8), 16, 10) % width` pinned in
+  * VectorExpressionSpec). The composed form materialized the 32-char
+  * hex string and ran `conv`'s base-conversion parse depth× per row;
+  * this kernel hashes once and slices bytes, inside whole-stage
+  * codegen, returning `array<long>` for posexplode (build side) or
+  * element_at (probe side). */
+case class Md5SlicesExpr(child: Expression, depth: Int, width: Int)
+  extends UnaryExpression {
+
+  require(depth >= 1 && depth * 4 <= 16,
+    s"md5_slices depth $depth exceeds the 16 bytes of md5")
+  require(width > 0, "md5_slices width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $t")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override def prettyName: String = "md5_slices"
+
+  override protected def nullSafeEval(s: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Md5SlicesExpr.slices(s.asInstanceOf[UTF8String].getBytes, depth, width))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.Md5SlicesExpr.slices($c.getBytes(), $depth, $width))")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SlicesExpr =
+    copy(child = newChild)
+}
+
+object Md5SlicesExpr {
+
+  def slices(bytes: Array[Byte], depth: Int, width: Int): Array[Long] = {
+    val d = Md5Hash60Expr.digests.get().digest(bytes)
+    val out = new Array[Long](depth)
+    var r = 0
+    while (r < depth) {
+      val v = ((d(4 * r) & 0xffL) << 24) | ((d(4 * r + 1) & 0xffL) << 16) |
+        ((d(4 * r + 2) & 0xffL) << 8) | (d(4 * r + 3) & 0xffL)
+      out(r) = v % width
+      r += 1
+    }
+    out
+  }
+
+  /** Column-API entry point. */
+  def column(c: Column, depth: Int, width: Int): Column =
+    GraftSqlBridge.column(
+      Md5SlicesExpr(GraftSqlBridge.expression(c), depth, width))
 }

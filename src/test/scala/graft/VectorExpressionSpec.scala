@@ -156,6 +156,23 @@ class VectorExpressionSpec extends SparkSpec {
     }
   }
 
+  test("Md5SlicesExpr == composed hex-slice form per position") {
+    // position r must equal conv(substring(md5(c), 8r+1, 8), 16, 10) % w
+    // — the recipe every CMS/bloom oracle states in SQL
+    val df = spark.range(3000)
+      .select(concat(lit("cm|k"), col("id").cast("string")).as("s"))
+    val w = 1024
+    val arr = graft.plans.Md5SlicesExpr.column(col("s"), 4, w)
+    val checks = (0 until 4).map { r =>
+      (element_at(arr, r + 1) ===
+        conv(substring(md5(col("s")), r * 8 + 1, 8), 16, 10).cast("long") % w)
+        .as(s"ok$r")
+    }
+    val bad = df.select(checks: _*)
+      .filter((0 until 4).map(r => !col(s"ok$r")).reduce(_ || _)).count()
+    assert(bad == 0)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
