@@ -33,6 +33,33 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("maxDist=3: three-level wildcard nesting still exact vs brute force") {
+    // exercises the recursive variant generator past the catalog's
+    // k=1/2 uses: filter-based inner position ranges, triple flatten,
+    // and the short-key (len < k) length-block path
+    val df = Seq(
+      (1L, "abcdef"), (2L, "abcxyz"), // dist 3
+      (3L, "abcdxy"),                 // dist 2 vs 1, 3 vs 2... brute decides
+      (4L, "ab"), (5L, "xy"),         // len < k: same-length always pairs
+      (6L, "abcdef")                  // dup of 1
+    ).toDF("id", "k")
+    val got = FuzzyJoin.hammingSelfJoin(df, "id", "k", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val a = df.select(col("id").as("id_a"), col("k").as("ka"))
+    val b = df.select(col("id").as("id_b"), col("k").as("kb"))
+    val brute = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") &&
+        length(col("ka")) === length(col("kb")))
+      .withColumn("dist",
+        FuzzyJoin.hammingDist(col("ka"), col("kb")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.contains((4L, 5L, 2L))) // short-key path exercised
+    assert(got.contains((1L, 6L, 0L)))
+  }
+
   test("mixed-length keys never pair; dist is exact") {
     val df = Seq((1L, "abcd"), (2L, "abce"), (3L, "abcde"), (4L, "zbcd"))
       .toDF("id", "k")

@@ -147,6 +147,20 @@ class SketchSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"probe plan shuffles:\n$plan")
   }
 
+  test("empty build sides: cm_count 0 and bloom_pass false everywhere") {
+    // the collected-literal probes must degrade cleanly when the build
+    // frame is empty (all-zero counters / all-false bits), not crash
+    // on the empty collect
+    val empty = spark.range(0).select(col("id").cast("string").as("k"))
+    val probes = spark.range(10).select(col("id").cast("string").as("k"))
+    val cm = Sketches.countMinProbe(probes, col("k"),
+      Sketches.countMinBuild(empty, col("k")))
+    assert(cm.filter(col("cm_count") =!= 0L).isEmpty)
+    val bl = Sketches.bloomProbe(probes, col("k"),
+      Sketches.bloomBuild(empty, col("k")))
+    assert(bl.filter(col("bloom_pass")).isEmpty)
+  }
+
   test("caller columns named like old internals no longer collide") {
     // Before the __hll_ prefixing, grouping by a column named "bucket"
     // or "m" broke the sketch's internal groupBy/coalesce. Now the

@@ -171,6 +171,13 @@ class VectorExpressionSpec extends SparkSpec {
     val bad = df.select(checks: _*)
       .filter((0 until 4).map(r => !col(s"ok$r")).reduce(_ || _)).count()
     assert(bad == 0)
+    // interpreted path agrees too
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val bad2 = df.select(checks: _*)
+        .filter((0 until 4).map(r => !col(s"ok$r")).reduce(_ || _)).count()
+      assert(bad2 == 0)
+    }
   }
 
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
