@@ -351,6 +351,45 @@ object Relational {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Per-user event-type transition matrix — the Markov-chain census
+    * behavior modeling starts from: for consecutive events of the same
+    * user (ts order, event_id tiebreak — q14's exact ordering), count
+    * every (from_type → to_type) pair and its row-normalized
+    * transition probability. Scale shape: ONE lag window on the q14
+    * per-user partitioning, a map-side-combined pair count (output ≤
+    * |event_type|² rows), and a broadcast row-total join — nothing
+    * beyond the per-user shuffle grows with the corpus. p is one
+    * integer-exact division rounded to 4dp (q49's discipline). */
+  def q93EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val pairs = Tables(spark, dir).events
+      .withColumn("from_type", lag("event_type", 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("tot"))
+    counts.join(broadcast(totals), "from_type")
+      .withColumn("p", round(col("n").cast("double") / col("tot"), 4))
+      .select("from_type", "to_type", "n", "p")
+      .orderBy("from_type", "to_type")
+  }
+
+  val q93Sql: String =
+    """WITH pr AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts), event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM pr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+      |SELECT from_type, to_type, n, round(CAST(n AS DOUBLE) / tot, 4) AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** As-of join (operators.AsOfJoin): every purchase event enriched with
     * the user's most recent STRICTLY-prior view event and the gap to it.
@@ -1134,6 +1173,7 @@ object Relational {
     "q12_group_having"        -> (q12GroupHaving _),
     "q13_hourly_rollup"       -> (q13HourlyRollup _),
     "q14_sessionize"          -> (q14Sessionize _),
+    "q93_event_transitions"   -> (q93EventTransitions _),
     "q55_asof_join"           -> (q55AsofJoin _),
     "q56_range_join"          -> (q56RangeJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
@@ -1162,6 +1202,7 @@ object Relational {
     "q12_group_having"        -> q12Sql,
     "q13_hourly_rollup"       -> q13Sql,
     "q14_sessionize"          -> q14Sql,
+    "q93_event_transitions"   -> q93Sql,
     "q55_asof_join"           -> q55Sql,
     "q56_range_join"          -> q56Sql,
     "q15_json_extract"        -> q15Sql,
