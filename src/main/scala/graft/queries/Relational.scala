@@ -390,6 +390,35 @@ object Relational {
       |FROM c JOIN t USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** Retention cohort matrix — the product-analytics staple: users
+    * grouped by first-active day (cohort), activity counted per
+    * (cohort, day-offset) cell as DISTINCT active users. Scale shape:
+    * the cohort dimension is SELF-DERIVED by one map-side-combined
+    * min per user, joined back on user_id (co-partitioned with the
+    * event shuffle), then an exact count-distinct whose shuffle
+    * carries (cohort, offset, user) — bounded by active users × their
+    * active days, not raw events. Day arithmetic is integer epoch-day
+    * division on ts_ns, identical in both engines. */
+  def q94RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q94Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** As-of join (operators.AsOfJoin): every purchase event enriched with
     * the user's most recent STRICTLY-prior view event and the gap to it.
@@ -1174,6 +1203,7 @@ object Relational {
     "q13_hourly_rollup"       -> (q13HourlyRollup _),
     "q14_sessionize"          -> (q14Sessionize _),
     "q93_event_transitions"   -> (q93EventTransitions _),
+    "q94_retention_cohorts"   -> (q94RetentionCohorts _),
     "q55_asof_join"           -> (q55AsofJoin _),
     "q56_range_join"          -> (q56RangeJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
@@ -1203,6 +1233,7 @@ object Relational {
     "q13_hourly_rollup"       -> q13Sql,
     "q14_sessionize"          -> q14Sql,
     "q93_event_transitions"   -> q93Sql,
+    "q94_retention_cohorts"   -> q94Sql,
     "q55_asof_join"           -> q55Sql,
     "q56_range_join"          -> q56Sql,
     "q15_json_extract"        -> q15Sql,
