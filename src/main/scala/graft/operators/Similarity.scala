@@ -211,16 +211,68 @@ object Similarity {
     * tiny query relation; centroid math never leaves the scan's
     * projection.
     */
+  /** Deterministic coarse-cell assignment: every corpus vector mapped to
+    * its argmax spherical-score cell against the md5-derived codebook
+    * (first index on score ties → lowest cell). One narrow pass — the
+    * centroids are plan literals, so assignment never leaves the scan's
+    * projection. Returns (vec_id, emb, nrm, cell); shared by
+    * [[ivfKnnDeterministic]] and [[semDedup]]. */
+  def assignCellsDeterministic(corpus: DataFrame, numCells: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val scores =
+      array((0 until numCells).map(cc => cellScore(col("emb"), cc, dim)): _*)
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+      .withColumn("scores", scores)
+      .withColumn("cell",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .drop("scores")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", public): semantic
+    * near-duplicate pruning by clustering embeddings and comparing pairs
+    * only WITHIN a cluster. Cells come from the deterministic md5
+    * codebook ([[assignCellsDeterministic]]) so the whole decision — cell
+    * argmax, pairwise cosine, threshold — is oracle-expressible. The
+    * keep rule is the standard greedy one: a vector is dropped iff some
+    * LOWER-id vector in its cell has cosine ≥ tau with it; `dup_of` is
+    * the smallest such id (greedy, not transitive-closure: the kept
+    * representative of a chain may itself point at a smaller neighbor).
+    *
+    * 100 TB shape: one narrow assignment pass, one shuffle on `cell`,
+    * and a within-cell pair comparison whose cost is Σ|cell|²/2 — bounded
+    * by making numCells PROPORTIONAL to corpus size (SemDeDup deploys
+    * ~100k clusters at web scale), never all-pairs. Output is one row
+    * per vector: (vec_id, cell, kept, dup_of with -1 sentinel for kept).
+    */
+  def semDedup(corpus: DataFrame, tau: Double, numCells: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val a = assignCellsDeterministic(corpus, numCells, dim)
+    val lo = a.select(col("cell"), col("vec_id").as("lo_id"),
+      col("emb").as("lo_emb"), col("nrm").as("lo_nrm"))
+    val hi = a.select(col("cell"), col("vec_id").as("hi_id"),
+      col("emb").as("hi_emb"), col("nrm").as("hi_nrm"))
+    val dropped = hi.join(lo, Seq("cell"))
+      .filter(col("lo_id") < col("hi_id"))
+      .withColumn("cos_sim",
+        dot(col("lo_emb"), col("hi_emb")) / (col("lo_nrm") * col("hi_nrm")))
+      .filter(col("cos_sim") >= lit(tau))
+      .groupBy(col("hi_id").as("vec_id"))
+      .agg(min("lo_id").as("dup_of"))
+    a.select(col("vec_id"), col("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("dup_of").isNull.as("kept"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
   def ivfKnnDeterministic(corpus: DataFrame, queries: DataFrame, k: Int,
       numCells: Int = 8, nprobe: Int = 2, dim: Int = 64): DataFrame = {
     def scores(emb: Column): Column =
       array((0 until numCells).map(cc => cellScore(emb, cc, dim)): _*)
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", l2Norm(col("emb")))
-      .withColumn("scores", scores(col("emb")))
-      .withColumn("cell",
-        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
-      .drop("scores")
+    val c = assignCellsDeterministic(corpus, numCells, dim)
     // nprobe best cells per query: posexplode the score array, window
     // rank on the query relation only (small side — the corpus never
     // sees this shuffle)

@@ -593,7 +593,58 @@ object SimilarityQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q96
+  /** SemDeDup keep-list (Abbas et al. 2023): semantic near-duplicate
+    * pruning — deterministic md5-codebook cells, within-cell pairwise
+    * cosine, drop a vector iff a lower-id cell-mate scores ≥ tau
+    * (dup_of = the smallest such id; -1 sentinel when kept). tau=0.30
+    * against this corpus's near-orthogonal embeddings (max pairwise
+    * cosine ≈ 0.51) keeps the decision selective while returning a
+    * non-trivial dropped set. Fully oracle-checked: the DuckDB twin
+    * rebuilds the identical literal-centroid argmax cells and the same
+    * sequential-fold cosines bit-for-bit. */
+  val Q96Tau = 0.30
+
+  def q96SemDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables(spark, dir).embeddings, tau = Q96Tau,
+      numCells = 8)
+
+  val q96Sql: String = {
+    // identical literal-centroid spherical scores to q43b's CTE
+    val scoreList = (0 until 8).map { c =>
+      val cen = (0 until 64)
+        .map(d => s"${Similarity.cellComponentScaled(c, d)}.0/10000.0")
+        .mkString("[", ",", "]")
+      val cnorm = sqlDouble(Similarity.cellNorm(c, 64))
+      s"list_sum(list_transform(range(1, 65), i -> emb[i] * ($cen)[i])) / $cnorm"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+       |    $scoreList AS scores
+       |  FROM e),
+       |a AS (
+       |  SELECT vec_id, emb, nrm,
+       |    CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cell
+       |  FROM n),
+       |d AS (
+       |  SELECT hi.vec_id AS vec_id, min(lo.vec_id) AS dup_of
+       |  FROM a hi JOIN a lo ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+       |  WHERE list_sum(list_transform(range(1, 65), i -> lo.emb[i] * hi.emb[i]))
+       |      / (lo.nrm * hi.nrm) >= ${sqlDouble(Q96Tau)}
+       |  GROUP BY 1)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  d.dup_of IS NULL AS kept,
+       |  coalesce(d.dup_of, -1) AS dup_of
+       |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_semdedup" -> (q96SemDedup _),
     "q44_embed_neardup" -> (q44EmbedNearDup _),
     "q45_dedup_canonical" -> (q45DedupCanonical _),
     "q30_knn_brute"   -> (q30KnnBrute _),
@@ -610,6 +661,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q96_semdedup" -> q96Sql,
     "q45_dedup_canonical" -> q45Sql,
     "q30_knn_brute"   -> q30Sql,
     "q31_embed_norm"  -> q31Sql,

@@ -1152,7 +1152,127 @@ object TextQueries {
       |FROM b JOIN f USING (bigram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- q95/q97 shared
+  /** k-token shingle width for the exact-substring-duplication queries.
+    * Lee et al. use 50 BPE tokens at web scale; on this ~60-token corpus
+    * k=8 exercises the same machinery with a non-trivial duplicate set. */
+  val ShingleDupK = 8
+
+  /** Spark-side k-shingle render over a staged token array `l`: space-
+    * joined k-grams, empty for docs shorter than k (guarded — Spark's
+    * sequence(1, n) with n < 1 would COUNT DOWN). */
+  private def shingleArrayExpr(k: Int): String = {
+    val parts = (0 until k)
+      .map(j => if (j == 0) "element_at(l, i)" else s"element_at(l, i + $j)")
+      .mkString(", ' ', ")
+    s"if(size(l) < $k, array(), transform(sequence(1, size(l) - ${k - 1}), " +
+      s"i -> concat($parts)))"
+  }
+
+  /** DuckDB twin of [[shingleArrayExpr]] with the md5-60bit hash applied
+    * in-list — the exact hash recipe both engines share. */
+  private def shingleHashSqlList(k: Int): String = {
+    val cat = (0 until k)
+      .map(j => if (j == 0) "l[i]" else s"l[i + $j]")
+      .mkString(" || ' ' || ")
+    s"CASE WHEN len(l) < $k THEN [] ELSE list_transform(range(1, len(l) - ${k - 2}), " +
+      s"i -> CAST(('0x' || substr(md5($cat), 1, 15)) AS BIGINT)) END"
+  }
+
+  // ---------------------------------------------------------------- q95
+  /** Exact substring-duplication coverage (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better", public):
+    * per document, the fraction of its k-token shingle OCCURRENCES whose
+    * shingle also appears in at least one OTHER document — the standard
+    * exact-substring dedup filter signal. Shingles travel as 60-bit md5
+    * hashes (8 bytes, never the strings) through both shuffles: the
+    * distinct-(doc,hash) census with map-side combine, the per-hash
+    * doc-frequency aggregate, and the join back — all keyed on the same
+    * hash, so at 100 TB the heavy exchange carries fixed-width keys and
+    * the doc-level rollup is the only doc-keyed stage. */
+  def q95SubstringDup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), toks.as("l"))
+      .select(col("doc_id"),
+        explode(expr(shingleArrayExpr(ShingleDupK))).as("shingle"))
+      .select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
+    val stats = sh.distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+    sh.join(stats, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+  }
+
+  val q95Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(${shingleHashSqlList(ShingleDupK)}) AS h FROM t),
+       |s AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS dup_ratio
+       |FROM g JOIN s USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  /** Cross-source shingle contamination matrix: for every unordered pair
+    * of `source` values sharing at least one k-token shingle, the count
+    * of distinct shared shingle hashes and the Jaccard overlap of the two
+    * sources' shingle sets — the train/test (or crawl-vs-benchmark)
+    * leakage census at source granularity. Scale shape: the per-source
+    * shingle sets are distinct-(source,hash) rows keyed by hash; the
+    * self-join on the hash meets ≤ |sources| rows per key (source count
+    * is bounded, not corpus-sized), and the per-source set sizes are a
+    * tiny broadcast frame. Only pairs with n_shared ≥ 1 appear. */
+  def q97SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("source"), toks.as("l"))
+      .select(col("source"),
+        explode(expr(shingleArrayExpr(ShingleDupK))).as("shingle"))
+      .select(col("source"), md5Hash60(col("shingle")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    sh.select(col("source").as("source_a"), col("h"))
+      .join(sh.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 4))
+      .select("source_a", "source_b", "n_a", "n_b", "n_shared", "jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
+  val q97Sql: String =
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+       |g0 AS (
+       |  SELECT source, unnest(${shingleHashSqlList(ShingleDupK)}) AS h FROM t),
+       |g AS (SELECT DISTINCT source, h FROM g0),
+       |z AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, za.n AS n_a, zb.n AS n_b, n_shared,
+       |  round(CAST(n_shared AS DOUBLE) / (za.n + zb.n - n_shared), 4)
+       |    AS jaccard
+       |FROM p JOIN z za ON za.source = p.source_a
+       |       JOIN z zb ON zb.source = p.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_substring_dup"   -> (q95SubstringDup _),
+    "q97_source_overlap"  -> (q97SourceOverlap _),
     "q88_inverted_index"  -> (q88InvertedIndex _),
     "q89_bigram_pmi"      -> (q89BigramPmi _),
     "q90_boilerplate_ngram" -> (q90BoilerplateNgram _),
@@ -1211,6 +1331,8 @@ object TextQueries {
     "q89_bigram_pmi"      -> q89Sql,
     "q90_boilerplate_ngram" -> q90Sql,
     "q91_vocab_oov"       -> q91Sql,
-    "q92_ngram_novelty"   -> q92Sql
+    "q92_ngram_novelty"   -> q92Sql,
+    "q95_substring_dup"   -> q95Sql,
+    "q97_source_overlap"  -> q97Sql
   )
 }

@@ -81,4 +81,46 @@ class CorpusStatsSpec extends SparkSpec {
       ("a b", 7L, pmi(7, 8, 7)),
       ("b a", 5L, pmi(5, 7, 8))))
   }
+
+  // 8-token-shingle corpus for q95/q97 (ShingleDupK = 8): doc0 and doc1
+  // share their first 8 tokens; doc3 is below the shingle width; doc4
+  // repeats one shingle only WITHIN itself (not cross-doc duplication).
+  private lazy val shingleDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-shingle-spec").toString
+    Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 x1", "en", "s1", 26L),
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8", "en", "s2", 23L),
+      (2L, "a b c d e f g h", "en", "s1", 15L),
+      (3L, "p q r s t u v", "en", "s3", 13L),
+      (4L, "r r r r r r r r r", "en", "s4", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q95: substring-dup coverage matches paper arithmetic") {
+    val got = TextQueries.q95SubstringDup(spark, shingleDir)
+      .select("doc_id", "n_shingles", "n_dup", "dup_ratio")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc0: shingles [w1..w8] (shared with doc1), [w2..x1] → 1/2 dup.
+    // doc1: [w1..w8] → 1/1. doc2: [a..h] unique → 0/1.
+    // doc3: 7 tokens → no shingles → absent from the output.
+    // doc4: [r×8] twice, but only doc4 has it → within-doc repetition
+    // is NOT cross-doc duplication → 0/2.
+    assert(got == Seq(
+      (0L, 2L, 1L, 0.5),
+      (1L, 1L, 1L, 1.0),
+      (2L, 1L, 0L, 0.0),
+      (4L, 2L, 0L, 0.0)))
+  }
+
+  test("q97: cross-source overlap matrix matches paper arithmetic") {
+    val got = TextQueries.q97SourceOverlap(spark, shingleDir)
+      .select("source_a", "source_b", "n_a", "n_b", "n_shared", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // Shingle sets: s1 {w1..w8, w2..x1, a..h} (3), s2 {w1..w8} (1),
+    // s3 {} (doc3 too short), s4 {r×8} (1). Only s1∩s2 = {w1..w8} is
+    // non-empty → one pair, jaccard 1/(3+1-1) = 0.3333.
+    assert(got == Seq(("s1", "s2", 3L, 1L, 1L, 0.3333)))
+  }
 }

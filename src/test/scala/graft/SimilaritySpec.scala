@@ -149,4 +149,44 @@ class SimilaritySpec extends SparkSpec {
     assert(nd.filter(col("cos_sim") < 0.9).count() == 0)
     assert(nd.filter(col("id_a") >= col("id_b")).count() == 0)
   }
+
+  test("semDedup: an exact duplicate is dropped, pointing at the lower id") {
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(99999L).as("vec_id"), col("embedding"), col("label"))
+    val out = Similarity.semDedup(emb.unionByName(dup), tau = 0.999).cache()
+    assert(out.count() == emb.count() + 1)
+    val r = out.filter(col("vec_id") === 99999L).first()
+    assert(!r.getAs[Boolean]("kept"))
+    assert(r.getAs[Long]("dup_of") == 0L)
+    // the original (globally smallest id) is always kept
+    assert(out.filter(col("vec_id") === 0L).first().getAs[Boolean]("kept"))
+  }
+
+  test("semDedup: tau above the corpus max cosine keeps everything") {
+    // this corpus's max pairwise cosine is ~0.48
+    val out = Similarity.semDedup(emb, tau = 0.95)
+    assert(out.filter(!col("kept")).count() == 0)
+    assert(out.filter(col("dup_of") =!= -1L).count() == 0)
+  }
+
+  test("semDedup: cell minima kept; dropped rows point at smaller cell-mates") {
+    val out = Similarity.semDedup(emb, tau = 0.30).cache()
+    val cells = Similarity.assignCellsDeterministic(emb)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    // one row per input vector
+    assert(out.count() == emb.count())
+    // the smallest id in every cell can have no smaller cell-mate
+    val mins = cells.groupBy("cell").agg(min("vec_id").as("mn"))
+    assert(out.join(mins, out("vec_id") === mins("mn"))
+      .filter(!col("kept")).count() == 0)
+    val dropped = out.filter(!col("kept")).cache()
+    // greedy rule: dup_of is strictly smaller and in the SAME cell
+    assert(dropped.filter(col("dup_of") >= col("vec_id")).count() == 0)
+    val cellOf = cells.select(col("vec_id").as("dup_of"),
+      col("cell").as("dup_cell"))
+    assert(dropped.join(cellOf, "dup_of")
+      .filter(col("cell") =!= col("dup_cell")).count() == 0)
+    // tau=0.30 is below this corpus's max cosine: decision is non-trivial
+    assert(dropped.count() > 0)
+  }
 }
