@@ -279,6 +279,16 @@ object ScaleBench {
                     lit(s"_$j"))): _*)).as("toks"))
           graft.operators.SetSimJoin.jaccardSelfJoin(d, "doc_id", "toks", 0.8)
         }),
+        // exact substring-dup coverage (q95's shape): shingles travel
+        // as 60-bit hashes through hash-keyed exchanges; replication
+        // multiplies per-hash doc frequency but every stage stays
+        // linear in input rows
+        "substring_dup" -> (() => TextQueries.q95SubstringDup(spark, dir)),
+        // cross-source shingle contamination (q97's shape): the
+        // distinct (source, hash) census is IDENTICAL at every factor
+        // (copies add no new source-level shingles), so runtime must
+        // track the linear distinct pass while the output stays fixed
+        "source_overlap" -> (() => TextQueries.q97SourceOverlap(spark, dir)),
         // graph kernel on a synthesized per-copy topology (5-node stars
         // + a triangle per 3rd node): component count, ranks, and
         // triangle count all scale linearly; rounds stay CONSTANT —
@@ -328,7 +338,15 @@ object ScaleBench {
         "pq_adc_knn" -> (() => Similarity.pqAdcKnn(emb, queries100, 10, rerank = 50)),
         // IVF+PQ: the cell gate must cut the ADC scan to ~nprobe/numCells
         // of pq_adc_knn's at every factor
-        "knn_ivfpq" -> (() => Similarity.ivfPqKnn(emb, queries100, 10, rerank = 50)))
+        "knn_ivfpq" -> (() => Similarity.ivfPqKnn(emb, queries100, 10, rerank = 50)),
+        // SemDeDup keep-list: numCells grows WITH the corpus (8·factor
+        // keeps per-cell occupancy ~constant, so within-cell pair work
+        // is linear); what remains super-linear is the n·numCells
+        // assignment term, which a production deployment bounds with a
+        // hierarchical coarse quantizer — the row measures exactly that
+        // split
+        "semdedup" -> (() => Similarity.semDedup(emb, tau = 0.30,
+          numCells = 8 * factor)))
       val timed = (ops ++ annOps).filter(p => opSelected(p._1))
         .map { case (name, mk) => name -> time(mk()) }
       val js = timed.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

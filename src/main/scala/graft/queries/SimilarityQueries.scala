@@ -361,8 +361,11 @@ object SimilarityQueries {
         numHashes = 8, bands = 4, shingleK = 3, iterations = 2)
       .orderBy("doc_id")
 
-  val q45Sql: String = {
-    s"""WITH $bandedCtePrefix,
+  /** Shared CTE chain for q45/q99: two unrolled label-propagation rounds
+    * over the banded minhash buckets, ending in per-doc canonical labels
+    * (CTE `labels`). */
+  private val canonLabelCtes: String =
+    s"""$bandedCtePrefix,
       |l0 AS (SELECT DISTINCT doc_id, doc_id AS canonical_id FROM banded),
       |b1 AS (SELECT band, sig, min(canonical_id) AS bucket_min
       |       FROM banded JOIN l0 USING (doc_id) GROUP BY band, sig),
@@ -371,11 +374,15 @@ object SimilarityQueries {
       |b2 AS (SELECT band, sig, min(canonical_id) AS bucket_min
       |       FROM banded JOIN l1 USING (doc_id) GROUP BY band, sig),
       |l2 AS (SELECT doc_id, min(bucket_min) AS canonical_id
-      |       FROM banded JOIN b2 USING (band, sig) GROUP BY doc_id)
-      |SELECT d.doc_id, coalesce(l2.canonical_id, d.doc_id) AS canonical_id
-      |FROM documents d LEFT JOIN l2 ON d.doc_id = l2.doc_id
-      |ORDER BY d.doc_id""".stripMargin
-  }
+      |       FROM banded JOIN b2 USING (band, sig) GROUP BY doc_id),
+      |labels AS (
+      |  SELECT d.doc_id, coalesce(l2.canonical_id, d.doc_id) AS canonical_id
+      |  FROM documents d LEFT JOIN l2 ON d.doc_id = l2.doc_id)""".stripMargin
+
+  val q45Sql: String =
+    s"""WITH $canonLabelCtes
+      |SELECT doc_id, canonical_id FROM labels
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q62
   /** PQ encoding of the corpus: 8 subspace codes (4 bits each) + squared
@@ -593,6 +600,28 @@ object SimilarityQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q99
+  /** Duplicate-cluster size histogram: how many near-dup clusters of
+    * each size the corpus holds — the corpus-health summary a dedup
+    * pipeline reports before deciding its keep policy (a heavy tail of
+    * large clusters = template spam; all-singletons = dedup is a no-op).
+    * Two map-side-combined aggregates on top of q45's canonical labels;
+    * the histogram's size is bounded by the largest cluster, not the
+    * corpus. */
+  def q99DupClusterHistogram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCanonicalize(Tables(spark, dir).documents,
+        numHashes = 8, bands = 4, shingleK = 3, iterations = 2)
+      .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  val q99Sql: String =
+    s"""WITH $canonLabelCtes,
+      |cl AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+      |       FROM labels GROUP BY 1)
+      |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM cl GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** SemDeDup keep-list (Abbas et al. 2023): semantic near-duplicate
     * pruning — deterministic md5-codebook cells, within-cell pairwise
@@ -645,6 +674,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_semdedup" -> (q96SemDedup _),
+    "q99_dup_cluster_hist" -> (q99DupClusterHistogram _),
     "q44_embed_neardup" -> (q44EmbedNearDup _),
     "q45_dedup_canonical" -> (q45DedupCanonical _),
     "q30_knn_brute"   -> (q30KnnBrute _),
@@ -662,6 +692,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q96_semdedup" -> q96Sql,
+    "q99_dup_cluster_hist" -> q99Sql,
     "q45_dedup_canonical" -> q45Sql,
     "q30_knn_brute"   -> q30Sql,
     "q31_embed_norm"  -> q31Sql,

@@ -1270,9 +1270,145 @@ object TextQueries {
        |       JOIN z zb ON zb.source = p.source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** TF-IDF keyword extraction: each document's top-3 tokens by
+    * tf · ln((N+1)/(df+1)) (q36's smoothed idf), ties broken by token.
+    * The ranking runs on the RAW double score (both engines multiply the
+    * same long-derived doubles in the same order, so scores — hence
+    * ranks — are bit-identical); the output rounds to 6dp. Scale shape:
+    * per-doc term counts and the document-frequency census are both
+    * map-side-combined aggregates keyed by token; their join shuffles on
+    * that same key; the per-doc top-3 is a WindowGroupLimit, never a
+    * global sort. */
+  def q98TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.agg(count(lit(1)).cast("double").as("n"))
+    val tok = d.select(col("doc_id"), explode(toks).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfq = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    tf.join(dfq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * log((col("n") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val q98Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, token,
+      |    CAST(tf AS DOUBLE) * ln((n + 1.0) / (df + 1.0)) AS score
+      |  FROM tf JOIN df USING (token), n)
+      |SELECT doc_id, rank, token, round(score, 6) AS score FROM (
+      |  SELECT doc_id, token, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, token) AS BIGINT) AS rank
+      |  FROM s)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // --------------------------------------------------------------- q100
+  /** k-anonymity suppression census over the quasi-identifier
+    * (lang, source, 100-char length bucket): combinations held by fewer
+    * than k documents must be suppressed before release — the
+    * privacy-side counterpart of the PII scrub (q38). One map-side-
+    * combined aggregate; the quasi-identifier space, not the corpus, is
+    * the output's size. */
+  val KAnonK = 3
+
+  def q100KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("suppressed", col("n_docs") < KAnonK)
+      .orderBy("lang", "source", "len_bucket")
+
+  val q100Sql: String =
+    s"""SELECT lang, source,
+       |  CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  count(*) < $KAnonK AS suppressed
+       |FROM documents GROUP BY 1, 2, 3
+       |ORDER BY lang, source, len_bucket""".stripMargin
+
+  // --------------------------------------------------------------- q101
+  /** Data-mixing allocation: apportion a fixed sampling budget of
+    * B=10000 examples across sources with weight ⌊√tokens⌋ — the
+    * sub-linear upweighting of small sources every LLM data-mixture
+    * recipe applies — rounded to integers by the largest-remainder
+    * method (Hamilton apportionment; ties by source). All cross-row
+    * arithmetic is on integers (⌊√c⌋ per row, integer sums), so no
+    * double ever crosses a partition boundary: the only float ops are
+    * the per-row quota = 10000·w/Z (one mult, one div — bit-identical
+    * in both engines) and its remainder, used for ranking only. The
+    * relation after the census is |sources| rows — the global
+    * remainder window is a deliberate tiny-relation sort, not a
+    * corpus-wide one. */
+  val MixBudget = 10000L
+
+  def q101MixtureAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val cs = docs(spark, dir)
+      .select(col("source"), explode(toks).as("t"))
+      .groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val z = cs.agg(sum("weight").as("z"))
+    val q = cs.crossJoin(broadcast(z))
+      .withColumn("quota", (lit(10000.0) * col("weight")) / col("z"))
+      .withColumn("fl", floor(col("quota")).cast("long"))
+      .withColumn("rem", col("quota") - floor(col("quota")))
+    val short = q.agg((lit(MixBudget) - sum("fl")).as("short"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source").asc)
+    q.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        (col("fl") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("source")
+  }
+
+  val q101Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |cs AS (
+      |  SELECT source, count(*) AS n_tokens,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM tok GROUP BY 1),
+      |z AS (SELECT sum(weight) AS z FROM cs),
+      |q AS (
+      |  SELECT source, n_tokens, weight,
+      |    (10000.0 * weight) / z AS quota
+      |  FROM cs, z),
+      |f AS (
+      |  SELECT source, n_tokens, weight,
+      |    CAST(floor(quota) AS BIGINT) AS fl,
+      |    quota - floor(quota) AS rem
+      |  FROM q),
+      |s AS (SELECT 10000 - sum(fl) AS short FROM f),
+      |r AS (
+      |  SELECT source, n_tokens, weight, fl, short,
+      |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+      |  FROM f, s)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+      |  CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM r ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_substring_dup"   -> (q95SubstringDup _),
     "q97_source_overlap"  -> (q97SourceOverlap _),
+    "q98_tfidf_keywords"  -> (q98TfidfKeywords _),
+    "q100_kanonymity"     -> (q100KAnonymity _),
+    "q101_mixture_alloc"  -> (q101MixtureAlloc _),
     "q88_inverted_index"  -> (q88InvertedIndex _),
     "q89_bigram_pmi"      -> (q89BigramPmi _),
     "q90_boilerplate_ngram" -> (q90BoilerplateNgram _),
@@ -1333,6 +1469,9 @@ object TextQueries {
     "q91_vocab_oov"       -> q91Sql,
     "q92_ngram_novelty"   -> q92Sql,
     "q95_substring_dup"   -> q95Sql,
-    "q97_source_overlap"  -> q97Sql
+    "q97_source_overlap"  -> q97Sql,
+    "q98_tfidf_keywords"  -> q98Sql,
+    "q100_kanonymity"     -> q100Sql,
+    "q101_mixture_alloc"  -> q101Sql
   )
 }

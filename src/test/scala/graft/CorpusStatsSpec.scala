@@ -114,6 +114,45 @@ class CorpusStatsSpec extends SparkSpec {
       (4L, 2L, 0L, 0.0)))
   }
 
+  test("q98: tf-idf keyword ranks and scores match paper arithmetic") {
+    // N = 4; df: a=3, b=2, c=1, x=1. score = tf · ln((N+1)/(df+1)),
+    // rounded 6dp on output only.
+    def s(tf: Long, df: Long): Double =
+      BigDecimal(tf.toDouble * math.log(5.0 / (df + 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextQueries.q98TfidfKeywords(spark, dir)
+      .select("doc_id", "rank", "token", "score")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, "b", s(2, 2)), (0L, 2L, "a", s(2, 3)),
+      (1L, 1L, "c", s(1, 1)), (1L, 2L, "a", s(1, 3)),
+      (2L, 1L, "x", s(5, 1)),
+      (3L, 1L, "b", s(5, 2)), (3L, 2L, "a", s(5, 3))))
+  }
+
+  test("q100: suppression flags follow the k threshold; census is total") {
+    val out = TextQueries.q100KAnonymity(spark, sf).cache()
+    val total = Tables(spark, sf).documents.count()
+    assert(out.agg(sum("n_docs")).first().getLong(0) == total)
+    assert(out.filter(col("suppressed") =!=
+      (col("n_docs") < TextQueries.KAnonK)).count() == 0)
+  }
+
+  test("q101: largest-remainder allocation exhausts the budget exactly") {
+    val out = TextQueries.q101MixtureAlloc(spark, sf).cache()
+    val nSources = Tables(spark, sf).documents
+      .select("source").distinct().count()
+    assert(out.count() == nSources)
+    assert(out.agg(sum("alloc")).first().getLong(0) == TextQueries.MixBudget)
+    // every source with tokens gets a positive integer weight and a
+    // non-negative allocation
+    assert(out.filter(col("weight") <= 0 || col("alloc") < 0).count() == 0)
+    // apportionment never strays more than 1 from the real-valued quota
+    val z = out.agg(sum("weight")).first().getLong(0).toDouble
+    assert(out.withColumn("quota", lit(10000.0) * col("weight") / lit(z))
+      .filter(abs(col("alloc") - col("quota")) >= 1.0).count() == 0)
+  }
+
   test("q97: cross-source overlap matrix matches paper arithmetic") {
     val got = TextQueries.q97SourceOverlap(spark, shingleDir)
       .select("source_a", "source_b", "n_a", "n_b", "n_shared", "jaccard")

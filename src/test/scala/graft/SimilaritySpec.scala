@@ -150,6 +150,13 @@ class SimilaritySpec extends SparkSpec {
     assert(nd.filter(col("id_a") >= col("id_b")).count() == 0)
   }
 
+  test("q99 histogram conserves the corpus: sum(size × clusters) = docs") {
+    val hist = graft.queries.SimilarityQueries.q99DupClusterHistogram(spark, sf)
+    val mass = hist.agg(sum(col("cluster_size") * col("n_clusters")))
+      .first().getLong(0)
+    assert(mass == docs.count())
+  }
+
   test("semDedup: an exact duplicate is dropped, pointing at the lower id") {
     val dup = emb.filter(col("vec_id") === 0)
       .select(lit(99999L).as("vec_id"), col("embedding"), col("label"))
