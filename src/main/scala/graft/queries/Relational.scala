@@ -419,6 +419,91 @@ object Relational {
       |FROM e JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
+  // --------------------------------------------------------------- q102
+  /** Hourly event-rate anomaly report: hours whose per-type event count
+    * exceeds 2× that type's median hourly count (lower median over the
+    * PRESENT hours, rank ties broken by hour — a total order both
+    * engines reproduce; empty hours contribute no row). The
+    * operations-monitoring staple, in pure integer arithmetic: the only
+    * double is the reported ratio, one division rounded 4dp. Scale
+    * shape: one map-side-combined (type, hour) count — output bounded
+    * by types × hours, not events — then a per-type rank window and a
+    * broadcast median join on that bounded relation. */
+  def q102RateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables(spark, dir).events
+      .select(col("event_type"), expr("(ts_ns DIV 1000) DIV 3600000000").as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("n").asc, col("hour").asc)
+    val med = cnt.withColumn("rn", row_number().over(w))
+      .join(broadcast(cnt.groupBy("event_type").agg(count(lit(1)).as("nh"))),
+        "event_type")
+      .filter(col("rn") === expr("(nh + 1) DIV 2"))
+      .select(col("event_type"), col("n").as("med"))
+    cnt.join(broadcast(med), "event_type")
+      .filter(col("n") > lit(2) * col("med"))
+      .withColumn("ratio", round(col("n").cast("double") / col("med"), 4))
+      .select("event_type", "hour", "n", "med", "ratio")
+      .orderBy("event_type", "hour")
+  }
+
+  val q102Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+      |c AS (
+      |  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+      |  FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, hour, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY n, hour) AS rn
+      |  FROM c),
+      |h AS (SELECT event_type, count(*) AS nh FROM c GROUP BY 1),
+      |m AS (
+      |  SELECT event_type, n AS med FROM r JOIN h USING (event_type)
+      |  WHERE rn = (nh + 1) // 2)
+      |SELECT event_type, hour, n, med,
+      |  round(CAST(n AS DOUBLE) / med, 4) AS ratio
+      |FROM c JOIN m USING (event_type)
+      |WHERE n > 2 * med
+      |ORDER BY event_type, hour""".stripMargin
+
+  // --------------------------------------------------------------- q103
+  /** Conversion-latency histogram: per user, the delay from the FIRST
+    * view to the first purchase STRICTLY after it, bucketed in hours —
+    * the funnel-latency distribution behind every conversion dashboard.
+    * µs longs (q55's cross-engine-exact unit). Scale shape: one
+    * map-side-combined min per user on the view side, a user-keyed join
+    * (co-partitioned with the purchase shuffle), a per-user min, and a
+    * bounded histogram rollup — nothing grows beyond the user-keyed
+    * exchanges. */
+  def q103ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("v_ts"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+      .join(v, "user_id")
+      .filter(col("ts_us") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts_us") - col("v_ts")).as("delay_us"))
+      .groupBy(expr("delay_us DIV 3600000000").as("delay_hours"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("delay_hours")
+  }
+
+  val q103Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (
+      |  SELECT user_id, min(ts_us) AS v_ts FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(ts_us - v_ts) AS delay_us
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts_us > v_ts GROUP BY 1)
+      |SELECT delay_us // 3600000000 AS delay_hours,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM c GROUP BY 1 ORDER BY delay_hours""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** As-of join (operators.AsOfJoin): every purchase event enriched with
     * the user's most recent STRICTLY-prior view event and the gap to it.
@@ -1204,6 +1289,8 @@ object Relational {
     "q14_sessionize"          -> (q14Sessionize _),
     "q93_event_transitions"   -> (q93EventTransitions _),
     "q94_retention_cohorts"   -> (q94RetentionCohorts _),
+    "q102_rate_anomaly"       -> (q102RateAnomaly _),
+    "q103_conversion_latency" -> (q103ConversionLatency _),
     "q55_asof_join"           -> (q55AsofJoin _),
     "q56_range_join"          -> (q56RangeJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
@@ -1234,6 +1321,8 @@ object Relational {
     "q14_sessionize"          -> q14Sql,
     "q93_event_transitions"   -> q93Sql,
     "q94_retention_cohorts"   -> q94Sql,
+    "q102_rate_anomaly"       -> q102Sql,
+    "q103_conversion_latency" -> q103Sql,
     "q55_asof_join"           -> q55Sql,
     "q56_range_join"          -> q56Sql,
     "q15_json_extract"        -> q15Sql,

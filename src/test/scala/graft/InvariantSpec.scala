@@ -164,6 +164,13 @@ class InvariantSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q98 per-doc top-3 runs as a WindowGroupLimit, not a full sort") {
+    val plan = graft.queries.TextQueries.q98TfidfKeywords(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit partial top-k in:\n$plan")
+  }
+
   test("staged token queries evaluate exactly one split per row (plan shape)") {
     // q20/q23/q24/q37 stage the whitespace split into a projection the
     // optimizer must NOT collapse away — four inlined copies of

@@ -65,6 +65,33 @@ class RelationalSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("q102 anomalies all exceed twice their type median") {
+    val df = Relational.q102RateAnomaly(spark, sf).cache()
+    // every reported hour violates the 2×-median bar by construction
+    assert(df.filter(col("n") <= lit(2) * col("med")).count() == 0)
+    // med is a count actually attained by some hour of that type
+    assert(df.filter(col("med") <= 0).count() == 0)
+    // the ratio restates n/med
+    assert(df.filter(abs(col("ratio") * col("med") - col("n")) >
+      lit(0.001) * col("med")).count() == 0)
+  }
+
+  test("q103 latency histogram counts each converting user once") {
+    val df = Relational.q103ConversionLatency(spark, sf)
+    val histTotal = df.agg(sum("n_users")).first().getLong(0)
+    // independent ground truth: users with a purchase strictly after
+    // their first view
+    val ev = Tables(spark, sf).events
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("v_ts"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts_us") > col("v_ts"))
+      .select("user_id").distinct().count()
+    assert(histTotal == conv)
+    assert(df.filter(col("delay_hours") < 0).count() == 0)
+  }
+
   test("q13 hourly rollup covers all events") {
     val df = Relational.q13HourlyRollup(spark, sf)
     val n = df.agg(sum("n_events")).first().getLong(0)
