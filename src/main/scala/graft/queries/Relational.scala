@@ -504,6 +504,102 @@ object Relational {
       |  CAST(count(*) AS BIGINT) AS n_users
       |FROM c GROUP BY 1 ORDER BY delay_hours""".stripMargin
 
+  // --------------------------------------------------------------- q104
+  /** TPC-H Q17-shaped correlated aggregate: lineitems whose quantity is
+    * below 0.2× the average quantity OF THEIR OWN PART, rolled up to
+    * per-brand counts and revenue. The correlated scalar subquery
+    * decorrelates into one per-part aggregate joined back ON THE
+    * CORRELATION KEY — both shuffles hash on l_partkey, so the join is
+    * co-partitioned and the per-row subquery never re-executes (the
+    * rewrite every optimizer applies; stated here as the explicit plan).
+    * avg is integer-exact (integral-double quantities summed as longs,
+    * ONE division), the 0.2× threshold is a single multiply both engines
+    * order identically; revenue is the long-cents money sum. */
+  def q104SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val l = t.lineitem.select(col("l_partkey"), col("l_quantity"),
+      col("l_extendedprice"))
+    val avgQ = l.groupBy("l_partkey")
+      .agg((sum(col("l_quantity").cast("long")).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    l.join(avgQ, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        moneySum("l_extendedprice").as("small_revenue"))
+      .orderBy("p_brand")
+  }
+
+  val q104Sql: String =
+    """WITH a AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS small_revenue
+      |FROM lineitem JOIN a USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity < 0.2 * avg_qty
+      |GROUP BY 1 ORDER BY p_brand""".stripMargin
+
+  // --------------------------------------------------------------- q105
+  /** TPC-H Q21-shaped exists/not-exists composition: for finished ('F')
+    * orders, suppliers who shipped late (> 60 days after the order
+    * date) in a MULTI-supplier order where NO OTHER supplier was late —
+    * the "who alone held up the order" census, top 20 by count. The
+    * correlated EXISTS (another supplier in the order) and NOT EXISTS
+    * (another LATE supplier) both decorrelate into one per-order
+    * aggregate — distinct-supplier and distinct-late-supplier counts —
+    * computed in a single groupBy and joined back on the order key
+    * (co-partitioned with the lineitem shuffle). All counts integer;
+    * the only join against row-count-scaling data is order-keyed. */
+  def q105LoneLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val j = t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(t.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
+    val per = j.groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("ns"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nl"))
+    j.filter(col("late"))
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(per, "l_orderkey")
+      .filter(col("ns") >= 2 && col("nl") === 1)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables(spark, dir).supplier
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(20)
+  }
+
+  val q105Sql: String =
+    """WITH j AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    date_diff('day', o_orderdate, l_shipdate) > 60 AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'),
+      |per AS (
+      |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+      |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl
+      |  FROM j GROUP BY 1),
+      |q AS (
+      |  SELECT DISTINCT j.l_orderkey, j.l_suppkey
+      |  FROM j JOIN per USING (l_orderkey)
+      |  WHERE j.late AND per.ns >= 2 AND per.nl = 1)
+      |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM q JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** As-of join (operators.AsOfJoin): every purchase event enriched with
     * the user's most recent STRICTLY-prior view event and the gap to it.
@@ -1291,6 +1387,8 @@ object Relational {
     "q94_retention_cohorts"   -> (q94RetentionCohorts _),
     "q102_rate_anomaly"       -> (q102RateAnomaly _),
     "q103_conversion_latency" -> (q103ConversionLatency _),
+    "q104_small_qty_revenue"  -> (q104SmallQtyRevenue _),
+    "q105_lone_late_supplier" -> (q105LoneLateSupplier _),
     "q55_asof_join"           -> (q55AsofJoin _),
     "q56_range_join"          -> (q56RangeJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
@@ -1323,6 +1421,8 @@ object Relational {
     "q94_retention_cohorts"   -> q94Sql,
     "q102_rate_anomaly"       -> q102Sql,
     "q103_conversion_latency" -> q103Sql,
+    "q104_small_qty_revenue"  -> q104Sql,
+    "q105_lone_late_supplier" -> q105Sql,
     "q55_asof_join"           -> q55Sql,
     "q56_range_join"          -> q56Sql,
     "q15_json_extract"        -> q15Sql,

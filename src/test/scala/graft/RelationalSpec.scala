@@ -92,6 +92,50 @@ class RelationalSpec extends SparkSpec {
     assert(df.filter(col("delay_hours") < 0).count() == 0)
   }
 
+  test("q104 equals the window-function formulation of the correlated avg") {
+    val df = Relational.q104SmallQtyRevenue(spark, sf)
+    val total = df.agg(sum("n_small")).first().getLong(0)
+    // independent formulation: the same correlated aggregate as a
+    // partition window instead of groupBy + join-back
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val alt = Tables(spark, sf).lineitem
+      .withColumn("avg_qty",
+        sum(col("l_quantity").cast("long")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .count()
+    assert(total == alt)
+  }
+
+  test("q105 equals Catalyst's own EXISTS / NOT EXISTS decorrelation") {
+    val t = Tables(spark, sf)
+    t.lineitem.createOrReplaceTempView("li_v")
+    t.orders.createOrReplaceTempView("ord_v")
+    val exists = spark.sql(
+      """WITH j AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    datediff(l_shipdate, o_orderdate) > 60 AS late
+        |  FROM li_v JOIN ord_v ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT l_suppkey, count(*) AS numwait FROM (
+        |  SELECT DISTINCT j1.l_orderkey, j1.l_suppkey FROM j j1
+        |  WHERE j1.late
+        |    AND EXISTS (SELECT 1 FROM j j2
+        |      WHERE j2.l_orderkey = j1.l_orderkey
+        |        AND j2.l_suppkey <> j1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM j j3
+        |      WHERE j3.l_orderkey = j1.l_orderkey
+        |        AND j3.l_suppkey <> j1.l_suppkey AND j3.late))
+        |GROUP BY l_suppkey""".stripMargin)
+    val got = Relational.q105LoneLateSupplier(spark, sf)
+      .select(col("s_suppkey").as("l_suppkey"), col("numwait").as("nw"))
+    // the top-20 rows must carry exactly the counts the correlated
+    // formulation assigns
+    assert(got.join(exists, "l_suppkey")
+      .filter(col("nw") =!= col("numwait")).count() == 0)
+    assert(got.join(exists, Seq("l_suppkey"), "left_anti").count() == 0)
+  }
+
   test("q13 hourly rollup covers all events") {
     val df = Relational.q13HourlyRollup(spark, sf)
     val n = df.agg(sum("n_events")).first().getLong(0)
