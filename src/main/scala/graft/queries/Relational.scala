@@ -600,6 +600,91 @@ object Relational {
       |FROM q JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q106
+  /** Exact per-group percentile ladder (percentile_disc semantics,
+    * spelled out so both engines agree to the bit): for each order
+    * priority, the p50/p90/p99 of o_totalprice = the value at rank
+    * ⌈p·n⌉ in (price asc, orderkey asc) order. No percentile built-in
+    * is used on EITHER side — Spark's and DuckDB's disc/cont defaults
+    * differ, so the rank arithmetic IS the portable definition. Scale
+    * shape: one rank window per group partition and a broadcast
+    * (group × 3)-row target frame; the percentile never sorts globally,
+    * only within group partitions. */
+  def q106PercentileLadder(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val targets = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), col("n"),
+        explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .withColumn("target", ceil(col("p") * col("n")).cast("long"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(targets), "o_orderpriority")
+      .filter(col("rn") === col("target"))
+      .select(col("o_orderpriority"), col("p"),
+        col("o_totalprice").as("pct_value"))
+      .orderBy("o_orderpriority", "p")
+  }
+
+  val q106Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders),
+      |t AS (
+      |  SELECT o_orderpriority, CAST(ceil(p * n) AS BIGINT) AS target, p
+      |  FROM (SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1),
+      |    unnest([0.5, 0.9, 0.99]) u(p))
+      |SELECT o_orderpriority, p, o_totalprice AS pct_value
+      |FROM r JOIN t USING (o_orderpriority)
+      |WHERE rn = target
+      |ORDER BY o_orderpriority, p""".stripMargin
+
+  // --------------------------------------------------------------- q107
+  /** Frequent token-pair mining (the first A-priori level past items):
+    * unordered token pairs co-occurring in ≥ MinPairSupport documents,
+    * top 50 by support. A-priori monotonicity prunes BEFORE the pair
+    * blow-up: a pair can reach support S only if both tokens have
+    * df ≥ S, so the per-doc token lists are filtered against the
+    * (tiny, broadcast) frequent-item set first — the per-doc pair
+    * fanout is then quadratic only in FREQUENT tokens per doc, the
+    * bound that makes basket mining feasible at corpus scale. Counts
+    * all integer. */
+  val MinPairSupport = 100
+
+  def q107FrequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.whitespaceTokens(col("text")))).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= MinPairSupport)
+      .select("token")
+    val ft = tok.join(broadcast(freq), "token")
+    ft.select(col("doc_id"), col("token").as("tok_a"))
+      .join(ft.select(col("doc_id"), col("token").as("tok_b")), Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinPairSupport)
+      .orderBy(col("support").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(50)
+  }
+
+  val q107Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+       |  FROM documents),
+       |f AS (SELECT token FROM tok GROUP BY token
+       |      HAVING count(*) >= $MinPairSupport),
+       |ft AS (SELECT doc_id, token FROM tok WHERE token IN (SELECT token FROM f))
+       |SELECT a.token AS tok_a, b.token AS tok_b,
+       |  CAST(count(*) AS BIGINT) AS support
+       |FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+       |GROUP BY 1, 2 HAVING count(*) >= $MinPairSupport
+       |ORDER BY support DESC, tok_a, tok_b LIMIT 50""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** As-of join (operators.AsOfJoin): every purchase event enriched with
     * the user's most recent STRICTLY-prior view event and the gap to it.
@@ -1389,6 +1474,8 @@ object Relational {
     "q103_conversion_latency" -> (q103ConversionLatency _),
     "q104_small_qty_revenue"  -> (q104SmallQtyRevenue _),
     "q105_lone_late_supplier" -> (q105LoneLateSupplier _),
+    "q106_percentile_ladder"  -> (q106PercentileLadder _),
+    "q107_frequent_pairs"     -> (q107FrequentPairs _),
     "q55_asof_join"           -> (q55AsofJoin _),
     "q56_range_join"          -> (q56RangeJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
@@ -1423,6 +1510,8 @@ object Relational {
     "q103_conversion_latency" -> q103Sql,
     "q104_small_qty_revenue"  -> q104Sql,
     "q105_lone_late_supplier" -> q105Sql,
+    "q106_percentile_ladder"  -> q106Sql,
+    "q107_frequent_pairs"     -> q107Sql,
     "q55_asof_join"           -> q55Sql,
     "q56_range_join"          -> q56Sql,
     "q15_json_extract"        -> q15Sql,

@@ -226,6 +226,26 @@ object EventStreams {
 
   // ------------------------------------------------- stateful sessions
 
+  /** Built-in session-window twin of [[sessionize]]: Spark's native
+    * `session_window` aggregation — same gap semantics, state handled by
+    * the engine's session-window state store instead of custom
+    * flatMapGroupsWithState code. Prefer THIS form when the per-session
+    * result is a plain aggregate (the engine can merge sessions
+    * incrementally and codegen the aggregation); the custom-state twin
+    * remains for session logic an aggregate can't express. Works
+    * identically on batch frames (no watermark applied there), which is
+    * how the spec pins it to batch q14's session boundaries. */
+  def sessionWindowRollup(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

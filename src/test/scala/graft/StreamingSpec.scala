@@ -48,6 +48,50 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((ts(0), "click", 1L, 1.0), (ts(60), "click", 1L, 2.0)))
   }
 
+  test("built-in session_window matches batch q14 session boundaries") {
+    // same 30-minute gap, two independent mechanisms: q14's lag-window
+    // session indexing vs the engine's native session_window merge.
+    // (No event pair in this data sits EXACTLY on the gap boundary,
+    // where the two definitions differ: q14 keeps t = prev + gap in the
+    // session, session_window starts a new one.)
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), col("ts"), col("value"))
+    val built = EventStreams.sessionWindowRollup(ev)
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("session_start_sec"),
+        col("n_events"))
+    val q14 = graft.queries.Relational.q14Sessionize(spark, sf)
+      .select(col("user_id"), col("session_start_sec"),
+        col("n_events").as("n14"))
+    assert(built.count() == q14.count())
+    val joined = built.join(q14, Seq("user_id", "session_start_sec"))
+    assert(joined.count() == q14.count())
+    assert(joined.filter(col("n_events") =!= col("n14")).count() == 0)
+  }
+
+  test("session_window streaming emits closed sessions after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionWindowRollup(
+        input.toDS().toDF(), gap = "10 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sw_sessions")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0), Event(1L, ts(35), 4.0))
+    q.processAllAvailable()
+    input.addData(Event(2L, ts(300), 0.0))
+    q.processAllAvailable()
+    input.addData(Event(2L, ts(600), 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("sw_sessions")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    q.stop()
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._2).reverse
+    assert(u1 == Seq((1L, 2L, 3.0), (1L, 1L, 4.0)),
+      s"got $rows")
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
