@@ -329,16 +329,18 @@ object TextQueries {
     * integer 0/1 — fully hash-checkable. Thresholds are calibrated to
     * split this corpus (min tokens 30, dup-bigram < 0.05), documented as
     * knobs, not constants of nature. */
-  def q37QualityRules(spark: SparkSession, dir: String): DataFrame =
-    // staged shape: the split runs once (stage 0), stage 1 touches each
-    // expensive array exactly once and emits plain integers, stage 2 is
-    // cheap arithmetic — so however the optimizer collapses or inlines
-    // the cheap stages, neither the token array nor any n-gram array is
-    // ever constructed twice per row
+  /** Shared per-doc quality-signal stage for q37/q109 (carries `source`
+    * through for the per-source rollup). Staged shape: the split runs
+    * once (stage 0), stage 1 touches each expensive array exactly once
+    * and emits plain integers, stage 2 is cheap arithmetic — so however
+    * the optimizer collapses or inlines the cheap stages, neither the
+    * token array nor any n-gram array is ever constructed twice per
+    * row. */
+  private def qualitySignals(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("source"), col("text"), toks.as("toks"))
       .select(
-        col("doc_id"),
+        col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("n_tokens"),
         aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
         size(array_distinct(ngrams(col("toks"), 2))).cast("long").as("d2"),
@@ -347,7 +349,7 @@ object TextQueries {
         charClassCount(col("text"), SymbolClass).cast("long").as("n_symbol"),
         length(col("text")).cast("long").as("n_chars_t"))
       .select(
-        col("doc_id"), col("n_tokens"),
+        col("doc_id"), col("source"), col("n_tokens"),
         (col("sum_token_len").cast("double") / col("n_tokens")).as("mean_token_len"),
         when(col("n_tokens") > 1,
           (col("n_tokens") - 1 - col("d2")).cast("double") / (col("n_tokens") - 1))
@@ -357,6 +359,11 @@ object TextQueries {
           .otherwise(lit(0.0)).as("dup_trigram_ratio"),
         (col("n_alpha").cast("double") / greatest(col("n_chars_t"), lit(1L))).as("alpha_ratio"),
         (col("n_symbol").cast("double") / greatest(col("n_chars_t"), lit(1L))).as("symbol_ratio"))
+
+  def q37QualityRules(spark: SparkSession, dir: String): DataFrame =
+    qualitySignals(spark, dir)
+      .select("doc_id", "n_tokens", "mean_token_len", "dup_bigram_ratio",
+        "dup_trigram_ratio", "alpha_ratio", "symbol_ratio")
       .withColumn("keep",
         (col("n_tokens") >= 30 &&
           col("mean_token_len").between(3.0, 10.0) &&
@@ -364,13 +371,10 @@ object TextQueries {
           col("symbol_ratio") < 0.1).cast("long"))
       .orderBy("doc_id")
 
-  val q37Sql: String =
-    """SELECT doc_id, n_tokens, mean_token_len, dup_bigram_ratio,
-      |  dup_trigram_ratio, alpha_ratio, symbol_ratio,
-      |  CAST(n_tokens >= 30 AND mean_token_len BETWEEN 3.0 AND 10.0
-      |    AND dup_bigram_ratio < 0.05 AND symbol_ratio < 0.1 AS BIGINT) AS keep
-      |FROM (
-      |  SELECT doc_id,
+  /** DuckDB twin of [[qualitySignals]] — per-doc signal rows incl.
+    * `source`; q37Sql and q109Sql both select from it. */
+  private val qualitySignalsSql: String =
+    """SELECT doc_id, source,
       |    CAST(len(l) AS BIGINT) AS n_tokens,
       |    CAST(list_sum(list_transform(l, t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
       |      / len(l) AS mean_token_len,
@@ -385,11 +389,20 @@ object TextQueries {
       |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
       |      / greatest(len(text), 1) AS symbol_ratio
       |  FROM (
-      |    SELECT doc_id, text, l,
+      |    SELECT doc_id, source, text, l,
       |      list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS g2,
       |      list_transform(range(1, len(l) - 1),
       |        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g3
-      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)))
+      |    FROM (SELECT doc_id, source, text, string_split(text, ' ') AS l
+      |          FROM documents))""".stripMargin
+
+  val q37Sql: String =
+    s"""SELECT doc_id, n_tokens, mean_token_len, dup_bigram_ratio,
+      |  dup_trigram_ratio, alpha_ratio, symbol_ratio,
+      |  CAST(n_tokens >= 30 AND mean_token_len BETWEEN 3.0 AND 10.0
+      |    AND dup_bigram_ratio < 0.05 AND symbol_ratio < 0.1 AS BIGINT) AS keep
+      |FROM (
+      |$qualitySignalsSql)
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q38
@@ -1403,7 +1416,113 @@ object TextQueries {
       |  CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
       |FROM r ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q108
+  /** Corpus-drift detection: tokens whose frequency shifts most between
+    * the first and second half of the corpus (split at the doc_id
+    * midpoint), scored by Haldane-corrected log-odds (the
+    * "fightin'-words" statistic — Monroe et al. 2008, public) — the
+    * dataset-shift monitor a crawl pipeline runs between snapshots.
+    * All cross-row arithmetic is integer (per-half counts, totals); the
+    * statistic is ONE double division of two exact BIGINT products
+    * followed by ln, bit-identical in both engines. Tokens below 50
+    * total occurrences are excluded (the correction dominates there).
+    * Scale shape: one map-side-combined token census and two broadcast
+    * scalar frames — nothing beyond the token-keyed aggregate grows
+    * with the corpus. */
+  val DriftMinCount = 50
+
+  def q108TokenDrift(spark: SparkSession, dir: String,
+                     minCount: Int = DriftMinCount): DataFrame = {
+    val d = docs(spark, dir)
+    val mid = d.agg(expr("(min(doc_id) + max(doc_id) + 1) DIV 2").as("mid"))
+    val counts = d.select(col("doc_id"), explode(toks).as("token"))
+      .crossJoin(broadcast(mid))
+      .groupBy("token")
+      .agg(sum(when(col("doc_id") < col("mid"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("doc_id") >= col("mid"), 1L).otherwise(0L)).as("cnt_b"))
+    val tot = counts.agg(sum("cnt_a").as("na"), sum("cnt_b").as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt_a") + col("cnt_b") >= minCount)
+      .withColumn("drift", round(log(
+        ((lit(2L) * col("cnt_a") + 1L) * (lit(2L) * (col("nb") - col("cnt_b")) + 1L))
+          .cast("double") /
+        ((lit(2L) * col("cnt_b") + 1L) * (lit(2L) * (col("na") - col("cnt_a")) + 1L))
+          .cast("double")), 6))
+      .select("token", "cnt_a", "cnt_b", "drift")
+      .orderBy(abs(col("drift")).desc, col("token").asc)
+      .limit(15)
+  }
+
+  val q108Sql: String =
+    s"""WITH lim AS (
+       |  SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS mid FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |c AS (
+       |  SELECT token,
+       |    CAST(sum(CASE WHEN doc_id < mid THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |    CAST(sum(CASE WHEN doc_id >= mid THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+       |  FROM tok, lim GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+       |    CAST(sum(cnt_b) AS BIGINT) AS nb FROM c)
+       |SELECT token, cnt_a, cnt_b,
+       |  round(ln(CAST((2 * cnt_a + 1) * (2 * (nb - cnt_b) + 1) AS DOUBLE)
+       |    / CAST((2 * cnt_b + 1) * (2 * (na - cnt_a) + 1) AS DOUBLE)), 6)
+       |    AS drift
+       |FROM c, t WHERE cnt_a + cnt_b >= $DriftMinCount
+       |ORDER BY abs(drift) DESC, token LIMIT 15""".stripMargin
+
+  // --------------------------------------------------------------- q109
+  /** Per-source quality-gate report: q37's per-doc accept/reject rules
+    * rolled up per source with per-RULE failure counts — the pipeline
+    * dashboard that tells a curation team WHICH source fails WHICH gate
+    * (rule counts are independent: a doc failing two rules increments
+    * both). Same signal stage as q37 (one pass, integer counts); the
+    * rollup is a map-side-combined aggregate bounded by |sources|. */
+  def q109QualityBySource(spark: SparkSession, dir: String): DataFrame =
+    qualitySignals(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") >= 30 &&
+          col("mean_token_len").between(3.0, 10.0) &&
+          col("dup_bigram_ratio") < 0.05 &&
+          col("symbol_ratio") < 0.1, 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("n_tokens") < 30, 1L).otherwise(0L)).as("n_fail_short"),
+        sum(when(!col("mean_token_len").between(3.0, 10.0), 1L).otherwise(0L))
+          .as("n_fail_token_len"),
+        sum(when(col("dup_bigram_ratio") >= 0.05, 1L).otherwise(0L))
+          .as("n_fail_rep"),
+        sum(when(col("symbol_ratio") >= 0.1, 1L).otherwise(0L))
+          .as("n_fail_symbol"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+
+  val q109Sql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_tokens >= 30 AND mean_token_len BETWEEN 3.0 AND 10.0
+       |    AND dup_bigram_ratio < 0.05 AND symbol_ratio < 0.1
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fail_short,
+       |  CAST(sum(CASE WHEN NOT (mean_token_len BETWEEN 3.0 AND 10.0)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_token_len,
+       |  CAST(sum(CASE WHEN dup_bigram_ratio >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fail_rep,
+       |  CAST(sum(CASE WHEN symbol_ratio >= 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fail_symbol,
+       |  round(CAST(sum(CASE WHEN n_tokens >= 30 AND mean_token_len BETWEEN 3.0 AND 10.0
+       |    AND dup_bigram_ratio < 0.05 AND symbol_ratio < 0.1
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS keep_rate
+       |FROM (
+       |$qualitySignalsSql)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_token_drift"    -> ((s: SparkSession, d: String) => q108TokenDrift(s, d)),
+    "q109_quality_by_source" -> (q109QualityBySource _),
     "q95_substring_dup"   -> (q95SubstringDup _),
     "q97_source_overlap"  -> (q97SourceOverlap _),
     "q98_tfidf_keywords"  -> (q98TfidfKeywords _),
@@ -1472,6 +1591,8 @@ object TextQueries {
     "q97_source_overlap"  -> q97Sql,
     "q98_tfidf_keywords"  -> q98Sql,
     "q100_kanonymity"     -> q100Sql,
-    "q101_mixture_alloc"  -> q101Sql
+    "q101_mixture_alloc"  -> q101Sql,
+    "q108_token_drift"    -> q108Sql,
+    "q109_quality_by_source" -> q109Sql
   )
 }

@@ -153,6 +153,40 @@ class CorpusStatsSpec extends SparkSpec {
       .filter(abs(col("alloc") - col("quota")) >= 1.0).count() == 0)
   }
 
+  test("q108: drift log-odds match paper arithmetic") {
+    // mid = (0 + 3 + 1) DIV 2 = 2. Half A (docs 0,1): a=3, b=2, c=1,
+    // Na=6. Half B (docs 2,3): a=5, b=5, x=5, Nb=15.
+    // drift(t) = ln(((2a+1)(2(Nb−b)+1)) / ((2b+1)(2(Na−a)+1))):
+    //   c: ln((3·31)/(1·11)) = ln(93/11)    x: ln((1·21)/(11·13)) = ln(21/143)
+    //   a: ln((7·21)/(11·7)) = ln(147/77)   b: ln((5·21)/(11·9))  = ln(105/99)
+    // |drift| order: c > x > a > b.
+    def d(num: Long, den: Long): Double =
+      BigDecimal(math.log(num.toDouble / den.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextQueries.q108TokenDrift(spark, dir, minCount = 0)
+      .select("token", "cnt_a", "cnt_b", "drift")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("c", 1L, 0L, d(93, 11)),
+      ("x", 0L, 5L, d(21, 143)),
+      ("a", 3L, 5L, d(147, 77)),
+      ("b", 2L, 5L, d(105, 99))))
+  }
+
+  test("q109: per-source rollup is consistent with q37's verdicts") {
+    val bySource = TextQueries.q109QualityBySource(spark, sf).cache()
+    val q37 = TextQueries.q37QualityRules(spark, sf)
+    assert(bySource.agg(sum("n_docs")).first().getLong(0) ==
+      Tables(spark, sf).documents.count())
+    assert(bySource.agg(sum("n_keep")).first().getLong(0) ==
+      q37.agg(sum("keep")).first().getLong(0))
+    // a doc failing the length gate must be counted somewhere: keeps and
+    // per-rule failures jointly cover every doc
+    assert(bySource.filter(col("n_keep") + col("n_fail_short") +
+      col("n_fail_token_len") + col("n_fail_rep") + col("n_fail_symbol") <
+      col("n_docs")).count() == 0)
+  }
+
   test("q97: cross-source overlap matrix matches paper arithmetic") {
     val got = TextQueries.q97SourceOverlap(spark, shingleDir)
       .select("source_a", "source_b", "n_a", "n_b", "n_shared", "jaccard")
