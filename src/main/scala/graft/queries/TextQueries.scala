@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Similarity
 
 /** Text-analysis operators over the `documents` table — the distributed,
   * oracle-checked re-expression of the reference's text pipeline
@@ -729,7 +730,10 @@ object TextQueries {
     * deterministic (the q49 discipline). */
   val Bm25Terms: Seq[String] = Seq("spark", "window", "merge", "stream", "vector", "batch")
   val Bm25TopK = 20
-  def q70Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+
+  /** Scored BM25 frame (doc_id, n_terms, bm25) for every doc matching
+    * ≥ 1 query term — shared by q70's top-k and q110's fusion. */
+  private def bm25Frame(spark: SparkSession, dir: String): DataFrame = {
     val t = docs(spark, dir).select(col("doc_id"), explode(toks).as("token"))
     val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -755,13 +759,18 @@ object TextQueries {
       .select(col("doc_id"), col("n_terms"),
         round(aggregate(col("cs"), lit(0.0), (acc, x) => acc + x("contrib")), 6)
           .as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(Bm25TopK)
   }
 
-  val q70Sql: String = {
+  def q70Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Frame(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+
+  /** Shared BM25 CTE chain ending in relation `bm25s`
+    * (doc_id, n_terms, bm25) — q70Sql and q110Sql both build on it. */
+  private val bm25CtesSql: String = {
     val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
        |stats AS (
@@ -780,15 +789,20 @@ object TextQueries {
        |    / (CAST(tf AS DOUBLE)
        |      + (1.2 * ((1.0 - 0.75)
        |        + (0.75 * (CAST(dl AS DOUBLE) / avgdl))))) AS contrib
-       |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), stats)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-       |  round(list_reduce(
-       |    list_prepend(0.0, list_transform(
-       |      list(contrib ORDER BY token), x -> x)), (a, b) -> a + b), 6) + 0.0
-       |    AS bm25
-       |FROM scored GROUP BY doc_id
-       |ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+       |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), stats),
+       |bm25s AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |    round(list_reduce(
+       |      list_prepend(0.0, list_transform(
+       |        list(contrib ORDER BY token), x -> x)), (a, b) -> a + b), 6) + 0.0
+       |      AS bm25
+       |  FROM scored GROUP BY doc_id)""".stripMargin
   }
+
+  val q70Sql: String =
+    s"""WITH $bm25CtesSql
+       |SELECT doc_id, n_terms, bm25 FROM bm25s
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
 
   // ---------------------------------------------------------------- q75
   /** Bigram LM scoring with stupid backoff (Brants et al. 2007, "Large
@@ -1520,7 +1534,80 @@ object TextQueries {
        |$qualitySignalsSql)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q110
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009,
+    * public; k=60): the lexical ranking (q70's BM25 over the fixed term
+    * set) fused with a query-by-example semantic ranking (cosine of
+    * every embedding against vec 0's), rrf = Σ 1/(60+rank) over the
+    * lists a doc appears in. The two rankers cover DIFFERENT subsets —
+    * BM25 only docs matching ≥1 term, cosine only docs carrying an
+    * embedding (at sf0.1 embeddings cover 2000 of 5000 docs) — so the
+    * fusion is a full outer join with absent ranks contributing 0
+    * (reported as -1). Rank arithmetic: both rankings are row_numbers
+    * over bit-identical scores with doc-id tiebreak; each 1/(60+r) is
+    * one double division, summed in a fixed two-term order. Scale
+    * shape: both rankers are rank windows over already-reduced score
+    * relations; the fusion join is doc-keyed. */
+  val RrfK = 60
+
+  def q110HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Frame(spark, dir)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", Similarity.l2Norm(col("emb")))
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val sem = e.crossJoin(broadcast(q0))
+      .withColumn("cos_sim",
+        Similarity.dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)), 6))
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(-1L)).as("sem_rank"),
+        col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val q110Sql: String =
+    s"""WITH $bm25CtesSql,
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+       |    AS BIGINT) AS lex_rank
+       |  FROM bm25s),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
+       |q0 AS (SELECT emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0),
+       |sem AS (
+       |  SELECT vec_id AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY
+       |      list_sum(list_transform(range(1, 65), i -> n.emb[i] * q0.q_emb[i]))
+       |        / (n.nrm * q0.q_nrm) DESC, vec_id) AS BIGINT) AS sem_rank
+       |  FROM n, q0)
+       |SELECT doc_id,
+       |  coalesce(lex_rank, -1) AS lex_rank,
+       |  coalesce(sem_rank, -1) AS sem_rank,
+       |  round(coalesce(1.0 / ($RrfK + lex_rank), 0.0)
+       |    + coalesce(1.0 / ($RrfK + sem_rank), 0.0), 6) AS rrf
+       |FROM lex FULL OUTER JOIN sem USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_hybrid_rrf"     -> (q110HybridRrf _),
     "q108_token_drift"    -> ((s: SparkSession, d: String) => q108TokenDrift(s, d)),
     "q109_quality_by_source" -> (q109QualityBySource _),
     "q95_substring_dup"   -> (q95SubstringDup _),
@@ -1593,6 +1680,7 @@ object TextQueries {
     "q100_kanonymity"     -> q100Sql,
     "q101_mixture_alloc"  -> q101Sql,
     "q108_token_drift"    -> q108Sql,
-    "q109_quality_by_source" -> q109Sql
+    "q109_quality_by_source" -> q109Sql,
+    "q110_hybrid_rrf"     -> q110Sql
   )
 }

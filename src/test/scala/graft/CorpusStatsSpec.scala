@@ -187,6 +187,22 @@ class CorpusStatsSpec extends SparkSpec {
       col("n_docs")).count() == 0)
   }
 
+  test("q110: fused score restates the two ranks; invariants hold") {
+    val got = TextQueries.q110HybridRrf(spark, sf).cache()
+    assert(got.count() == 20)
+    assert(got.filter(col("rrf") <= 0.0).count() == 0)
+    // ranks are -1 (absent from that ranker) or ≥ 1, never 0
+    assert(got.filter(col("lex_rank") === 0L || col("sem_rank") === 0L)
+      .count() == 0)
+    // rrf is exactly the sum of the reciprocal ranks present
+    val recompute =
+      when(col("lex_rank") =!= -1L,
+        lit(1.0) / (lit(TextQueries.RrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+      when(col("sem_rank") =!= -1L,
+        lit(1.0) / (lit(TextQueries.RrfK) + col("sem_rank"))).otherwise(lit(0.0))
+    assert(got.filter(abs(col("rrf") - recompute) > 1e-6).count() == 0)
+  }
+
   test("q97: cross-source overlap matrix matches paper arithmetic") {
     val got = TextQueries.q97SourceOverlap(spark, shingleDir)
       .select("source_a", "source_b", "n_a", "n_b", "n_shared", "jaccard")
