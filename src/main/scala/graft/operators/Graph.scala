@@ -69,6 +69,48 @@ object Graph {
     labels
   }
 
+  /** BFS levels from a source set over the undirected graph: one row
+    * per node reachable within `maxRounds` hops, labeled with its true
+    * shortest-path distance (BFS discovers every node first at its
+    * minimum level). Frontier expansion Pregel-style: each round one
+    * co-partitioned join frontier⋈edges plus an anti-join against the
+    * seen set; per-round localCheckpoint truncates lineage
+    * ([[connectedComponents]]'s discipline) and the empty-frontier exit
+    * makes post-diameter rounds free. The round cap bounds level ≤
+    * maxRounds — the SAME cap the recursive-SQL oracle twin states, so
+    * both engines cut the frontier identically on high-diameter
+    * graphs. */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                sources: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var levels = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("level"))
+      .localCheckpoint()
+    var frontier = levels
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      val next = frontier
+        .join(und, frontier("node") === und("src"))
+        .select(und("dst").as("node"), lit(round.toLong).as("level"))
+        .distinct()
+        .join(levels.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        levels = levels.union(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    levels
+  }
+
   /** Fixed-iteration PageRank in scaled-INTEGER arithmetic (Page et al.
     * 1999, the public PageRank paper — damping 0.85, uniform teleport).
     *

@@ -685,6 +685,53 @@ object Relational {
        |GROUP BY 1, 2 HAVING count(*) >= $MinPairSupport
        |ORDER BY support DESC, tok_a, tok_b LIMIT 50""".stripMargin
 
+  // --------------------------------------------------------------- q111
+  /** Multi-source BFS over q78's co-purchase graph: every reachable
+    * node labeled with its distance to the NEAREST seed (seeds = part
+    * ids ≡ 0 mod 10 present in the graph) — the distance-to-landmark
+    * kernel behind influence radius and nearest-hub analyses, and the
+    * third Pregel-shaped kernel next to components (q78) and PageRank
+    * (q86). Oracle cross-check: DuckDB computes the same levels by
+    * level-capped RECURSIVE CTE + min() — an entirely different
+    * evaluation strategy agreeing on every distance. Scale shape: per
+    * round ONE frontier⋈edges join co-partitioned on the edge key and
+    * one anti-join against the seen set; rounds ≤ min(diameter, cap). */
+  def q111BfsLevels(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables(spark, dir).lineitem
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = hi.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(hi.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        "l_orderkey")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+    val source = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .filter(col("node") % 10 === 0)
+    graft.operators.Graph.bfsLevels(edges, "src", "dst", source, maxRounds = 10)
+      .orderBy("node")
+  }
+
+  val q111Sql: String =
+    """WITH RECURSIVE hi AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 48),
+      |e0 AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM hi a JOIN hi b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |s AS (
+      |  SELECT DISTINCT src AS node FROM (
+      |    SELECT src FROM e UNION SELECT dst AS src FROM e)
+      |  WHERE src % 10 = 0),
+      |reach(node, lvl) AS (
+      |  SELECT node, CAST(0 AS BIGINT) FROM s
+      |  UNION
+      |  SELECT e.dst, r.lvl + 1 FROM reach r JOIN e ON e.src = r.node
+      |  WHERE r.lvl < 10)
+      |SELECT node, CAST(min(lvl) AS BIGINT) AS level
+      |FROM reach GROUP BY 1 ORDER BY node""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** As-of join (operators.AsOfJoin): every purchase event enriched with
     * the user's most recent STRICTLY-prior view event and the gap to it.
@@ -1476,6 +1523,7 @@ object Relational {
     "q105_lone_late_supplier" -> (q105LoneLateSupplier _),
     "q106_percentile_ladder"  -> (q106PercentileLadder _),
     "q107_frequent_pairs"     -> (q107FrequentPairs _),
+    "q111_bfs_levels"         -> (q111BfsLevels _),
     "q55_asof_join"           -> (q55AsofJoin _),
     "q56_range_join"          -> (q56RangeJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
@@ -1512,6 +1560,7 @@ object Relational {
     "q105_lone_late_supplier" -> q105Sql,
     "q106_percentile_ladder"  -> q106Sql,
     "q107_frequent_pairs"     -> q107Sql,
+    "q111_bfs_levels"         -> q111Sql,
     "q55_asof_join"           -> q55Sql,
     "q56_range_join"          -> q56Sql,
     "q15_json_extract"        -> q15Sql,

@@ -21,6 +21,25 @@ class GraphSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("bfs levels: multi-source distances on a known graph") {
+    // path 1-2-3-4-5 and separate edge 10-11; seeds {1, 10}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val sources = Seq(1L, 10L, 10L).toDF("node") // dup seed must not double rows
+    val got = Graph.bfsLevels(edges, "src", "dst", sources)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      10L -> 0L, 11L -> 1L))
+  }
+
+  test("bfs levels: the round cap truncates the frontier, edge-direction free") {
+    val edges = (0L until 29L).map(i => (i + 1, i)).toDF("src", "dst")
+    val sources = Seq(0L).toDF("node")
+    val got = Graph.bfsLevels(edges, "src", "dst", sources, maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 5L).map(i => i -> i).toMap)
+  }
+
   test("long path converges past single-round reach (30 nodes, diameter 29)") {
     val edges = (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst")
     val got = Graph.connectedComponents(edges, "src", "dst")
