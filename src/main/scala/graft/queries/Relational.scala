@@ -732,6 +732,79 @@ object Relational {
       |SELECT node, CAST(min(lvl) AS BIGINT) AS level
       |FROM reach GROUP BY 1 ORDER BY node""".stripMargin
 
+  // --------------------------------------------------------------- q112
+  /** RFM customer segmentation — recency (days since last order, vs the
+    * global latest order date), frequency (order count), monetary
+    * (long-cents revenue) — each scored into exact quintiles by rank
+    * arithmetic (score = ⌊(rn−1)·5/n⌋+1 over a metric-then-custkey
+    * total order; NO ntile builtin — engines differ on remainder
+    * placement conventions only in documentation, the explicit formula
+    * is the portable definition). All integers end to end. Scale note:
+    * the quintile windows rank the ALREADY-AGGREGATED |customers|
+    * relation; at 100 TB swap the exact quintiles for q66's
+    * histogram-sketch cutpoints — the catalog keeps the exact form
+    * because the scored relation is orders-of-magnitude smaller than
+    * the fact table. */
+  def q112RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val maxd = o.agg(max("o_orderdate").as("maxd"))
+    val rfm = o.groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(maxd))
+      .withColumn("recency_days",
+        datediff(col("maxd"), col("last_order")).cast("long"))
+    val scored = rfm
+      .withColumn("rn_r", row_number().over(
+        Window.orderBy(col("recency_days").desc, col("o_custkey").asc)))
+      .withColumn("rn_f", row_number().over(
+        Window.orderBy(col("frequency").asc, col("o_custkey").asc)))
+      .withColumn("rn_m", row_number().over(
+        Window.orderBy(col("monetary_cents").asc, col("o_custkey").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("r_score",
+        expr("CAST((CAST(rn_r AS BIGINT) - 1) * 5 DIV n + 1 AS BIGINT)"))
+      .withColumn("f_score",
+        expr("CAST((CAST(rn_f AS BIGINT) - 1) * 5 DIV n + 1 AS BIGINT)"))
+      .withColumn("m_score",
+        expr("CAST((CAST(rn_m AS BIGINT) - 1) * 5 DIV n + 1 AS BIGINT)"))
+    scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+      .orderBy("o_custkey")
+  }
+
+  val q112Sql: String =
+    """WITH rfm AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', max(o_orderdate),
+      |      (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (ORDER BY recency_days DESC, o_custkey)
+      |      AS BIGINT) AS rn_r,
+      |    CAST(row_number() OVER (ORDER BY frequency, o_custkey)
+      |      AS BIGINT) AS rn_f,
+      |    CAST(row_number() OVER (ORDER BY monetary_cents, o_custkey)
+      |      AS BIGINT) AS rn_m,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM rfm)
+      |SELECT o_custkey, recency_days, frequency, monetary_cents,
+      |  ((rn_r - 1) * 5) // n + 1 AS r_score,
+      |  ((rn_f - 1) * 5) // n + 1 AS f_score,
+      |  ((rn_m - 1) * 5) // n + 1 AS m_score,
+      |  CAST(((rn_r - 1) * 5) // n + 1 AS VARCHAR)
+      |    || CAST(((rn_f - 1) * 5) // n + 1 AS VARCHAR)
+      |    || CAST(((rn_m - 1) * 5) // n + 1 AS VARCHAR) AS segment
+      |FROM r ORDER BY o_custkey""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** As-of join (operators.AsOfJoin): every purchase event enriched with
     * the user's most recent STRICTLY-prior view event and the gap to it.
@@ -1524,6 +1597,7 @@ object Relational {
     "q106_percentile_ladder"  -> (q106PercentileLadder _),
     "q107_frequent_pairs"     -> (q107FrequentPairs _),
     "q111_bfs_levels"         -> (q111BfsLevels _),
+    "q112_rfm_segments"       -> (q112RfmSegments _),
     "q55_asof_join"           -> (q55AsofJoin _),
     "q56_range_join"          -> (q56RangeJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
@@ -1561,6 +1635,7 @@ object Relational {
     "q106_percentile_ladder"  -> q106Sql,
     "q107_frequent_pairs"     -> q107Sql,
     "q111_bfs_levels"         -> q111Sql,
+    "q112_rfm_segments"       -> q112Sql,
     "q55_asof_join"           -> q55Sql,
     "q56_range_join"          -> q56Sql,
     "q15_json_extract"        -> q15Sql,

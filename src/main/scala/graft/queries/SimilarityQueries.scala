@@ -622,6 +622,45 @@ object SimilarityQueries {
       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
       |FROM cl GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
+  // --------------------------------------------------------------- q113
+  /** Quality-aware canonical selection: within each near-dup cluster
+    * (q45's minhash canonical labels), KEEP the document with the most
+    * distinct tokens (type richness — an integer quality proxy, so no
+    * float tie hazards), doc_id ascending as the tiebreak — the "keep
+    * best, not first" dedup policy real curation pipelines apply where
+    * q45 keeps min-id. One extra rank window over the labeled relation
+    * (partitioned by cluster — never global); all other shuffles are
+    * q45's. */
+  def q113KeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val labels = Dedup.minhashCanonicalize(d,
+      numHashes = 8, bands = 4, shingleK = 3, iterations = 2)
+    val score = d.select(col("doc_id"),
+      size(array_distinct(graft.functions.TextFunctions
+        .whitespaceTokens(col("text")))).cast("long").as("n_distinct"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_id")
+      .orderBy(col("n_distinct").desc, col("doc_id").asc)
+    labels.join(score, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("canonical_id"), col("n_distinct"),
+        (col("rk") === 1).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val q113Sql: String =
+    s"""WITH $canonLabelCtes,
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      AS n_distinct
+      |  FROM documents)
+      |SELECT doc_id, canonical_id, n_distinct,
+      |  row_number() OVER (PARTITION BY canonical_id
+      |    ORDER BY n_distinct DESC, doc_id) = 1 AS kept
+      |FROM labels JOIN sc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** SemDeDup keep-list (Abbas et al. 2023): semantic near-duplicate
     * pruning — deterministic md5-codebook cells, within-cell pairwise
@@ -675,6 +714,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_semdedup" -> (q96SemDedup _),
     "q99_dup_cluster_hist" -> (q99DupClusterHistogram _),
+    "q113_keep_best" -> (q113KeepBest _),
     "q44_embed_neardup" -> (q44EmbedNearDup _),
     "q45_dedup_canonical" -> (q45DedupCanonical _),
     "q30_knn_brute"   -> (q30KnnBrute _),
@@ -693,6 +733,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q96_semdedup" -> q96Sql,
     "q99_dup_cluster_hist" -> q99Sql,
+    "q113_keep_best" -> q113Sql,
     "q45_dedup_canonical" -> q45Sql,
     "q30_knn_brute"   -> q30Sql,
     "q31_embed_norm"  -> q31Sql,

@@ -136,6 +136,23 @@ class RelationalSpec extends SparkSpec {
     assert(got.join(exists, Seq("l_suppkey"), "left_anti").count() == 0)
   }
 
+  test("q112 quintile scores are 1..5 with balanced bucket sizes") {
+    val df = Relational.q112RfmSegments(spark, sf).cache()
+    val n = df.count()
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      assert(df.filter(col(c) < 1 || col(c) > 5).count() == 0)
+      val sizes = df.groupBy(c).count()
+        .collect().map(_.getLong(1))
+      assert(sizes.length == 5)
+      assert(sizes.forall(s => s >= n / 5 && s <= n / 5 + 1), s"$c: ${sizes.toSeq}")
+    }
+    // segment restates the three scores
+    val bad = df.filter(col("segment") =!= concat(
+      col("r_score").cast("string"), col("f_score").cast("string"),
+      col("m_score").cast("string")))
+    assert(bad.count() == 0)
+  }
+
   test("q13 hourly rollup covers all events") {
     val df = Relational.q13HourlyRollup(spark, sf)
     val n = df.agg(sum("n_events")).first().getLong(0)

@@ -157,6 +157,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mass == docs.count())
   }
 
+  test("q113 keeps exactly one best doc per cluster") {
+    val out = graft.queries.SimilarityQueries.q113KeepBest(spark, sf).cache()
+    assert(out.count() == docs.count())
+    // one kept per cluster
+    val perCluster = out.groupBy("canonical_id")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    assert(perCluster.filter(col("n_kept") =!= 1L).count() == 0)
+    // no cluster-mate strictly beats its kept doc on (n_distinct, -doc_id)
+    val kept = out.filter(col("kept")).select(
+      col("canonical_id"), col("n_distinct").as("kd"), col("doc_id").as("kid"))
+    val beaten = out.join(kept, "canonical_id")
+      .filter(col("n_distinct") > col("kd") ||
+        (col("n_distinct") === col("kd") && col("doc_id") < col("kid")))
+    assert(beaten.count() == 0)
+  }
+
   test("semDedup: an exact duplicate is dropped, pointing at the lower id") {
     val dup = emb.filter(col("vec_id") === 0)
       .select(lit(99999L).as("vec_id"), col("embedding"), col("label"))
