@@ -622,6 +622,60 @@ object SimilarityQueries {
       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
       |FROM cl GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
+  // --------------------------------------------------------------- q114
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query vector (vec_id < 50), the single most-similar corpus vector
+    * carrying a DIFFERENT label — the "hardest negative" a contrastive
+    * loss wants in the batch. The label-inequality join broadcasts the
+    * tiny query relation over the corpus scan (one pass, no corpus
+    * shuffle); at corpus scale the same post-label-filter applies on
+    * the LSH-bucketed candidate stream (q42's path) instead of the
+    * full scan. Cosines are the q30 recipe — bit-identical doubles in
+    * both engines. */
+  def q114HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        Similarity.asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", Similarity.l2Norm(col("emb")))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neg_id").asc)
+    e.join(broadcast(q), col("label") =!= col("q_label"))
+      .withColumn("cos_sim",
+        Similarity.dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .select(col("query_id"), col("q_label"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        col("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("query_id", "q_label", "neg_id", "neg_label", "cos_sim")
+      .orderBy("query_id")
+  }
+
+  val q114Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, emb,
+      |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, q.label AS q_label,
+      |    c.vec_id AS neg_id, c.label AS neg_label,
+      |    list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+      |      / (q.nrm * c.nrm) AS cos_sim
+      |  FROM n q JOIN n c ON c.label <> q.label
+      |  WHERE q.vec_id < 20)
+      |SELECT query_id, q_label, neg_id, neg_label, cos_sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neg_id) AS rn
+      |  FROM scored)
+      |WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   // --------------------------------------------------------------- q113
   /** Quality-aware canonical selection: within each near-dup cluster
     * (q45's minhash canonical labels), KEEP the document with the most
@@ -715,6 +769,7 @@ object SimilarityQueries {
     "q96_semdedup" -> (q96SemDedup _),
     "q99_dup_cluster_hist" -> (q99DupClusterHistogram _),
     "q113_keep_best" -> (q113KeepBest _),
+    "q114_hard_negatives" -> (q114HardNegatives _),
     "q44_embed_neardup" -> (q44EmbedNearDup _),
     "q45_dedup_canonical" -> (q45DedupCanonical _),
     "q30_knn_brute"   -> (q30KnnBrute _),
@@ -734,6 +789,7 @@ object SimilarityQueries {
     "q96_semdedup" -> q96Sql,
     "q99_dup_cluster_hist" -> q99Sql,
     "q113_keep_best" -> q113Sql,
+    "q114_hard_negatives" -> q114Sql,
     "q45_dedup_canonical" -> q45Sql,
     "q30_knn_brute"   -> q30Sql,
     "q31_embed_norm"  -> q31Sql,

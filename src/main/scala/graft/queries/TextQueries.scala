@@ -1606,7 +1606,41 @@ object TextQueries {
        |FROM lex FULL OUTER JOIN sem USING (doc_id)
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q115
+  /** Source-interleaved curriculum manifest: a deterministic training
+    * order where sources take strict turns (per-source sequence number
+    * first, source name second) — the "balanced interleave" that keeps
+    * any one source from monopolizing early training. Positions are
+    * integers end to end. Scale shape: one per-source rank window
+    * (partitioned — never global) plus the final manifest ordering; a
+    * training manifest is consumed sorted anyway, so the global order
+    * lives in the WRITE, where range partitioning applies. */
+  def q115CurriculumInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val g = org.apache.spark.sql.expressions.Window
+      .orderBy(col("turn"), col("source"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("turn", row_number().over(w).cast("long"))
+      .withColumn("position", row_number().over(g).cast("long"))
+      .select("position", "doc_id", "source", "turn")
+      .orderBy("position")
+  }
+
+  val q115Sql: String =
+    """SELECT CAST(row_number() OVER (ORDER BY turn, source, doc_id) AS BIGINT)
+      |    AS position,
+      |  doc_id, source, turn
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS BIGINT) AS turn
+      |  FROM documents)
+      |ORDER BY position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_curriculum_interleave" -> (q115CurriculumInterleave _),
     "q110_hybrid_rrf"     -> (q110HybridRrf _),
     "q108_token_drift"    -> ((s: SparkSession, d: String) => q108TokenDrift(s, d)),
     "q109_quality_by_source" -> (q109QualityBySource _),
@@ -1681,6 +1715,7 @@ object TextQueries {
     "q101_mixture_alloc"  -> q101Sql,
     "q108_token_drift"    -> q108Sql,
     "q109_quality_by_source" -> q109Sql,
-    "q110_hybrid_rrf"     -> q110Sql
+    "q110_hybrid_rrf"     -> q110Sql,
+    "q115_curriculum_interleave" -> q115Sql
   )
 }

@@ -187,6 +187,20 @@ class CorpusStatsSpec extends SparkSpec {
       col("n_docs")).count() == 0)
   }
 
+  test("q115: the first block of positions interleaves every source once") {
+    val out = TextQueries.q115CurriculumInterleave(spark, sf).cache()
+    val nSources = Tables(spark, sf).documents
+      .select("source").distinct().count()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    // positions are 1..N contiguous
+    assert(out.agg(max("position")).first().getLong(0) == out.count())
+    assert(out.select("position").distinct().count() == out.count())
+    // the first |sources| positions are all turn 1 with distinct sources
+    val head = out.filter(col("position") <= nSources).cache()
+    assert(head.filter(col("turn") =!= 1L).count() == 0)
+    assert(head.select("source").distinct().count() == nSources)
+  }
+
   test("q110: fused score restates the two ranks; invariants hold") {
     val got = TextQueries.q110HybridRrf(spark, sf).cache()
     assert(got.count() == 20)

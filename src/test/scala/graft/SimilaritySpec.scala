@@ -157,6 +157,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mass == docs.count())
   }
 
+  test("q114 hard negatives carry a different label and top the rank") {
+    val out = graft.queries.SimilarityQueries.q114HardNegatives(spark, sf)
+      .cache()
+    assert(out.count() == 20)
+    assert(out.filter(col("q_label") === col("neg_label")).count() == 0)
+    // the mined negative is at least as similar as ANY other
+    // different-label vector (check against one recomputed query)
+    val e = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("em"))
+      .withColumn("nrm", graft.operators.Similarity.l2Norm(col("em")))
+    val q0 = e.filter(col("vec_id") === 0).first()
+    val best = out.filter(col("query_id") === 0).first()
+    // recompute max different-label cosine for query 0 in the driver
+    val q0e = q0.getAs[Seq[Double]]("em").toArray
+    val q0n = q0.getAs[Double]("nrm")
+    val maxCos = e.filter(col("label") =!= q0.getAs[Long]("label"))
+      .select(col("em"), col("nrm")).collect().map { r =>
+        val v = r.getAs[Seq[Double]]("em").toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * q0e(i); i += 1 }
+        s / (r.getAs[Double]("nrm") * q0n)
+      }.max
+    assert(math.abs(best.getAs[Double]("cos_sim") - maxCos) < 1e-12)
+  }
+
   test("q113 keeps exactly one best doc per cluster") {
     val out = graft.queries.SimilarityQueries.q113KeepBest(spark, sf).cache()
     assert(out.count() == docs.count())
