@@ -164,6 +164,19 @@ class InvariantSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("no catalog query plans a CartesianProduct") {
+    // crossJoins against broadcast scalar frames compile to
+    // BroadcastNestedLoopJoin (bounded build side — fine); an actual
+    // CartesianProductExec means two unbounded sides met without a key
+    // and would be a scale-killer anywhere in the catalog
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
   test("q98 per-doc top-3 runs as a WindowGroupLimit, not a full sort") {
     val plan = graft.queries.TextQueries.q98TfidfKeywords(spark, sf)
       .queryExecution.executedPlan.toString
