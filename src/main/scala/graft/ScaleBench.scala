@@ -289,6 +289,42 @@ object ScaleBench {
         // (copies add no new source-level shingles), so runtime must
         // track the linear distinct pass while the output stays fixed
         "source_overlap" -> (() => TextQueries.q97SourceOverlap(spark, dir)),
+        // frequent token pairs (q107's shape): the frequent-item
+        // pre-filter holds the per-doc pair fanout at quadratic-in-
+        // FREQUENT-tokens; the support threshold scales with the factor
+        // so the mined pair set is identical at every factor — runtime
+        // must track the linear token stream, not the pair space
+        "frequent_pairs" -> (() => {
+          val minSup = 100 * factor
+          val tok = Tables(spark, dir).documents
+            .select(col("doc_id"), explode(array_distinct(
+              graft.functions.TextFunctions.whitespaceTokens(col("text"))))
+              .as("token"))
+          val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= minSup).select("token")
+          val ft = tok.join(broadcast(freq), "token")
+          ft.select(col("doc_id"), col("token").as("tok_a"))
+            .join(ft.select(col("doc_id"), col("token").as("tok_b")),
+              Seq("doc_id"))
+            .filter(col("tok_a") < col("tok_b"))
+            .groupBy("tok_a", "tok_b")
+            .agg(count(lit(1)).as("support"))
+            .filter(col("support") >= minSup)
+        }),
+        // multi-source BFS (q111's shape) on the star topology: seeds =
+        // star centers, so every node resolves in ≤ 1 round at every
+        // factor — the row isolates the per-round join cost from
+        // diameter effects (CC below covers multi-round convergence)
+        "bfs_levels" -> (() => {
+          val d = Tables(spark, dir).documents
+          val edges = d.select(col("doc_id").as("src"),
+              (col("doc_id") - col("doc_id") % 5).as("dst"))
+            .filter(col("src") =!= col("dst"))
+          val seeds = d.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id").as("node"))
+          graft.operators.Graph.bfsLevels(edges, "src", "dst", seeds,
+            maxRounds = 3)
+        }),
         // graph kernel on a synthesized per-copy topology (5-node stars
         // + a triangle per 3rd node): component count, ranks, and
         // triangle count all scale linearly; rounds stay CONSTANT —
