@@ -805,6 +805,89 @@ object Relational {
       |    || CAST(((rn_m - 1) * 5) // n + 1 AS VARCHAR) AS segment
       |FROM r ORDER BY o_custkey""".stripMargin
 
+  // --------------------------------------------------------------- q116
+  /** TPC-H Q5-shaped star join: revenue per nation for ASIA orders in
+    * 1996-1997 — lineitem ⋈ orders (the one fact-fact shuffle, keyed on
+    * the order key both sides) ⋈ customer (key-shuffled) ⋈ nation ⋈
+    * region (both broadcast). Date + region predicates prune BEFORE the
+    * shuffles (filter pushdown on the orders scan, broadcast semi
+    * effect through the dim joins). Revenue is q02's exact integer
+    * product form (cents × (100 − disc-hundredths), one final
+    * division). */
+  def q116RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dims = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    t.lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_lineitems"),
+        (sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0)
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val q116Sql: String =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_lineitems,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // --------------------------------------------------------------- q117
+  /** Explicit GROUPING SETS — the third member of the grouping family
+    * next to ROLLUP (q18) and CUBE (q76): per-mktsegment totals,
+    * per-orderpriority totals, and the grand total in ONE aggregation
+    * pass (Spark expands sets into a single shuffle; no union of three
+    * scans). `grouping()` flags disambiguate subtotal NULLs from data
+    * NULLs — the flags, not the NULL markers, are the portable
+    * contract. */
+  def q117GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.orders.join(t.customer,
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"), col("o_totalprice"))
+    base.groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("o_orderpriority")), Seq()),
+        col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum("o_totalprice").as("total_price"),
+        grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+      .orderBy(col("g_seg"), col("g_prio"), col("c_mktsegment"),
+        col("o_orderpriority"))
+  }
+
+  val q117Sql: String =
+    """SELECT c_mktsegment, o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+      |ORDER BY g_seg, g_prio, c_mktsegment, o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** As-of join (operators.AsOfJoin): every purchase event enriched with
     * the user's most recent STRICTLY-prior view event and the gap to it.
@@ -1598,6 +1681,8 @@ object Relational {
     "q107_frequent_pairs"     -> (q107FrequentPairs _),
     "q111_bfs_levels"         -> (q111BfsLevels _),
     "q112_rfm_segments"       -> (q112RfmSegments _),
+    "q116_region_revenue"     -> (q116RegionRevenue _),
+    "q117_grouping_sets"      -> (q117GroupingSets _),
     "q55_asof_join"           -> (q55AsofJoin _),
     "q56_range_join"          -> (q56RangeJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
@@ -1636,6 +1721,8 @@ object Relational {
     "q107_frequent_pairs"     -> q107Sql,
     "q111_bfs_levels"         -> q111Sql,
     "q112_rfm_segments"       -> q112Sql,
+    "q116_region_revenue"     -> q116Sql,
+    "q117_grouping_sets"      -> q117Sql,
     "q55_asof_join"           -> q55Sql,
     "q56_range_join"          -> q56Sql,
     "q15_json_extract"        -> q15Sql,

@@ -153,6 +153,30 @@ class RelationalSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("q117 grouping sets: subtotals reconcile with the grand total") {
+    val df = Relational.q117GroupingSets(spark, sf).cache()
+    val total = df.filter(col("g_seg") === 1 && col("g_prio") === 1)
+    assert(total.count() == 1)
+    val n = total.first().getAs[Long]("n_orders")
+    // each dimension's subtotals partition the same order set
+    val bySeg = df.filter(col("g_seg") === 0 && col("g_prio") === 1)
+      .agg(sum("n_orders")).first().getLong(0)
+    val byPrio = df.filter(col("g_seg") === 1 && col("g_prio") === 0)
+      .agg(sum("n_orders")).first().getLong(0)
+    assert(bySeg == n && byPrio == n)
+    // no (0,0) rows: the sets are one-dimensional + grand total only
+    assert(df.filter(col("g_seg") === 0 && col("g_prio") === 0).count() == 0)
+  }
+
+  test("q116 star join: revenue ordered desc, all-ASIA nations positive") {
+    val df = Relational.q116RegionRevenue(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0.0))
+    val revs = rows.map(_.getAs[Double]("revenue")).toSeq
+    assert(revs == revs.sorted.reverse)
+  }
+
   test("q13 hourly rollup covers all events") {
     val df = Relational.q13HourlyRollup(spark, sf)
     val n = df.agg(sum("n_events")).first().getLong(0)
