@@ -62,4 +62,38 @@ object AsOfJoin {
       .filter(col("_side") === 0)
       .drop("_side", "_r_id")
   }
+
+  /** Forward as-of: match each left row to the EARLIEST right row with
+    * the same key STRICTLY LATER in event time — [[asOf]]'s mirror
+    * (each quote → the next trade; each page view → the next purchase).
+    * Same union + single-window shape, same one-shuffle cost: the sort
+    * runs time-DESCENDING, so "rows before me" are the strictly-later
+    * ones and the frame's last row is the nearest. Tie rules mirror
+    * [[asOf]]: a right row at the identical timestamp does NOT match;
+    * among right rows at the same (later) instant the SMALLEST
+    * `rightId` wins. Output columns `asof_id` / `asof_ts`, NULL when
+    * nothing follows. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+                  leftId: String, rightId: String): DataFrame = {
+    val l = left
+      .withColumn("_side", lit(0))
+      .withColumn("_r_id", lit(null).cast("long"))
+    val r = right.select(
+      col(key), col(ts),
+      col(rightId).cast("long").as("_r_id"),
+      lit(1).as("_side"))
+    val both = l.unionByName(r, allowMissingColumns = true)
+    // DESC time, left first at equal ts (strictly-later only), ids DESC
+    // so the frame's LAST row at the nearest instant is the smallest id
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).desc, col("_side").asc,
+        coalesce(col("_r_id"), col(leftId).cast("long")).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    both
+      .withColumn("asof_id", last(col("_r_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts",
+        last(when(col("_side") === 1, col(ts)), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .drop("_side", "_r_id")
+  }
 }

@@ -939,6 +939,50 @@ object Relational {
       |  coalesce(us - view_us, -1) AS gap_us
       |FROM m WHERE side = 0 ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- q118
+  /** Forward as-of join (operators.AsOfJoin.asOfForward): every view
+    * event enriched with the user's NEXT purchase and the gap to it —
+    * the time-to-convert signal, q55's mirror. Same single-shuffle
+    * union + window shape, time-descending. Sentinels mirror q55
+    * (-1 = no later purchase). */
+  def q118AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts_us")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    graft.operators.AsOfJoin
+      .asOfForward(views, purchases, key = "user_id", ts = "ts_us",
+        leftId = "event_id", rightId = "event_id")
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("asof_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("asof_ts") - col("ts_us"), lit(-1L)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val q118Sql: String =
+    """WITH u AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |m AS (
+      |  SELECT event_id, user_id, us, side,
+      |    last_value(CASE WHEN side = 1 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us DESC, side, event_id DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS purchase_id,
+      |    last_value(CASE WHEN side = 1 THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us DESC, side, event_id DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS purchase_us
+      |  FROM u)
+      |SELECT event_id, user_id, us AS ts_us,
+      |  coalesce(purchase_id, -1) AS purchase_id,
+      |  coalesce(purchase_us - us, -1) AS gap_us
+      |FROM m WHERE side = 0 ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q15
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` column and aggregate on it. get_json_object stays inside
@@ -1684,6 +1728,7 @@ object Relational {
     "q116_region_revenue"     -> (q116RegionRevenue _),
     "q117_grouping_sets"      -> (q117GroupingSets _),
     "q55_asof_join"           -> (q55AsofJoin _),
+    "q118_asof_forward"       -> (q118AsofForward _),
     "q56_range_join"          -> (q56RangeJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
     "q16_pivot"               -> (q16Pivot _),
@@ -1723,6 +1768,7 @@ object Relational {
     "q112_rfm_segments"       -> q112Sql,
     "q116_region_revenue"     -> q116Sql,
     "q117_grouping_sets"      -> q117Sql,
+    "q118_asof_forward"       -> q118Sql,
     "q55_asof_join"           -> q55Sql,
     "q56_range_join"          -> q56Sql,
     "q15_json_extract"        -> q15Sql,

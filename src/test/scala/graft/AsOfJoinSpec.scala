@@ -60,4 +60,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  private def runFwd(l: org.apache.spark.sql.DataFrame,
+                     r: org.apache.spark.sql.DataFrame) =
+    AsOfJoin.asOfForward(l, r, key = "user_id", ts = "ts",
+        leftId = "event_id", rightId = "event_id")
+      .select("event_id", "asof_id", "asof_ts")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, v, t) => k -> ((v, t)) }.toMap
+
+  test("forward: matches the earliest strictly-later right row") {
+    val m = runFwd(
+      left((100L, 1L, 10L), (101L, 1L, 50L), (102L, 2L, 50L)),
+      right((1L, 1L, 20L), (2L, 1L, 40L), (3L, 2L, 30L)))
+    assert(m(100L) == (Some(1L), Some(20L))) // nearest of the two laters
+    assert(m(101L) == (None, None))          // nothing after ts=50
+    assert(m(102L) == (None, None))          // right row is earlier
+  }
+
+  test("forward: equal ts excluded; equal-later-ts ties go to smallest id") {
+    val m = runFwd(
+      left((100L, 1L, 30L), (101L, 2L, 10L)),
+      right((1L, 1L, 30L), (7L, 2L, 20L), (3L, 2L, 20L)))
+    assert(m(100L) == (None, None))          // same-ts right row excluded
+    assert(m(101L) == (Some(3L), Some(20L))) // smallest id at the instant
+  }
 }
