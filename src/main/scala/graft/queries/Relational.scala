@@ -983,6 +983,120 @@ object Relational {
       |  coalesce(purchase_us - us, -1) AS gap_us
       |FROM m WHERE side = 0 ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- q119
+  /** Robust outlier detection by median absolute deviation: orders
+    * whose total strays more than 3×MAD from the median — the
+    * heavy-tail-safe alternative to z-scores (one wild order can't
+    * drag the threshold the way it drags a mean/stddev). Median and
+    * MAD are exact order statistics via q106's rank arithmetic — both
+    * are actual data values in cents, so every comparison is integer;
+    * the reported ratio is the only double (one division, 4dp). Scale
+    * note: two rank passes over the order-total relation; at 100 TB
+    * both swap for q66's histogram-sketch order statistics. */
+  def q119MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def lowerMedian(df: DataFrame, c: String, id: String): DataFrame = {
+      val w = Window.orderBy(col(c).asc, col(id).asc)
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col(c).as("med"))
+    }
+    val med = lowerMedian(o, "cents", "o_orderkey")
+    val dev = o.crossJoin(broadcast(med))
+      .withColumn("deviation_cents", abs(col("cents") - col("med")))
+    val mad = lowerMedian(
+      dev.select(col("o_orderkey"), col("deviation_cents")),
+      "deviation_cents", "o_orderkey")
+      .select(col("med").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter(col("deviation_cents") > lit(2L) * col("mad"))
+      .withColumn("mad_ratio",
+        round(col("deviation_cents").cast("double") / col("mad"), 4))
+      .select("o_orderkey", "cents", "deviation_cents", "mad_ratio")
+      .orderBy(col("deviation_cents").desc, col("o_orderkey").asc)
+      .limit(50)
+  }
+
+  val q119Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |m AS (
+      |  SELECT cents AS med FROM (
+      |    SELECT cents,
+      |      CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT)
+      |        AS rn,
+      |      CAST(count(*) OVER () AS BIGINT) AS n
+      |    FROM o)
+      |  WHERE rn = (n + 1) // 2),
+      |d AS (
+      |  SELECT o_orderkey, cents, abs(cents - med) AS deviation_cents
+      |  FROM o, m),
+      |md AS (
+      |  SELECT deviation_cents AS mad FROM (
+      |    SELECT deviation_cents,
+      |      CAST(row_number() OVER (ORDER BY deviation_cents, o_orderkey)
+      |        AS BIGINT) AS rn,
+      |      CAST(count(*) OVER () AS BIGINT) AS n
+      |    FROM d)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT o_orderkey, cents, deviation_cents,
+      |  round(CAST(deviation_cents AS DOUBLE) / mad, 4) AS mad_ratio
+      |FROM d, md WHERE deviation_cents > 2 * mad
+      |ORDER BY deviation_cents DESC, o_orderkey LIMIT 50""".stripMargin
+
+  // --------------------------------------------------------------- q120
+  /** Changepoint detection on daily event volume — integer-exact CUSUM:
+    * with D days, total N events, and prefix sums P_t, the statistic
+    * S_t = D·P_t − t·N is D× the classic "prefix minus expected"
+    * cumulative sum, so it needs NO division — every value is an exact
+    * BIGINT in both engines and argmax |S_t| (tie → earliest day)
+    * marks the most likely level-shift boundary. One map-side-combined
+    * daily rollup (≤ days rows), then window arithmetic on that tiny
+    * relation. */
+  def q120Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(expr("ts_ns DIV 86400000000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("p", sum("c").over(w))
+      .withColumn("d_days", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("n_total", sum("c").over(Window.partitionBy()))
+      .withColumn("cusum", col("d_days") * col("p") - col("t") * col("n_total"))
+    val peak = scored
+      .orderBy(abs(col("cusum")).desc, col("day").asc).limit(1)
+      .select(col("day").as("peak_day"))
+    scored.crossJoin(broadcast(peak))
+      .select(col("day"), col("c").as("n_events"), col("cusum"),
+        (col("day") === col("peak_day")).as("is_changepoint"))
+      .orderBy("day")
+  }
+
+  val q120Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT day, c,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    CAST(sum(c) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+      |    CAST(count(*) OVER () AS BIGINT) AS d_days,
+      |    CAST(sum(c) OVER () AS BIGINT) AS n_total
+      |  FROM daily),
+      |sc AS (SELECT day, c, d_days * p - t * n_total AS cusum FROM s),
+      |pk AS (SELECT day AS peak_day FROM sc
+      |       ORDER BY abs(cusum) DESC, day LIMIT 1)
+      |SELECT day, c AS n_events, cusum, day = peak_day AS is_changepoint
+      |FROM sc, pk ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------- q15
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` column and aggregate on it. get_json_object stays inside
@@ -1729,6 +1843,8 @@ object Relational {
     "q117_grouping_sets"      -> (q117GroupingSets _),
     "q55_asof_join"           -> (q55AsofJoin _),
     "q118_asof_forward"       -> (q118AsofForward _),
+    "q119_mad_outliers"       -> (q119MadOutliers _),
+    "q120_changepoint"        -> (q120Changepoint _),
     "q56_range_join"          -> (q56RangeJoin _),
     "q15_json_extract"        -> (q15JsonExtract _),
     "q16_pivot"               -> (q16Pivot _),
@@ -1769,6 +1885,8 @@ object Relational {
     "q116_region_revenue"     -> q116Sql,
     "q117_grouping_sets"      -> q117Sql,
     "q118_asof_forward"       -> q118Sql,
+    "q119_mad_outliers"       -> q119Sql,
+    "q120_changepoint"        -> q120Sql,
     "q55_asof_join"           -> q55Sql,
     "q56_range_join"          -> q56Sql,
     "q15_json_extract"        -> q15Sql,

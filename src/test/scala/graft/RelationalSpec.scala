@@ -177,6 +177,25 @@ class RelationalSpec extends SparkSpec {
     assert(revs == revs.sorted.reverse)
   }
 
+  test("q119 outliers all exceed twice the MAD; ratio restates the bar") {
+    val df = Relational.q119MadOutliers(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("mad_ratio") <= 2.0).count() == 0)
+    assert(df.filter(col("deviation_cents") <= 0).count() == 0)
+  }
+
+  test("q120 cusum is zero at the last day and flags exactly one peak") {
+    val df = Relational.q120Changepoint(spark, sf).cache()
+    // S_D = D·N − D·N = 0 by construction
+    val last = df.orderBy(col("day").desc).first()
+    assert(last.getAs[Long]("cusum") == 0L)
+    assert(df.filter(col("is_changepoint")).count() == 1)
+    // the flagged day attains the max |cusum|
+    val mx = df.agg(max(abs(col("cusum")))).first().getLong(0)
+    val peak = df.filter(col("is_changepoint")).first()
+    assert(math.abs(peak.getAs[Long]("cusum")) == mx)
+  }
+
   test("q13 hourly rollup covers all events") {
     val df = Relational.q13HourlyRollup(spark, sf)
     val n = df.agg(sum("n_events")).first().getLong(0)
