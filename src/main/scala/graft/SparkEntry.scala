@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.MlQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.SketchQueries.queries
+      graft.queries.SketchQueries.queries ++
+      graft.queries.StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.MlQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
-      graft.queries.SketchQueries.oracles
+      graft.queries.SketchQueries.oracles ++
+      graft.queries.StatsQueries.oracles
 }

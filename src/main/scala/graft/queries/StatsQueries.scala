@@ -1,0 +1,327 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistics / temporal-modeling operators over the event stream and
+  * the catalog tables: SCD2 run-length intervals, duplicate-event
+  * suppression, a scalable 2-D skyline, per-group OLS trend lines, a
+  * corpus Zipf-law fit, and salted exact distinct counts.
+  *
+  * Shared determinism discipline (ARCHITECTURE.md): integer-exact
+  * aggregates wherever possible, ONE double expression in a pinned
+  * association order mirrored by the oracle, `round(…, 4-6)` to absorb
+  * ≤1-ulp libm divergence, and total orders on (ts_us, event_id) so
+  * tie-breaks agree across engines.
+  */
+object StatsQueries {
+
+  private def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("ts_ns DIV 1000").as("ts_us"))
+
+  // --------------------------------------------------------------- q121
+  /** SCD type-2 interval assembly: collapse each user's event stream
+    * into maximal runs of one event_type — the valid_from/valid_to
+    * change-history shape a warehouse keeps for slowly-changing
+    * attributes. Run boundaries come from ONE window pass (lag +
+    * running sum of change flags over the same (user_id) partitioning,
+    * so Spark plans a single exchange + sort for both functions), then
+    * a key-partitioned groupBy on (user, run) builds the intervals.
+    * Nothing is quadratic and no stage holds more than one user's
+    * ordered slice. */
+  def q121Scd2Runs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = eventsUs(spark, dir)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    run.groupBy("user_id", "run_id")
+      .agg(
+        min("event_type").as("event_type"), // constant within a run
+        min("ts_us").as("valid_from_us"),
+        max("ts_us").as("valid_to_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "event_type", "valid_from_us", "valid_to_us",
+        "n_events")
+      .orderBy("user_id", "valid_from_us", "event_type")
+  }
+
+  val q121Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events),
+      |r AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM r)
+      |SELECT user_id, min(event_type) AS event_type,
+      |  min(ts_us) AS valid_from_us, max(ts_us) AS valid_to_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, run_id
+      |ORDER BY user_id, valid_from_us, event_type""".stripMargin
+
+  // --------------------------------------------------------------- q122
+  /** Duplicate-event suppression: drop an event when an identical
+    * (user, type, value-cents) event arrived within the trailing
+    * window — the idempotency pass that de-dupes client retries and
+    * at-least-once delivery before events feed training counters.
+    * One lag over the identity-key partitioning; value compares in
+    * exact cents so the key is integer. Survivors = first event of
+    * each duplicate burst. */
+  val SuppressWindowUs = 600000000L // 10 minutes
+
+  def q122DupSuppress(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(spark, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val w = Window.partitionBy("user_id", "event_type", "cents")
+      .orderBy("ts_us", "event_id")
+    ev.withColumn("prev_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_us").isNull ||
+        col("ts_us") - col("prev_us") > lit(SuppressWindowUs))
+      .select("event_id", "user_id", "event_type", "ts_us")
+      .orderBy("event_id")
+  }
+
+  val q122Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |l AS (
+       |  SELECT *, lag(ts_us) OVER (
+       |    PARTITION BY user_id, event_type, cents
+       |    ORDER BY ts_us, event_id) AS prev_us
+       |  FROM e)
+       |SELECT event_id, user_id, event_type, ts_us
+       |FROM l WHERE prev_us IS NULL OR ts_us - prev_us > $SuppressWindowUs
+       |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- q123
+  /** 2-D skyline (pareto front): parts not dominated on
+    * (minimize price, maximize size). The naive formulation is an
+    * all-pairs NOT EXISTS; this one is the scalable prefix-scan
+    * decomposition: (1) best size per exact price (key-partitioned
+    * agg), (2) best size per $100 price bin (tiny agg), (3) prefix max
+    * over bins — a window over the ≤#bins-row frame, the only
+    * single-partition step and it is O(bins), (4) within-bin running
+    * max re-partitioned by bin, (5) a part is on the front iff its
+    * size beats every strictly-cheaper price's best. The front is then
+    * broadcast back against the part table to recover tied part keys.
+    * Each step is a key-partitioned shuffle of an already-aggregated
+    * frame, so the shape survives any row count; only step (3) is
+    * global and it scales with the BIN count. */
+  val SkylineBinCents = 10000L // $100 price bins
+
+  def q123Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir).part.select(
+      col("p_partkey"), col("p_size"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+    val perPrice = p.groupBy("price_cents")
+      .agg(max("p_size").as("best_size"))
+      .withColumn("bin", expr(s"price_cents DIV $SkylineBinCents"))
+    val perBin = perPrice.groupBy("bin").agg(max("best_size").as("bin_best"))
+    val prefix = perBin.withColumn("cheaper_bins_best",
+      max("bin_best").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("bin", "cheaper_bins_best")
+    val withinBin = Window.partitionBy("bin").orderBy("price_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = perPrice
+      .join(broadcast(prefix), "bin")
+      .withColumn("cheaper_in_bin_best", max("best_size").over(withinBin))
+      .withColumn("cheaper_best",
+        greatest(coalesce(col("cheaper_bins_best"), lit(Int.MinValue)),
+          coalesce(col("cheaper_in_bin_best"), lit(Int.MinValue))))
+      .filter(col("best_size") > col("cheaper_best"))
+      // fresh names: front derives from p, so joining back on the raw
+      // columns would collide attribute ids (self-join ambiguity)
+      .select(col("price_cents").as("f_cents"), col("best_size"))
+    p.join(broadcast(front),
+        col("price_cents") === col("f_cents") &&
+          col("p_size") === col("best_size"))
+      .select("p_partkey", "price_cents", "p_size")
+      .orderBy("price_cents", "p_partkey")
+  }
+
+  val q123Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_size,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      |  FROM part)
+      |SELECT p_partkey, price_cents, p_size FROM p r
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p s
+      |  WHERE s.price_cents <= r.price_cents AND s.p_size >= r.p_size
+      |    AND (s.price_cents < r.price_cents OR s.p_size > r.p_size))
+      |ORDER BY price_cents, p_partkey""".stripMargin
+
+  // --------------------------------------------------------------- q124
+  /** Per-event-type traffic trend: OLS slope of daily event counts vs
+    * epoch day, events/day². One map-side-combined daily rollup, then
+    * the five OLS moments (n, Σx, Σy, Σxy, Σx²) as EXACT BIGINTs per
+    * type — numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² stay
+    * integer (magnitudes ≤ ~2^40 here; at larger spans center x first),
+    * so the slope is ONE double division both engines perform on
+    * identical integers. */
+  def q124TrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), expr("ts_ns DIV 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    daily.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("day").as("sx"),
+        sum("c").as("sy"),
+        sum(col("day") * col("c")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_per_day",
+        when(col("den") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") / col("den"), 6)))
+      .select("event_type", "n_days", "sy", "slope_per_day")
+      .withColumnRenamed("sy", "n_events")
+      .orderBy("event_type")
+  }
+
+  val q124Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(day) AS BIGINT) AS sx,
+      |    CAST(sum(c) AS BIGINT) AS sy,
+      |    CAST(sum(day * c) AS BIGINT) AS sxy,
+      |    CAST(sum(day * day) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days, sy AS n_events,
+      |  CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+      |    ELSE round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+      |      / (n_days * sxx - sx * sx), 6) END AS slope_per_day
+      |FROM m ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q125
+  /** Zipf-law fit over the token frequency spectrum: OLS slope of
+    * ln(freq) on ln(rank) for the top-K tokens — the corpus-health
+    * number (≈ −1 for natural text) a pretraining pipeline tracks to
+    * spot TEMPLATED or truncated-vocabulary data. The census is a
+    * map-side-combined groupBy; the fit runs on the K-row head, folded
+    * sequentially in rank order (sort_array + `aggregate`, the pinned-
+    * association-order device — DuckDB mirrors with ordered `list` +
+    * `list_reduce`, both left folds, so every partial sum associates
+    * identically) and the final slope rounds to 4dp to absorb ≤1-ulp
+    * `ln` divergence (q89's discipline). */
+  val ZipfTopK = 500
+
+  def q125ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ranked = freq
+      .orderBy(desc("c"), col("tok")).limit(ZipfTopK)
+      .withColumn("r",
+        row_number().over(Window.orderBy(desc("c"), col("tok"))).cast("long"))
+    val folded = ranked
+      .agg(sort_array(collect_list(struct(col("r"), col("c")))).as("a"))
+      .withColumn("n", size(col("a")).cast("double"))
+      .withColumn("sx", expr(
+        "aggregate(a, 0D, (acc, s) -> acc + ln(CAST(s.r AS DOUBLE)))"))
+      .withColumn("sy", expr(
+        "aggregate(a, 0D, (acc, s) -> acc + ln(CAST(s.c AS DOUBLE)))"))
+      .withColumn("sxy", expr(
+        "aggregate(a, 0D, (acc, s) -> acc + ln(CAST(s.r AS DOUBLE)) " +
+          "* ln(CAST(s.c AS DOUBLE)))"))
+      .withColumn("sxx", expr(
+        "aggregate(a, 0D, (acc, s) -> acc + ln(CAST(s.r AS DOUBLE)) " +
+          "* ln(CAST(s.r AS DOUBLE)))"))
+    // (n*sxy − sx*sy) / (n*sxx − sx*sx) in this exact association order
+    folded.select(
+      col("n").cast("long").as("n_top"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+        .as("zipf_slope"))
+  }
+
+  val q125Sql: String =
+    s"""WITH f AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1),
+       |top AS (
+       |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+       |    AS r
+       |  FROM f ORDER BY c DESC, tok LIMIT $ZipfTopK),
+       |l AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    list(ln(CAST(r AS DOUBLE)) ORDER BY r) AS lx,
+       |    list(ln(CAST(c AS DOUBLE)) ORDER BY r) AS ly,
+       |    list(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) ORDER BY r)
+       |      AS lxy,
+       |    list(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) ORDER BY r)
+       |      AS lxx
+       |  FROM top),
+       |s AS (
+       |  SELECT n,
+       |    list_reduce(lx, (a, b) -> a + b) AS sx,
+       |    list_reduce(ly, (a, b) -> a + b) AS sy,
+       |    list_reduce(lxy, (a, b) -> a + b) AS sxy,
+       |    list_reduce(lxx, (a, b) -> a + b) AS sxx
+       |  FROM l)
+       |SELECT CAST(n AS BIGINT) AS n_top,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+       |FROM s""".stripMargin
+
+  // --------------------------------------------------------------- q126
+  /** Exact distinct users per event type through the two-stage SALTED
+    * aggregation (operators.Salting.saltedDistinctCount): partial
+    * distinct on (key, hash(value) % salts), final sum on key. For an
+    * algebraic count Catalyst's partial aggregation makes this
+    * redundant; for exact DISTINCT it is the manual skew spread — one
+    * hot event_type's users fan over `salts` tasks instead of one.
+    * Value-hashed salting keeps partials disjoint, so the sum is exact
+    * (oracle: plain COUNT(DISTINCT)). */
+  def q126SaltedDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting
+      .saltedDistinctCount(
+        Tables(spark, dir).events, key = "event_type",
+        valueCol = "user_id", salts = 16)
+      .withColumnRenamed("distinct_count", "n_users")
+      .orderBy("event_type")
+
+  val q126Sql: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_scd2_runs"       -> (q121Scd2Runs _),
+    "q122_dup_suppress"    -> (q122DupSuppress _),
+    "q123_skyline"         -> (q123Skyline _),
+    "q124_trend_slope"     -> (q124TrendSlope _),
+    "q125_zipf_slope"      -> (q125ZipfSlope _),
+    "q126_salted_distinct" -> (q126SaltedDistinct _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q121_scd2_runs"       -> q121Sql,
+    "q122_dup_suppress"    -> q122Sql,
+    "q123_skyline"         -> q123Sql,
+    "q124_trend_slope"     -> q124Sql,
+    "q125_zipf_slope"      -> q125Sql,
+    "q126_salted_distinct" -> q126Sql
+  )
+}

@@ -1,0 +1,145 @@
+package graft
+
+import graft.queries.StatsQueries
+import org.apache.spark.sql.functions._
+
+class StatsQueriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Injected events fixture with hand-computable runs / duplicates:
+    * user 1: view@0m, view@1m, click@2m, view@3m   → runs V[0,1] C[2] V[3]
+    * user 2: click@0m, click@25m (same value)      → duplicate inside 10m? no (25m) → both kept
+    * user 3: buy@0m, buy@5m (same value)           → 5m gap: second suppressed
+    * value cents distinguish duplicates: user1 events all differ.  */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stats-spec").toString
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    Seq(
+      (10L, ts(0), 1L, "view", 1.00, "{}"),
+      (11L, ts(1), 1L, "view", 2.00, "{}"),
+      (12L, ts(2), 1L, "click", 3.00, "{}"),
+      (13L, ts(3), 1L, "view", 4.00, "{}"),
+      (20L, ts(0), 2L, "click", 5.00, "{}"),
+      (21L, ts(25), 2L, "click", 5.00, "{}"),
+      (30L, ts(0), 3L, "buy", 7.00, "{}"),
+      (31L, ts(5), 3L, "buy", 7.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    Seq(
+      (1L, "hi", 1, 9999.99, "a", "b"),
+      (2L, "lo", 5, 100.00, "a", "b"),
+      (3L, "mid", 3, 500.00, "a", "b"),
+      (4L, "dominated", 2, 600.00, "a", "b"),
+      (5L, "tie", 5, 100.00, "a", "b"),
+      (6L, "big", 9, 9999.99, "a", "b"))
+      .toDF("p_partkey", "p_name", "p_size", "p_retailprice",
+        "p_brand", "p_type")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    d
+  }
+
+  test("q121: runs collapse exactly on the hand fixture") {
+    val m = 60000000L // one minute in micros
+    val got = StatsQueries.q121Scd2Runs(spark, dir)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "view", 0L, 1 * m, 2L),
+      (1L, "click", 2 * m, 2 * m, 1L),
+      (1L, "view", 3 * m, 3 * m, 1L),
+      (2L, "click", 0L, 25 * m, 2L),
+      (3L, "buy", 0L, 5 * m, 2L)))
+  }
+
+  test("q121: runs partition the stream — n_events sums to the row count") {
+    val df = StatsQueries.q121Scd2Runs(spark, sf)
+    val total = df.agg(sum("n_events")).first().getLong(0)
+    assert(total == Tables(spark, sf).events.count())
+    // adjacent runs of one user never share an event_type
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from_us", "event_type")
+    val adjacentSame = df
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev") === col("event_type")).count()
+    assert(adjacentSame == 0)
+  }
+
+  test("q122: inside-window duplicate suppressed, outside-window kept") {
+    val got = StatsQueries.q122DupSuppress(spark, dir)
+      .select("event_id").as[Long].collect().toSeq
+    // 31 (buy@5m, same user/type/cents as 30) is the only suppression
+    assert(got == Seq(10L, 11L, 12L, 13L, 20L, 21L, 30L))
+  }
+
+  test("q123: skyline on the hand fixture keeps ties and kills dominated") {
+    val got = StatsQueries.q123Skyline(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    // fronts: (100.00, size 5) ties → parts 2 and 5; (9999.99, size 9) → 6.
+    // part 3 (500.00, 3) and 4 (600.00, 2) dominated by 2/5; part 1
+    // (9999.99, 1) dominated by everything.
+    assert(got == Seq((2L, 10000L, 5), (5L, 10000L, 5), (6L, 999999L, 9)))
+  }
+
+  test("q123: prefix-scan skyline == quadratic NOT EXISTS on real parts") {
+    val p = Tables(spark, sf).part.select(
+      col("p_partkey"), col("p_size"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+    val s = p.alias("s")
+    val r = p.alias("r")
+    val dominated = r.join(s,
+      col("s.price_cents") <= col("r.price_cents") &&
+        col("s.p_size") >= col("r.p_size") &&
+        (col("s.price_cents") < col("r.price_cents") ||
+          col("s.p_size") > col("r.p_size")), "left_semi")
+    val brute = p.exceptAll(dominated)
+      .select(col("p_partkey"), col("price_cents"), col("p_size"))
+    val fast = StatsQueries.q123Skyline(spark, sf)
+    assert(fast.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(fast).count() == 0)
+    assert(fast.count() > 0)
+  }
+
+  test("q124: slope is exact on a constructed two-type trend") {
+    val d = java.nio.file.Files.createTempDirectory("graft-trend-spec").toString
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // type "up": counts 1,2,3 on days 0,1,2 → slope exactly 1.0
+    // type "flat": 2,2 on days 0,1 → slope 0.0
+    val rows =
+      (0L until 1L).map(i => (100 + i, ts(0), 1L, "up", 1.0, "{}")) ++
+        (0L until 2L).map(i => (110 + i, ts(1), 1L, "up", 1.0, "{}")) ++
+        (0L until 3L).map(i => (120 + i, ts(2), 1L, "up", 1.0, "{}")) ++
+        (0L until 2L).map(i => (200 + i, ts(0), 2L, "flat", 1.0, "{}")) ++
+        (0L until 2L).map(i => (210 + i, ts(1), 2L, "flat", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = StatsQueries.q124TrendSlope(spark, d)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("flat", 2L, 4L, 0.0), ("up", 3L, 6L, 1.0)))
+  }
+
+  test("q125: slope is exactly -1 on a constructed 1/r spectrum") {
+    val d = java.nio.file.Files.createTempDirectory("graft-zipf-spec").toString
+    // freq(r) = 12/r exactly at dense ranks 1..4 (12, 6, 4, 3):
+    // ln f = ln 12 − ln r, a perfect power law → OLS slope −1 within
+    // ~1e-15, which round(…, 4) pins to exactly −1.0.
+    val words =
+      Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+        Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    Seq((0L, words.mkString(" "), "en", "t", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = StatsQueries.q125ZipfSlope(spark, d)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((4L, -1.0)))
+  }
+
+  test("q126: salted distinct equals plain countDistinct on real events") {
+    val got = StatsQueries.q126SaltedDistinct(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val want = Tables(spark, sf).events
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
