@@ -765,7 +765,71 @@ object SimilarityQueries {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q130
+  /** Per-label centroid cosine matrix — the class-separation /
+    * source-drift diagnostic over the embedding space (are two labels'
+    * populations collapsing onto each other?). Scale shape: ONE
+    * posexplode pass with a map-side-combined (label, dim) long-sum —
+    * the 100 TB cost is a single shuffle of |labels|·|dims| partial
+    * sums — then all pair arithmetic happens on the |labels|-row
+    * centroid relation via a broadcast pair join. Determinism: per-dim
+    * sums are EXACT BIGINTs of round(v·10^7); the centroid division and
+    * the dim-ordered dot/norm folds are the pinned-order double
+    * expressions both engines repeat (list_sum mirrors the sequential
+    * `aggregate` fold, q30's device), rounded to 6dp. */
+  def q130CentroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Tables(spark, dir).embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(round(col("v") * lit(1.0e7)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c",
+        (col("s").cast("double") / col("n")) / lit(1.0e7))
+    val vecs = comp.groupBy("label")
+      .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .withColumn("vec", expr("transform(dc, x -> x.c)"))
+      .select(col("label"), col("vec"))
+    val a = vecs.select(col("label").as("label_a"), col("vec").as("va"))
+    val b = vecs.select(col("label").as("label_b"), col("vec").as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("label_a") < col("label_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"))
+      .withColumn("na", expr(
+        "aggregate(transform(va, x -> x * x), 0D, (acc, p) -> acc + p)"))
+      .withColumn("nb", expr(
+        "aggregate(transform(vb, x -> x * x), 0D, (acc, p) -> acc + p)"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+          .as("cos_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val q130Sql: String =
+    """WITH x AS (
+      |  SELECT label, u.d AS dim, u.v AS v FROM (
+      |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+      |      i -> struct_pack(d := i, v := embedding[i]))) AS u
+      |    FROM embeddings)),
+      |comp AS (
+      |  SELECT label, dim,
+      |    (CAST(sum(CAST(round(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT))
+      |        AS DOUBLE) / count(*)) / 10000000.0 AS c
+      |  FROM x GROUP BY 1, 2),
+      |vecs AS (SELECT label, list(c ORDER BY dim) AS vec
+      |         FROM comp GROUP BY 1)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  round(
+      |    list_sum(list_transform(range(1, len(a.vec) + 1),
+      |      i -> a.vec[i] * b.vec[i]))
+      |    / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+      |       * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6)
+      |    AS cos_sim
+      |FROM vecs a, vecs b WHERE a.label < b.label
+      |ORDER BY label_a, label_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_centroid_sim" -> (q130CentroidSim _),
     "q96_semdedup" -> (q96SemDedup _),
     "q99_dup_cluster_hist" -> (q99DupClusterHistogram _),
     "q113_keep_best" -> (q113KeepBest _),
@@ -786,6 +850,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q130_centroid_sim" -> q130Sql,
     "q96_semdedup" -> q96Sql,
     "q99_dup_cluster_hist" -> q99Sql,
     "q113_keep_best" -> q113Sql,

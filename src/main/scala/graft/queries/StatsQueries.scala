@@ -307,13 +307,161 @@ object StatsQueries {
     """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q127
+  /** Cumulative distinct-user growth curve by day — the audience-growth
+    * / vocabulary-growth query. The naive form (COUNT(DISTINCT) over an
+    * expanding window) re-scans all history per day; the scalable form
+    * maps each user to their FIRST day (one key-partitioned agg), counts
+    * first-appearances per day, and prefix-sums the ≤#days-row result —
+    * cumulative distinct without any expanding re-scan, the same
+    * first-occurrence device as q92's n-gram novelty. */
+  def q127DistinctGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir).events
+      .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+    val newPerDay = days.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new_users"))
+    val allDays = days.select("day").distinct()
+    allDays.join(newPerDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new_users"))
+      .withColumn("cum_users", sum("n_new_users").over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
+  val q127Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+      |n AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_users
+      |      FROM f GROUP BY 1),
+      |d AS (SELECT DISTINCT day FROM e)
+      |SELECT d.day, coalesce(n.n_new_users, 0) AS n_new_users,
+      |  CAST(sum(coalesce(n.n_new_users, 0)) OVER (ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM d LEFT JOIN n ON n.day = d.day ORDER BY d.day""".stripMargin
+
+  // --------------------------------------------------------------- q128
+  /** Recency-decayed user value: Σ cents·2^(−age_days) over the user's
+    * last 30 days — the half-life-per-day featurization every ranking /
+    * churn model wants. Exact across engines because the decay is
+    * SCALED INTEGER arithmetic: weight 2^(30−age) is an exact BIGINT
+    * (age ∈ [0,30] after the window filter), cents·weight sums exactly,
+    * and one final division by 2^30 produces the only double. Overflow
+    * headroom: cents ≤ 2^17 leaves 2^(63−17−30) = 2^16 max-value
+    * same-day events per user; at bigger scale drop the scale exponent
+    * or pre-aggregate per (user, day) first. */
+  def q128DecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(
+      col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"),
+      expr("ts_ns DIV 86400000000000").as("day"))
+    val maxDay = ev.agg(max("day").as("max_day"))
+    ev.crossJoin(broadcast(maxDay))
+      .withColumn("age", col("max_day") - col("day"))
+      .filter(col("age") <= 30)
+      .withColumn("w", pow(lit(2.0), lit(30) - col("age")).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents") * col("w")).as("scaled"))
+      .withColumn("decay_cents",
+        round(col("scaled").cast("double") / lit(1073741824.0), 4))
+      .select("user_id", "n_events", "decay_cents")
+      .orderBy("user_id")
+  }
+
+  val q128Sql: String =
+    """WITH mx AS (
+      |  SELECT max(epoch_ns(ts) // 86400000000000) AS max_day FROM events),
+      |e AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    max_day - epoch_ns(ts) // 86400000000000 AS age
+      |  FROM events, mx),
+      |f AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(cents * CAST(power(2.0, 30 - age) AS BIGINT)) AS BIGINT)
+      |      AS scaled
+      |  FROM e WHERE age <= 30 GROUP BY 1)
+      |SELECT user_id, n_events,
+      |  round(CAST(scaled AS DOUBLE) / 1073741824.0, 4) AS decay_cents
+      |FROM f ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------- q129
+  /** Join-key skew audit — the planning query this engine's OWN 100 TB
+    * guidance depends on: per-key row counts for three join keys, then
+    * n_keys / max / exact-p99 / skew ratio per relation. A key whose
+    * skew_ratio (max over mean) is large is the one that needs salting
+    * (q126) or AQE skew splitting. Everything is a map-side-combined
+    * count plus rank arithmetic on the already-aggregated per-key frame;
+    * the only doubles are two rounded ratios of exact integers. */
+  def q129KeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def counts(df: DataFrame, keyCol: String, name: String): DataFrame =
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        .withColumn("relation", lit(name))
+    val all = counts(t.events, "user_id", "events.user_id")
+      .unionAll(counts(t.lineitem, "l_suppkey", "lineitem.l_suppkey"))
+      .unionAll(counts(t.orders, "o_custkey", "orders.o_custkey"))
+    val ranked = all
+      .withColumn("rn", row_number().over(Window.partitionBy("relation")
+        .orderBy(col("c").asc, col("k").asc)).cast("long"))
+      .withColumn("nk", count(lit(1)).over(Window.partitionBy("relation"))
+        .cast("long"))
+    val p99 = ranked
+      .filter(col("rn") === expr("(99 * nk + 99) DIV 100"))
+      .select(col("relation"), col("c").as("p99_key_rows"))
+    all.groupBy("relation")
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("total_rows"),
+        max("c").as("max_key_rows"))
+      .join(p99, "relation")
+      .withColumn("skew_ratio", round(
+        (col("max_key_rows") * col("n_keys")).cast("double") /
+          col("total_rows"), 4))
+      .select("relation", "n_keys", "total_rows", "max_key_rows",
+        "p99_key_rows", "skew_ratio")
+      .orderBy("relation")
+  }
+
+  val q129Sql: String =
+    """WITH ec AS (
+      |  SELECT 'events.user_id' AS relation, user_id AS k,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 2),
+      |lc AS (
+      |  SELECT 'lineitem.l_suppkey' AS relation, l_suppkey AS k,
+      |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 2),
+      |oc AS (
+      |  SELECT 'orders.o_custkey' AS relation, o_custkey AS k,
+      |    CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 2),
+      |a AS (SELECT * FROM ec UNION ALL SELECT * FROM lc
+      |      UNION ALL SELECT * FROM oc),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY relation
+      |      ORDER BY c, k) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY relation) AS BIGINT) AS nk
+      |  FROM a),
+      |p AS (SELECT relation, c AS p99_key_rows FROM r
+      |      WHERE rn = (99 * nk + 99) // 100),
+      |s AS (
+      |  SELECT relation, CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(c) AS BIGINT) AS total_rows,
+      |    CAST(max(c) AS BIGINT) AS max_key_rows
+      |  FROM a GROUP BY 1)
+      |SELECT s.relation, n_keys, total_rows, max_key_rows, p99_key_rows,
+      |  round(CAST(max_key_rows * n_keys AS DOUBLE) / total_rows, 4)
+      |    AS skew_ratio
+      |FROM s JOIN p ON p.relation = s.relation
+      |ORDER BY s.relation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_scd2_runs"       -> (q121Scd2Runs _),
     "q122_dup_suppress"    -> (q122DupSuppress _),
     "q123_skyline"         -> (q123Skyline _),
     "q124_trend_slope"     -> (q124TrendSlope _),
     "q125_zipf_slope"      -> (q125ZipfSlope _),
-    "q126_salted_distinct" -> (q126SaltedDistinct _)
+    "q126_salted_distinct" -> (q126SaltedDistinct _),
+    "q127_distinct_growth" -> (q127DistinctGrowth _),
+    "q128_decay_score"     -> (q128DecayScore _),
+    "q129_key_skew"        -> (q129KeySkew _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,6 +470,9 @@ object StatsQueries {
     "q123_skyline"         -> q123Sql,
     "q124_trend_slope"     -> q124Sql,
     "q125_zipf_slope"      -> q125Sql,
-    "q126_salted_distinct" -> q126Sql
+    "q126_salted_distinct" -> q126Sql,
+    "q127_distinct_growth" -> q127Sql,
+    "q128_decay_score"     -> q128Sql,
+    "q129_key_skew"        -> q129Sql
   )
 }

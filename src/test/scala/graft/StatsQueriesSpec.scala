@@ -133,6 +133,75 @@ class StatsQueriesSpec extends SparkSpec {
     assert(got == Seq((4L, -1.0)))
   }
 
+  test("q127: growth curve ends at the true distinct-user count") {
+    val df = StatsQueries.q127DistinctGrowth(spark, sf).cache()
+    val rows = df.as[(Long, Long, Long)].collect().toSeq
+    val totalUsers = Tables(spark, sf).events
+      .select("user_id").distinct().count()
+    assert(rows.last._3 == totalUsers)
+    // cumulative = running sum of n_new, and is monotone non-decreasing
+    assert(rows.map(_._2).sum == totalUsers)
+    assert(rows.sliding(2).forall {
+      case Seq(a, b) => b._3 >= a._3 && b._1 > a._1
+      case _         => true
+    })
+  }
+
+  test("q128: decay score matches hand arithmetic on a 3-event user") {
+    val d = java.nio.file.Files.createTempDirectory("graft-decay-spec").toString
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // ages 0, 1, 10 → cents 100·1 + 100·2⁻¹ + 400·2⁻¹⁰ = 150.390625
+    Seq(
+      (1L, ts(10), 1L, "view", 1.00, "{}"),
+      (2L, ts(9), 1L, "view", 1.00, "{}"),
+      (3L, ts(0), 1L, "view", 4.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = StatsQueries.q128DecayScore(spark, d)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 150.3906)))
+  }
+
+  test("q129: skew audit totals and bounds hold on real tables") {
+    val df = StatsQueries.q129KeySkew(spark, sf).cache()
+    val byRel = df.as[(String, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(byRel.keySet == Set(
+      "events.user_id", "lineitem.l_suppkey", "orders.o_custkey"))
+    val ev = byRel("events.user_id")
+    assert(ev._3 == Tables(spark, sf).events.count())
+    assert(ev._2 == Tables(spark, sf).events
+      .select("user_id").distinct().count())
+    // p99 ≤ max; skew ratio = max/mean ≥ 1
+    df.collect().foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3))
+      assert(r.getDouble(5) >= 1.0)
+    }
+  }
+
+  test("q130: centroid cosines are exact on a constructed 3-label space") {
+    val d = java.nio.file.Files.createTempDirectory("graft-centr-spec").toString
+    // centroids: label 0 → (1,0); label 1 → (0,1); label 2 → (0.6,0.8)
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.6f, 0.8f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = graft.queries.SimilarityQueries.q130CentroidSim(spark, d)
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(got == Seq((0, 1, 0.0), (0, 2, 0.6), (1, 2, 0.8)))
+  }
+
+  test("q130: full matrix over real labels, all cosines in [-1, 1]") {
+    val df = graft.queries.SimilarityQueries.q130CentroidSim(spark, sf).cache()
+    val k = Tables(spark, sf).embeddings
+      .select("label").distinct().count()
+    assert(df.count() == k * (k - 1) / 2)
+    assert(df.filter(abs(col("cos_sim")) > 1.0).count() == 0)
+  }
+
   test("q126: salted distinct equals plain countDistinct on real events") {
     val got = StatsQueries.q126SaltedDistinct(spark, sf)
       .as[(String, Long)].collect().toMap
