@@ -452,6 +452,201 @@ object StatsQueries {
       |FROM s JOIN p ON p.relation = s.relation
       |ORDER BY s.relation""".stripMargin
 
+  // --------------------------------------------------------------- q131
+  /** Point-in-time (leakage-free) feature extraction: for every
+    * purchase, the user's view count over the TRAILING 24 h and their
+    * lifetime spend STRICTLY BEFORE this moment — the as-of-correct
+    * features a training pipeline must compute (using same-time or
+    * later data is label leakage). Both features are RANGE-frame
+    * windows on the microsecond axis, so simultaneous events are
+    * excluded identically in both engines regardless of row order —
+    * point-in-time correctness is a property of the VALUE frame, not a
+    * sort tiebreak. One shuffle on user_id serves both windows. */
+  def q131PitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(spark, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val base = Window.partitionBy("user_id").orderBy("ts_us")
+    val last24h = base.rangeBetween(-86400000000L, -1)
+    val before = base.rangeBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("n_views_24h", coalesce(
+        sum(when(col("event_type") === "view", 1L)).over(last24h), lit(0L)))
+      .withColumn("spend_before_cents", coalesce(
+        sum(when(col("event_type") === "purchase", col("cents")))
+          .over(before), lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "n_views_24h",
+        "spend_before_cents")
+      .orderBy("event_id")
+  }
+
+  val q131Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (
+      |  SELECT *,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us
+      |        RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_views_24h,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN cents END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us
+      |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS spend_before_cents
+      |  FROM e)
+      |SELECT event_id, user_id, ts_us, n_views_24h, spend_before_cents
+      |FROM f WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- q132
+  /** Data-profiling pass over `orders`: per column, null count and
+    * EXACT distinct cardinality — the schema-audit a pipeline runs
+    * before trusting a new snapshot. All six distinct aggregates run
+    * in ONE Aggregate (Catalyst Expand: the input fans out once per
+    * distinct column — the documented cost of exactness; the 100 TB
+    * variant swaps in approx_count_distinct and loses the Expand),
+    * then the single wide row unpivots with stack(). */
+  def q132Profile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"))
+    }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ")
+    wide.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct)"))
+      .orderBy("column_name")
+  }
+
+  val q132Sql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // --------------------------------------------------------------- q133
+  /** Referential-integrity audit over every foreign-key edge of the
+    * star schema: orphan counts per edge in one report. Each edge is a
+    * LEFT ANTI join — dimension sides broadcast, the two lineitem
+    * probes share one scan each — so the audit costs one pass over
+    * each child table at any scale. Clean data ⇒ all zeros; the query
+    * exists so a 100 TB ingest can PROVE that instead of assuming it. */
+  def q133RiAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def orphans(child: DataFrame, childKey: String, parent: DataFrame,
+                parentKey: String, edge: String): DataFrame = {
+      val n = child.join(
+          broadcast(parent.select(col(parentKey).as(childKey)).distinct()),
+          Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val tot = child.agg(count(lit(1)).as("n_child_rows"))
+      n.crossJoin(tot).withColumn("fk_edge", lit(edge))
+        .select("fk_edge", "n_orphans", "n_child_rows")
+    }
+    Seq(
+      orphans(t.lineitem, "l_orderkey", t.orders, "o_orderkey",
+        "lineitem->orders"),
+      orphans(t.lineitem, "l_partkey", t.part, "p_partkey",
+        "lineitem->part"),
+      orphans(t.lineitem, "l_suppkey", t.supplier, "s_suppkey",
+        "lineitem->supplier"),
+      orphans(t.orders, "o_custkey", t.customer, "c_custkey",
+        "orders->customer"),
+      orphans(t.customer, "c_nationkey", t.nation, "n_nationkey",
+        "customer->nation"),
+      orphans(t.supplier, "s_nationkey", t.nation, "n_nationkey",
+        "supplier->nation"),
+      orphans(t.nation, "n_regionkey", t.region, "r_regionkey",
+        "nation->region"))
+      .reduce(_.unionAll(_))
+      .orderBy("fk_edge")
+  }
+
+  val q133Sql: String = {
+    val edges = Seq(
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+        "s_suppkey"),
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer->nation", "customer", "c_nationkey", "nation",
+        "n_nationkey"),
+      ("supplier->nation", "supplier", "s_nationkey", "nation",
+        "n_nationkey"),
+      ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    edges.map { case (edge, child, ck, parent, pk) =>
+      s"""SELECT '$edge' AS fk_edge,
+         |  CAST((SELECT count(*) FROM $child
+         |        WHERE $ck NOT IN (SELECT $pk FROM $parent)) AS BIGINT)
+         |    AS n_orphans,
+         |  CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child_rows""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
+  // --------------------------------------------------------------- q134
+  /** Session path mining: the top-20 most common 5-step event-type
+    * journeys. Sessions are 30-minute-gap islands per user (q14's
+    * boundary rule); each session's ordered type sequence truncates to
+    * its first 5 steps and paths are censused. The per-session
+    * sequence materializes via collect_list + sort_array on the
+    * (ts_us, event_id) total order — bounded by session length, never
+    * by user history — and the census is a map-side-combined count. */
+  val SessionGapUs = 1800000000L // 30 minutes
+
+  def q134SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sess = eventsUs(spark, dir)
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > lit(SessionGapUs), 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "sess_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts_us"), col("event_id"), col("event_type")))).as("seq"))
+      .select(array_join(
+        slice(expr("transform(seq, x -> x.event_type)"), 1, 5), ">")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(20)
+  }
+
+  val q134Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+       |  FROM events),
+       |l AS (
+       |  SELECT *, lag(ts_us) OVER w AS prev_us,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL
+       |      OR ts_us - lag(ts_us) OVER w > $SessionGapUs
+       |      THEN 1 ELSE 0 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |s AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM l),
+       |p AS (
+       |  SELECT array_to_string(
+       |    list(event_type ORDER BY ts_us, event_id)[:5], '>') AS path
+       |  FROM s GROUP BY user_id, sess_id)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_scd2_runs"       -> (q121Scd2Runs _),
     "q122_dup_suppress"    -> (q122DupSuppress _),
@@ -461,7 +656,11 @@ object StatsQueries {
     "q126_salted_distinct" -> (q126SaltedDistinct _),
     "q127_distinct_growth" -> (q127DistinctGrowth _),
     "q128_decay_score"     -> (q128DecayScore _),
-    "q129_key_skew"        -> (q129KeySkew _)
+    "q129_key_skew"        -> (q129KeySkew _),
+    "q131_pit_features"    -> (q131PitFeatures _),
+    "q132_profile"         -> (q132Profile _),
+    "q133_ri_audit"        -> (q133RiAudit _),
+    "q134_session_paths"   -> (q134SessionPaths _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -473,6 +672,10 @@ object StatsQueries {
     "q126_salted_distinct" -> q126Sql,
     "q127_distinct_growth" -> q127Sql,
     "q128_decay_score"     -> q128Sql,
-    "q129_key_skew"        -> q129Sql
+    "q129_key_skew"        -> q129Sql,
+    "q131_pit_features"    -> q131Sql,
+    "q132_profile"         -> q132Sql,
+    "q133_ri_audit"        -> q133Sql,
+    "q134_session_paths"   -> q134Sql
   )
 }

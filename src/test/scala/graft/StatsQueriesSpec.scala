@@ -202,6 +202,98 @@ class StatsQueriesSpec extends SparkSpec {
     assert(df.filter(abs(col("cos_sim")) > 1.0).count() == 0)
   }
 
+  test("q131: point-in-time features exclude same-time and later data") {
+    val d = java.nio.file.Files.createTempDirectory("graft-pit-spec").toString
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    Seq(
+      (1L, ts(0), 1L, "view", 1.00, "{}"),
+      (2L, ts(60), 1L, "view", 1.00, "{}"),
+      (3L, ts(120), 1L, "purchase", 10.00, "{}"),
+      (4L, ts(1800), 1L, "purchase", 5.00, "{}")) // 30 h: views aged out
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = StatsQueries.q131PitFeatures(spark, d)
+      .select("event_id", "n_views_24h", "spend_before_cents")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 2L, 0L), (4L, 0L, 1000L)))
+  }
+
+  test("q132: null and distinct counts are exact on an injected table") {
+    val d = java.nio.file.Files.createTempDirectory("graft-prof-spec").toString
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    Seq(
+      (1L, Some(5L), "A", 10.0, ts(0), "1-URGENT"),
+      (2L, Some(5L), "A", 20.0, ts(0), "1-URGENT"),
+      (3L, None, "B", 20.0, ts(1), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = StatsQueries.q132Profile(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("o_custkey", 1L, 1L),
+      ("o_orderdate", 0L, 2L),
+      ("o_orderkey", 0L, 3L),
+      ("o_orderpriority", 0L, 2L),
+      ("o_orderstatus", 0L, 2L),
+      ("o_totalprice", 0L, 2L)))
+  }
+
+  test("q133: clean testdata audits to zero orphans on every edge") {
+    val df = StatsQueries.q133RiAudit(spark, sf).cache()
+    assert(df.count() == 7)
+    assert(df.filter(col("n_orphans") =!= 0L).count() == 0)
+    val li = df.filter(col("fk_edge") === "lineitem->orders")
+      .select("n_child_rows").as[Long].head()
+    assert(li == Tables(spark, sf).lineitem.count())
+  }
+
+  test("q133: an injected orphan is counted") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ri-spec").toString
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    Seq((0L, "r")).toDF("r_regionkey", "r_name")
+      .write.parquet(s"$d/region.parquet")
+    Seq((0L, "n", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$d/nation.parquet")
+    Seq((1L, "c", 0L, 0.0, "m"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$d/customer.parquet")
+    Seq((1L, "s", 0L, 0.0)).toDF("s_suppkey", "s_name", "s_nationkey",
+      "s_acctbal").write.parquet(s"$d/supplier.parquet")
+    Seq((1L, "p", "b", "t", 1, 1.0)).toDF("p_partkey", "p_name", "p_brand",
+      "p_type", "p_size", "p_retailprice").write.parquet(s"$d/part.parquet")
+    // order 20 references customer 99 — an orphan
+    Seq((10L, 1L, "O", 1.0, ts(0), "1"), (20L, 99L, "O", 1.0, ts(0), "1"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    // lineitem 2 references order 99 — an orphan
+    Seq((10L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(0)),
+      (99L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(0)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = StatsQueries.q133RiAudit(spark, d)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("lineitem->orders") == ((1L, 2L)))
+    assert(got("orders->customer") == ((1L, 2L)))
+    assert(got("lineitem->part") == ((0L, 2L)))
+    assert(got("nation->region") == ((0L, 1L)))
+  }
+
+  test("q134: session paths split on the 30-minute gap") {
+    val got = StatsQueries.q134SessionPaths(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    // fixture sessions: u1 view>view>click>view (gaps 1 min);
+    // u2 click>click (25 min < 30); u3 buy>buy (5 min)
+    assert(got == Seq(
+      ("buy>buy", 1L),
+      ("click>click", 1L),
+      ("view>view>click>view", 1L)))
+  }
+
   test("q126: salted distinct equals plain countDistinct on real events") {
     val got = StatsQueries.q126SaltedDistinct(spark, sf)
       .as[(String, Long)].collect().toMap
