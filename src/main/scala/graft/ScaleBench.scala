@@ -4,7 +4,7 @@ import java.util.Locale
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
-import graft.queries.TextQueries
+import graft.queries.{SimilarityQueries, StatsQueries, TextQueries}
 
 /** Scaling harness behind ARCHITECTURE.md's measured-scaling table:
   * synthesizes an N×-duplicated copy of the sf0.1 documents table
@@ -30,6 +30,24 @@ object ScaleBench {
     val copies = (0 until factor).map { i =>
       base.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(out)
+  }
+
+  /** Replicate events with per-copy user/event id offsets: the USER
+    * population scales with the factor while each user's history stays
+    * the base history — the realistic growth axis for the per-user
+    * window operators (runs, point-in-time features, session paths).
+    * `ts` round-trips through Tables' canonical reader so either
+    * physical timestamp generation replicates identically. */
+  def synthesizeEvents(spark: SparkSession, baseDir: String, factor: Int, out: String): Unit = {
+    val base = Tables(spark, baseDir).events
+    val copies = (0 until factor).map { i =>
+      base.select(
+        (col("event_id") + lit(i.toLong * 100_000_000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * 10_000_000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
     }
     copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(out)
   }
@@ -94,7 +112,35 @@ object ScaleBench {
       val dir = s"/tmp/graft_scale/${baseKey}_v${SynthVersion}_x$factor"
       if (!cached(s"$dir/documents.parquet"))
         synthesize(spark, baseDir, factor, s"$dir/documents.parquet")
+      if (!cached(s"$dir/events.parquet"))
+        synthesizeEvents(spark, baseDir, factor, s"$dir/events.parquet")
       val ops: Seq[(String, () => DataFrame)] = Seq(
+        // per-user window family (q121/q131/q134 shapes) on a user
+        // population that grows with the factor while per-user history
+        // stays constant — the claim: ONE user-keyed exchange each,
+        // runtime linear in users, window state bounded by one user's
+        // history
+        "scd2_runs" -> (() => StatsQueries.q121Scd2Runs(spark, dir)),
+        "pit_features" -> (() => StatsQueries.q131PitFeatures(spark, dir)),
+        "session_paths" -> (() => StatsQueries.q134SessionPaths(spark, dir)),
+        // cumulative distinct growth (q127's shape): first-occurrence
+        // agg + a ≤#days-row prefix sum — the expanding-rescan-free
+        // form whose cost must track the linear first-day groupBy
+        "distinct_growth" -> (() => StatsQueries.q127DistinctGrowth(spark, dir)),
+        // 2-D skyline on a synthesized (x, y) frame: input rows grow
+        // with the factor, the front stays ≤ 64 points — measured cost
+        // must track the first per-x aggregation, everything above it
+        // runs on aggregated frames
+        "skyline" -> (() => {
+          val d = Tables(spark, dir).documents.select(
+            (col("doc_id") % 100000L).as("x"),
+            (col("doc_id") % 64L).cast("int").as("y"))
+          graft.operators.Skyline.paretoFront2D(d, "x", "y")
+        }),
+        // per-label centroid cosine matrix (q130's shape): label count
+        // fixed, vectors per label grow — the (label, dim) long-sum is
+        // the only stage that sees the corpus
+        "centroid_sim" -> (() => SimilarityQueries.q130CentroidSim(spark, dir)),
         "vocab_df" -> (() => TextQueries.q21VocabDf(spark, dir)),
         "exact_dedup" -> (() => TextQueries.q27DedupExact(spark, dir)),
         "quality_rules" -> (() => TextQueries.q37QualityRules(spark, dir)),

@@ -128,29 +128,15 @@ object StatsQueries {
     val p = Tables(spark, dir).part.select(
       col("p_partkey"), col("p_size"),
       round(col("p_retailprice") * 100).cast("long").as("price_cents"))
-    val perPrice = p.groupBy("price_cents")
-      .agg(max("p_size").as("best_size"))
-      .withColumn("bin", expr(s"price_cents DIV $SkylineBinCents"))
-    val perBin = perPrice.groupBy("bin").agg(max("best_size").as("bin_best"))
-    val prefix = perBin.withColumn("cheaper_bins_best",
-      max("bin_best").over(Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, -1)))
-      .select("bin", "cheaper_bins_best")
-    val withinBin = Window.partitionBy("bin").orderBy("price_cents")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val front = perPrice
-      .join(broadcast(prefix), "bin")
-      .withColumn("cheaper_in_bin_best", max("best_size").over(withinBin))
-      .withColumn("cheaper_best",
-        greatest(coalesce(col("cheaper_bins_best"), lit(Int.MinValue)),
-          coalesce(col("cheaper_in_bin_best"), lit(Int.MinValue))))
-      .filter(col("best_size") > col("cheaper_best"))
+    val front = graft.operators.Skyline
+      .paretoFront2D(p.select("price_cents", "p_size"),
+        x = "price_cents", y = "p_size", binWidth = SkylineBinCents)
       // fresh names: front derives from p, so joining back on the raw
       // columns would collide attribute ids (self-join ambiguity)
-      .select(col("price_cents").as("f_cents"), col("best_size"))
+      .select(col("price_cents").as("f_cents"), col("p_size").as("f_size"))
     p.join(broadcast(front),
         col("price_cents") === col("f_cents") &&
-          col("p_size") === col("best_size"))
+          col("p_size") === col("f_size"))
       .select("p_partkey", "price_cents", "p_size")
       .orderBy("price_cents", "p_partkey")
   }
