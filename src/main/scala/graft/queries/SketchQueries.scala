@@ -465,7 +465,96 @@ object SketchQueries {
        |ORDER BY scope""".stripMargin
   }
 
+  // --------------------------------------------------------------- q135
+  /** Cumulative distinct-user growth from DAILY HLL sketches — the
+    * sketch-artifact twin of q127's exact first-occurrence curve, and
+    * the pattern a 100 TB pipeline actually runs: per-day registers are
+    * materialized ONCE (≤ days×256 rows however many events the day
+    * held), and the curve for any day is answered from the artifacts
+    * alone by prefix max-merge — no rescan of history, ever. The
+    * prefix merge joins the ≤days-row day list against the ≤days×256
+    * register relation (register-space work, independent of event
+    * count); estimates then come from the shared arithmetic
+    * reconstruction, next to the exact curve for measured rel_err. */
+  def q135HllGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+    val daily = Sketches.hllRegisters(ev, col("user_id"), Seq("day"))
+    val days = daily.select(col("day").as("as_of_day")).distinct()
+    val cum = days.join(broadcast(daily), col("day") <= col("as_of_day"))
+      .groupBy(col("as_of_day"), col("__hll_bucket"))
+      .agg(max("__hll_m").as("__hll_m"))
+    val est = Sketches.hllEstimateRegisters(cum, Seq("as_of_day"))
+      .withColumnRenamed("hll_distinct", "hll_cum_users")
+    val exact = {
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      days.join(broadcast(firstDay), col("day") <= col("as_of_day"))
+        .groupBy("as_of_day").agg(sum("n_new").as("exact_cum_users"))
+    }
+    est.join(exact, "as_of_day")
+      .select(col("as_of_day"), col("hll_cum_users"),
+        col("hll_buckets_used"), col("exact_cum_users"),
+        round(abs(col("hll_cum_users") - col("exact_cum_users")) /
+          col("exact_cum_users").cast("double"), 4).as("rel_err"))
+      .orderBy("as_of_day")
+  }
+
+  /** Oracle mirrors the register recipe (q64/q72's md5 discipline), the
+    * register-space prefix merge, and the arithmetic empty-register
+    * reconstruction. user_id is non-null so the null-bucket guards are
+    * vacuous. */
+  val q135Sql: String = {
+    val m = Sketches.HllBuckets
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+       |h AS (
+       |  SELECT day,
+       |    CAST(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM e),
+       |r AS (
+       |  SELECT day, h % $m AS bucket,
+       |    max(CASE WHEN h // $m = 0 THEN 53
+       |        ELSE 53 - length(bin(h // $m)) END) AS mreg
+       |  FROM h GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT day AS as_of_day FROM r),
+       |cum AS (
+       |  SELECT as_of_day, bucket, max(mreg) AS mreg
+       |  FROM days JOIN r ON r.day <= as_of_day GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT as_of_day,
+       |    sum(CAST(1 AS BIGINT) << (53 - mreg))
+       |      + (CAST($m AS BIGINT) - count(*)) * (CAST(1 AS BIGINT) << 53) AS s,
+       |    sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END)
+       |      + (CAST($m AS BIGINT) - count(*)) AS zeros,
+       |    CAST(sum(CASE WHEN mreg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hll_buckets_used
+       |  FROM cum GROUP BY 1),
+       |est AS (
+       |  SELECT as_of_day, hll_buckets_used,
+       |    round(CASE WHEN ${Sketches.HllAlphaScaled} / CAST(s AS DOUBLE)
+       |                    <= ${2.5 * m} AND zeros > 0
+       |      THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |      ELSE ${Sketches.HllAlphaScaled} / CAST(s AS DOUBLE) END, 4)
+       |      AS hll_cum_users
+       |  FROM agg),
+       |fd AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM (
+       |    SELECT user_id, min(day) AS day FROM e GROUP BY 1) GROUP BY 1),
+       |exact AS (
+       |  SELECT as_of_day, CAST(sum(n_new) AS BIGINT) AS exact_cum_users
+       |  FROM days JOIN fd ON fd.day <= as_of_day GROUP BY 1)
+       |SELECT e2.as_of_day, hll_cum_users, hll_buckets_used,
+       |  exact_cum_users,
+       |  round(abs(hll_cum_users - exact_cum_users)
+       |    / CAST(exact_cum_users AS DOUBLE), 4) AS rel_err
+       |FROM est e2 JOIN exact USING (as_of_day)
+       |ORDER BY as_of_day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_hll_growth" -> (q135HllGrowth _),
     "q57_doc_chunk" -> q57DocChunk,
     "q64_hll_distinct" -> q64HllDistinct,
     "q65_bloom_semijoin" -> q65BloomSemijoin,
@@ -475,6 +564,7 @@ object SketchQueries {
     "q72_hll_merge" -> q72HllMerge)
 
   val oracles: Map[String, String] = Map(
+    "q135_hll_growth" -> q135Sql,
     "q57_doc_chunk" -> q57Sql,
     "q64_hll_distinct" -> q64Sql,
     "q65_bloom_semijoin" -> q65Sql,

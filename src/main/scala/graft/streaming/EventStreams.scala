@@ -350,4 +350,66 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  // ----------------------------------------- streaming SCD2 run twin
+
+  case class RunState(runType: String, start: Long, lastSeen: Long, n: Long)
+  case class RunOut(user_id: Long, event_type: String, valid_from_us: Long,
+                    valid_to_us: Long, n_events: Long)
+
+  /** Streaming SCD2 run assembly — the streaming twin of batch q121
+    * (StatsQueries.q121Scd2Runs): collapse each user's event stream
+    * into maximal runs of one event_type, emitting a run the moment
+    * the user's NEXT event carries a different type. State is O(1) per
+    * user (the open run), so a warehouse can maintain change history
+    * incrementally instead of re-running the batch islands pass.
+    *
+    * The still-open run emits on event-time timeout once the watermark
+    * passes `lastSeen + flushAfterMillis` (same policy as sessionize's
+    * gap timeout). Closed runs match the batch operator exactly when
+    * per-user timestamps are strictly increasing — the batch twin
+    * breaks same-microsecond ties on event_id, which this Dataset
+    * doesn't carry (asserted against q121 in StreamingRunsSpec). */
+  def streamingRuns(events: Dataset[UserEvent],
+                    flushAfterMillis: Long = 60 * 60 * 1000L)
+                   (implicit spark: SparkSession): Dataset[RunOut] = {
+    import spark.implicits._
+
+    def close(userId: Long, s: RunState): RunOut =
+      RunOut(userId, s.runType, s.start * 1000L, s.lastSeen * 1000L, s.n)
+
+    def update(userId: Long, rows: Iterator[UserEvent],
+               state: GroupState[RunState]): Iterator[RunOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(close(userId, s))
+      }
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[RunOut]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if s.runType == e.event_type =>
+            cur = Some(s.copy(lastSeen = t, n = s.n + 1))
+          case Some(s) =>
+            out += close(userId, s)
+            cur = Some(RunState(e.event_type, t, t, 1))
+          case None =>
+            cur = Some(RunState(e.event_type, t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastSeen + flushAfterMillis)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

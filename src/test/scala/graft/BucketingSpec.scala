@@ -68,6 +68,31 @@ class BucketingSpec extends SparkSpec {
     assert(q50 > 0)
   }
 
+  test("partitionBy layout prunes partitions at read time") {
+    // the OTHER half of write-time layout next to bucketing: a table
+    // partitioned by a low-cardinality column turns equality filters
+    // into directory pruning — the scan never opens non-matching files
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-partspec").toString
+    Tables(spark, sf).events
+      .withColumn("day", expr("ts_ns DIV 86400000000000"))
+      .write.mode("overwrite").partitionBy("day").parquet(d)
+    val back = spark.read.parquet(d)
+    val days = back.select("day").distinct().count()
+    assert(days > 1, "fixture needs multiple day partitions")
+    // partition-dir values read back type-inferred (int32 here)
+    val one = back.filter(col("day") === back.agg(
+      min("day").cast("long")).first().getLong(0))
+    val scan = one.queryExecution.executedPlan.toString
+    // the day predicate must appear as a PARTITION filter (pruned
+    // before IO), not a data filter evaluated per row
+    assert(scan.contains("PartitionFilters") &&
+      scan.split("PartitionFilters", 2)(1).takeWhile(_ != ']')
+        .contains("day"),
+      s"day filter not pushed to partition pruning:\n$scan")
+    assert(one.count() > 0)
+  }
+
   test("SQL surface answers the same query as the DataFrame catalog") {
     val viaSql = GraftSql.sql(spark, sf,
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem
