@@ -633,7 +633,75 @@ object StatsQueries {
        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q136
+  /** Source-mix drift monitor: χ² contributions of each source to the
+    * independence test between corpus half (by doc_id) and source —
+    * the metadata-drift alarm next to q108's content-drift log-odds
+    * (did the ingest MIXTURE shift, independent of what the text
+    * says?). All observed/marginal counts are exact BIGINTs from one
+    * map-side-combined groupBy; expected counts and the two per-source
+    * contribution terms are the only doubles, in one pinned
+    * association order. Per-source rows keep the sum decomposable —
+    * the total χ² is their exact-order sum if a monitor wants the
+    * single statistic. */
+  def q136SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select("doc_id", "source")
+    val mid = d.agg(((max("doc_id") + 1L) / lit(2L)).cast("long").as("mid"))
+    val o = d.crossJoin(broadcast(mid))
+      .groupBy("source")
+      .agg(
+        sum(when(col("doc_id") < col("mid"), 1L).otherwise(0L))
+          .as("n_first"),
+        sum(when(col("doc_id") >= col("mid"), 1L).otherwise(0L))
+          .as("n_second"))
+    val tot = o.agg(sum("n_first").as("t_first"),
+      sum("n_second").as("t_second"),
+      sum(col("n_first") + col("n_second")).as("n"))
+    o.crossJoin(broadcast(tot))
+      .withColumn("e1",
+        (col("n_first") + col("n_second")).cast("double") *
+          col("t_first") / col("n"))
+      .withColumn("e2",
+        (col("n_first") + col("n_second")).cast("double") *
+          col("t_second") / col("n"))
+      .withColumn("chi2_contrib", round(
+        ((col("n_first") - col("e1")) * (col("n_first") - col("e1"))) /
+          col("e1") +
+          ((col("n_second") - col("e2")) * (col("n_second") - col("e2"))) /
+            col("e2"), 6))
+      .select("source", "n_first", "n_second", "chi2_contrib")
+      .orderBy("source")
+  }
+
+  val q136Sql: String =
+    """WITH m AS (
+      |  SELECT CAST((max(doc_id) + 1) // 2 AS BIGINT) AS mid
+      |  FROM documents),
+      |o AS (
+      |  SELECT source,
+      |    CAST(sum(CASE WHEN doc_id < mid THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_first,
+      |    CAST(sum(CASE WHEN doc_id >= mid THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_second
+      |  FROM documents, m GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(n_first) AS BIGINT) AS t_first,
+      |    CAST(sum(n_second) AS BIGINT) AS t_second,
+      |    CAST(sum(n_first + n_second) AS BIGINT) AS n
+      |  FROM o)
+      |SELECT source, n_first, n_second,
+      |  round(
+      |    ((n_first - CAST(n_first + n_second AS DOUBLE) * t_first / n)
+      |     * (n_first - CAST(n_first + n_second AS DOUBLE) * t_first / n))
+      |    / (CAST(n_first + n_second AS DOUBLE) * t_first / n)
+      |    + ((n_second - CAST(n_first + n_second AS DOUBLE) * t_second / n)
+      |       * (n_second - CAST(n_first + n_second AS DOUBLE) * t_second / n))
+      |    / (CAST(n_first + n_second AS DOUBLE) * t_second / n), 6)
+      |    AS chi2_contrib
+      |FROM o, t ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_source_drift"    -> (q136SourceDrift _),
     "q121_scd2_runs"       -> (q121Scd2Runs _),
     "q122_dup_suppress"    -> (q122DupSuppress _),
     "q123_skyline"         -> (q123Skyline _),
@@ -662,6 +730,7 @@ object StatsQueries {
     "q131_pit_features"    -> q131Sql,
     "q132_profile"         -> q132Sql,
     "q133_ri_audit"        -> q133Sql,
-    "q134_session_paths"   -> q134Sql
+    "q134_session_paths"   -> q134Sql,
+    "q136_source_drift"    -> q136Sql
   )
 }

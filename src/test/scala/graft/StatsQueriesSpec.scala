@@ -294,6 +294,31 @@ class StatsQueriesSpec extends SparkSpec {
       ("view>view>click>view", 1L)))
   }
 
+  test("q136: chi-square contributions are exact on a constructed shift") {
+    val d = java.nio.file.Files.createTempDirectory("graft-drift-spec").toString
+    // 8 docs, mid = 4. Source a: 3 first / 1 second; source b: 1 / 3.
+    // Margins: totals per half 4/4, per source 4/4 → e = 2 everywhere.
+    // contrib per source = (3−2)²/2 + (1−2)²/2 = 1.0
+    Seq(
+      (0L, "x", "en", "a", 1L), (1L, "x", "en", "a", 1L),
+      (2L, "x", "en", "a", 1L), (3L, "x", "en", "b", 1L),
+      (4L, "x", "en", "a", 1L), (5L, "x", "en", "b", 1L),
+      (6L, "x", "en", "b", 1L), (7L, "x", "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = StatsQueries.q136SourceDrift(spark, d)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 1L, 1.0), ("b", 1L, 3L, 1.0)))
+  }
+
+  test("q136: contributions are non-negative and margins add up on real docs") {
+    val df = StatsQueries.q136SourceDrift(spark, sf).cache()
+    assert(df.filter(col("chi2_contrib") < 0).count() == 0)
+    val total = df.agg(sum(col("n_first") + col("n_second")))
+      .first().getLong(0)
+    assert(total == Tables(spark, sf).documents.count())
+  }
+
   test("q126: salted distinct equals plain countDistinct on real events") {
     val got = StatsQueries.q126SaltedDistinct(spark, sf)
       .as[(String, Long)].collect().toMap
