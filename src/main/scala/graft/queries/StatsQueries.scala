@@ -700,7 +700,126 @@ object StatsQueries {
       |    AS chi2_contrib
       |FROM o, t ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q137
+  /** Nearest-in-time join: every view matched to the user's CLOSEST
+    * purchase in either direction — the symmetric completion of the
+    * as-of family (q55 backward, q118 forward), composed FROM those
+    * two operators: each is one union + window pass, and the winner is
+    * a projection over their two candidates. Tie rules, all pinned:
+    * same-instant purchases never match (both sides are strict);
+    * equal |gap| prefers the earlier purchase; ties within an instant
+    * inherit each side's id rule (backward: largest id, forward:
+    * smallest). Sentinels: no purchase at all → id −1, gap 0 (a real
+    * gap is never 0 — same-instant is excluded). */
+  def q137NearestJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts_us")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val back = graft.operators.AsOfJoin
+      .asOf(views, purchases, "user_id", "ts_us", "event_id", "event_id")
+      .withColumnRenamed("asof_id", "back_id")
+      .withColumnRenamed("asof_ts", "back_ts")
+    val both = graft.operators.AsOfJoin
+      .asOfForward(back, purchases, "user_id", "ts_us", "event_id",
+        "event_id")
+      .withColumnRenamed("asof_id", "fwd_id")
+      .withColumnRenamed("asof_ts", "fwd_ts")
+    both
+      .withColumn("back_gap", col("ts_us") - col("back_ts"))
+      .withColumn("fwd_gap", col("fwd_ts") - col("ts_us"))
+      .withColumn("use_back",
+        col("back_id").isNotNull &&
+          (col("fwd_id").isNull || col("back_gap") <= col("fwd_gap")))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(when(col("use_back"), col("back_id"))
+          .otherwise(col("fwd_id")), lit(-1L)).as("nearest_purchase_id"),
+        coalesce(when(col("use_back"), -col("back_gap"))
+          .otherwise(col("fwd_gap")), lit(0L)).as("signed_gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Brute-force oracle: rank each view's purchase candidates by
+    * (|gap|, earlier-side-first, side-specific id rule) and keep the
+    * top row — the spelled-out form of the two composed as-ofs. */
+  val q137Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events),
+      |v AS (SELECT event_id, user_id, ts_us FROM e
+      |      WHERE event_type = 'view'),
+      |p AS (SELECT event_id, user_id, ts_us FROM e
+      |      WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT v.event_id, v.user_id, v.ts_us,
+      |    p.event_id AS p_id, p.ts_us AS p_us,
+      |    abs(p.ts_us - v.ts_us) AS d,
+      |    CASE WHEN p.ts_us < v.ts_us THEN 0 ELSE 1 END AS later,
+      |    row_number() OVER (PARTITION BY v.event_id ORDER BY
+      |      abs(p.ts_us - v.ts_us),
+      |      CASE WHEN p.ts_us < v.ts_us THEN 0 ELSE 1 END,
+      |      CASE WHEN p.ts_us < v.ts_us THEN -p.event_id
+      |           ELSE p.event_id END) AS rn
+      |  FROM v JOIN p ON p.user_id = v.user_id AND p.ts_us <> v.ts_us)
+      |SELECT v.event_id, v.user_id, v.ts_us,
+      |  coalesce(c.p_id, -1) AS nearest_purchase_id,
+      |  coalesce(CASE WHEN c.later = 1 THEN c.d ELSE -c.d END, 0)
+      |    AS signed_gap_us
+      |FROM v LEFT JOIN (SELECT * FROM c WHERE rn = 1) c
+      |  ON c.event_id = v.event_id
+      |ORDER BY v.event_id""".stripMargin
+
+  // --------------------------------------------------------------- q138
+  /** Cohort LTV curve: cumulative purchase value per acquisition
+    * cohort as a function of account age — the revenue companion of
+    * q94's retention matrix. Cohort = the user's first event day (one
+    * key-partitioned min + a co-partitioned join-back); spend
+    * aggregates to (cohort, age) exact cents; the cumulative prefix
+    * runs per cohort on the ≤ days²-row aggregated frame. */
+  def q138LtvCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(
+      col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      expr("ts_ns DIV 86400000000000").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val spend = ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day"))
+        .as("age_days"))
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("spend_cents"))
+    spend
+      .withColumn("cum_spend_cents", sum("spend_cents").over(
+        Window.partitionBy("cohort_day").orderBy("age_days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("cohort_day", "age_days", "n_purchases", "cum_spend_cents")
+      .orderBy("cohort_day", "age_days")
+  }
+
+  val q138Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT)
+      |      AS cents,
+      |    epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+      |s AS (
+      |  SELECT cohort_day, day - cohort_day AS age_days,
+      |    CAST(count(*) AS BIGINT) AS n_purchases,
+      |    CAST(sum(cents) AS BIGINT) AS spend_cents
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT cohort_day, age_days, n_purchases,
+      |  CAST(sum(spend_cents) OVER (PARTITION BY cohort_day
+      |    ORDER BY age_days
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_spend_cents
+      |FROM s ORDER BY cohort_day, age_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_nearest_join"    -> (q137NearestJoin _),
+    "q138_ltv_curve"       -> (q138LtvCurve _),
     "q136_source_drift"    -> (q136SourceDrift _),
     "q121_scd2_runs"       -> (q121Scd2Runs _),
     "q122_dup_suppress"    -> (q122DupSuppress _),
@@ -731,6 +850,8 @@ object StatsQueries {
     "q132_profile"         -> q132Sql,
     "q133_ri_audit"        -> q133Sql,
     "q134_session_paths"   -> q134Sql,
-    "q136_source_drift"    -> q136Sql
+    "q136_source_drift"    -> q136Sql,
+    "q137_nearest_join"    -> q137Sql,
+    "q138_ltv_curve"       -> q138Sql
   )
 }

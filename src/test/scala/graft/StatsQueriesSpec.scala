@@ -319,6 +319,50 @@ class StatsQueriesSpec extends SparkSpec {
     assert(total == Tables(spark, sf).documents.count())
   }
 
+  test("q137: nearest join picks the closer side, breaks ties backward") {
+    val d = java.nio.file.Files.createTempDirectory("graft-near-spec").toString
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    Seq(
+      (100L, ts(0), 1L, "purchase", 1.0, "{}"),
+      (1L, ts(3), 1L, "view", 0.0, "{}"),
+      (101L, ts(4), 1L, "purchase", 1.0, "{}"),
+      (200L, ts(0), 2L, "purchase", 1.0, "{}"),
+      (2L, ts(5), 2L, "view", 0.0, "{}"),
+      (201L, ts(10), 2L, "purchase", 1.0, "{}"),
+      (3L, ts(0), 3L, "view", 0.0, "{}"),
+      (400L, ts(2), 4L, "purchase", 1.0, "{}"),
+      (4L, ts(2), 4L, "view", 0.0, "{}"),
+      (401L, ts(7), 4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val m = 60000000L
+    val got = StatsQueries.q137NearestJoin(spark, d)
+      .select("event_id", "nearest_purchase_id", "signed_gap_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 101L, 1 * m),   // forward purchase is closer (1 min vs 3)
+      (2L, 200L, -5 * m),  // exact tie → earlier purchase wins
+      (3L, -1L, 0L),       // no purchases at all
+      (4L, 401L, 5 * m)))  // same-instant purchase excluded
+  }
+
+  test("q138: LTV curve accumulates exact cents per cohort age") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ltv-spec").toString
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    Seq(
+      (1L, ts(0), 1L, "purchase", 1.00, "{}"),
+      (2L, ts(2), 1L, "purchase", 2.00, "{}"),
+      (3L, ts(1), 2L, "purchase", 5.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = StatsQueries.q138LtvCurve(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L, 100L),
+      (0L, 2L, 1L, 300L),
+      (1L, 0L, 1L, 500L)))
+  }
+
   test("q126: salted distinct equals plain countDistinct on real events") {
     val got = StatsQueries.q126SaltedDistinct(spark, sf)
       .as[(String, Long)].collect().toMap
