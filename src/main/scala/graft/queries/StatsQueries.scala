@@ -817,7 +817,47 @@ object StatsQueries {
       |    AS cum_spend_cents
       |FROM s ORDER BY cohort_day, age_days""".stripMargin
 
+  // --------------------------------------------------------------- q139
+  /** DAU / trailing-7-day WAU — THE engagement query. The scalable
+    * form never runs a per-day distinct over raw history: dedupe to
+    * (user, active-day) once, then each active day COVERS days
+    * d..d+6 (a 7-row explode of the already-deduplicated frame), and
+    * WAU is an exact distinct per covered day. Cost is 7× the
+    * user-day frame — independent of raw event volume — vs the naive
+    * 7-day rescan per day. Days with no events emit nothing (match
+    * the observed-day relation, like q127). */
+  def q139ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = ud
+      .withColumn("cover_day",
+        explode(expr("sequence(day, day + 6)")))
+      .groupBy(col("cover_day").as("day"))
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day") // inner: covered days beyond the horizon drop
+      .select("day", "dau", "wau")
+      .orderBy("day")
+  }
+
+  val q139Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |dau AS (
+      |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM ud GROUP BY 1),
+      |wau AS (
+      |  SELECT d.day, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+      |  FROM (SELECT DISTINCT day FROM ud) d
+      |  JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1)
+      |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_active_users"    -> (q139ActiveUsers _),
     "q137_nearest_join"    -> (q137NearestJoin _),
     "q138_ltv_curve"       -> (q138LtvCurve _),
     "q136_source_drift"    -> (q136SourceDrift _),
@@ -852,6 +892,7 @@ object StatsQueries {
     "q134_session_paths"   -> q134Sql,
     "q136_source_drift"    -> q136Sql,
     "q137_nearest_join"    -> q137Sql,
-    "q138_ltv_curve"       -> q138Sql
+    "q138_ltv_curve"       -> q138Sql,
+    "q139_active_users"    -> q139Sql
   )
 }

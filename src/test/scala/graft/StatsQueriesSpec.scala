@@ -363,6 +363,22 @@ class StatsQueriesSpec extends SparkSpec {
       (1L, 0L, 1L, 500L)))
   }
 
+  test("q139: DAU/WAU cover-explode matches the hand-computed windows") {
+    val d = java.nio.file.Files.createTempDirectory("graft-wau-spec").toString
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(3), 1L, "view", 0.0, "{}"),
+      (3L, ts(3), 2L, "view", 0.0, "{}"),
+      (4L, ts(8), 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = StatsQueries.q139ActiveUsers(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    // day 8's trailing week [2..8] still contains day-3 actives
+    assert(got == Seq((0L, 1L, 1L), (3L, 2L, 2L), (8L, 1L, 3L)))
+  }
+
   test("q126: salted distinct equals plain countDistinct on real events") {
     val got = StatsQueries.q126SaltedDistinct(spark, sf)
       .as[(String, Long)].collect().toMap
