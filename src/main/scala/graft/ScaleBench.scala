@@ -127,6 +127,16 @@ object ScaleBench {
         // agg + a ≤#days-row prefix sum — the expanding-rescan-free
         // form whose cost must track the linear first-day groupBy
         "distinct_growth" -> (() => StatsQueries.q127DistinctGrowth(spark, dir)),
+        // nearest-in-time join (q137): two as-of passes, each one
+        // union + user-keyed window — must scale like pit_features ×2
+        "nearest_join" -> (() => StatsQueries.q137NearestJoin(spark, dir)),
+        // DAU/WAU (q139): 7× cover explode of the DEDUPLICATED
+        // user-day frame — cost tracks user-days, not raw events
+        "active_users" -> (() => StatsQueries.q139ActiveUsers(spark, dir)),
+        // HLL growth curve (q135): register-space prefix merge — the
+        // merge work is days×256 rows at EVERY factor; only the daily
+        // register build sees the corpus
+        "hll_growth" -> (() => graft.queries.SketchQueries.q135HllGrowth(spark, dir)),
         // 2-D skyline on a synthesized (x, y) frame: input rows grow
         // with the factor, the front stays ≤ 64 points — measured cost
         // must track the first per-x aggregation, everything above it

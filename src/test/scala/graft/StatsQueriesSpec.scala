@@ -379,6 +379,21 @@ class StatsQueriesSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 1L), (3L, 2L, 2L), (8L, 1L, 3L)))
   }
 
+  test("window-family plans: one user-keyed exchange plus the output sort") {
+    // pins the scale claim in the scaladocs: q121/q131 do all their
+    // window work behind a single hashpartitioning(user_id) exchange —
+    // the only other exchange is the presentation sort's range partition
+    for (q <- Seq(
+        StatsQueries.q121Scd2Runs(spark, sf),
+        StatsQueries.q131PitFeatures(spark, sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
+      assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$plan")
+      assert(rangeEx <= 1, s"expected <=1 range exchange:\n$plan")
+    }
+  }
+
   test("q126: salted distinct equals plain countDistinct on real events") {
     val got = StatsQueries.q126SaltedDistinct(spark, sf)
       .as[(String, Long)].collect().toMap
