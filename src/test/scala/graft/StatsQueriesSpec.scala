@@ -394,6 +394,42 @@ class StatsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("degenerate inputs: single-price skyline, tiny-vocab zipf, single runs") {
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-degen-$tag").toString
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+    // every part at ONE price: front = the max-size parts at that price
+    val d1 = tmp("sky")
+    Seq((1L, "a", 3, 100.0, "b", "t"), (2L, "a", 5, 100.0, "b", "t"),
+      (3L, "a", 5, 100.0, "b", "t"))
+      .toDF("p_partkey", "p_name", "p_size", "p_retailprice",
+        "p_brand", "p_type")
+      .write.parquet(s"$d1/part.parquet")
+    assert(StatsQueries.q123Skyline(spark, d1)
+      .select("p_partkey").as[Long].collect().toSeq == Seq(2L, 3L))
+
+    // vocabulary smaller than the top-K budget: fit still runs (n_top=2)
+    val d2 = tmp("zipf")
+    Seq((0L, "a a a b", "en", "t", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val z = StatsQueries.q125ZipfSlope(spark, d2)
+      .as[(Long, Double)].collect().head
+    assert(z._1 == 2L && !z._2.isNaN)
+
+    // one event per user: every run is a singleton, nothing suppressed
+    val d3 = tmp("runs")
+    Seq((1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(0), 2L, "buy", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d3/events.parquet")
+    assert(StatsQueries.q121Scd2Runs(spark, d3).count() == 2)
+    assert(StatsQueries.q122DupSuppress(spark, d3).count() == 2)
+    // single active day: the trailing week equals the day itself
+    assert(StatsQueries.q139ActiveUsers(spark, d3)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((0L, 2L, 2L)))
+  }
+
   test("q126: salted distinct equals plain countDistinct on real events") {
     val got = StatsQueries.q126SaltedDistinct(spark, sf)
       .as[(String, Long)].collect().toMap
