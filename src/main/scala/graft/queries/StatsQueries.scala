@@ -856,7 +856,58 @@ object StatsQueries {
       |SELECT day, dau, wau FROM dau JOIN wau USING (day)
       |ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------- q140
+  /** Seasonality-aware volume anomalies: a (type, day) count is
+    * anomalous only against its own DAY-OF-WEEK median — the seasonal
+    * upgrade of q102's flat median bar (weekend dips stop masquerading
+    * as anomalies). Medians are exact lower-median order statistics
+    * per (type, dow) via rank arithmetic on the ≤ types×days count
+    * frame; all comparisons are integer (2× the median, both
+    * directions). Epoch day 0 is a Thursday: dow = (day + 4) % 7 puts
+    * Sunday at 0 in both engines. */
+  def q140SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), expr("ts_ns DIV 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val w = Window.partitionBy("event_type", "dow")
+      .orderBy(col("c").asc, col("day").asc)
+    val med = daily
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("event_type", "dow")).cast("long"))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("event_type"), col("dow"), col("c").as("dow_med"))
+    daily.join(med, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("c"),
+        col("dow_med"),
+        (col("c") > lit(2L) * col("dow_med") ||
+          lit(2L) * col("c") < col("dow_med")).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val q140Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT *, (day + 4) % 7 AS dow FROM daily),
+      |m AS (
+      |  SELECT event_type, dow, c AS dow_med FROM (
+      |    SELECT event_type, dow, c,
+      |      CAST(row_number() OVER (PARTITION BY event_type, dow
+      |        ORDER BY c, day) AS BIGINT) AS rn,
+      |      CAST(count(*) OVER (PARTITION BY event_type, dow) AS BIGINT)
+      |        AS n
+      |    FROM d2)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT event_type, day, dow, c, dow_med,
+      |  (c > 2 * dow_med OR 2 * c < dow_med) AS is_anomaly
+      |FROM d2 JOIN m USING (event_type, dow)
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_seasonal_anomaly" -> (q140SeasonalAnomaly _),
     "q139_active_users"    -> (q139ActiveUsers _),
     "q137_nearest_join"    -> (q137NearestJoin _),
     "q138_ltv_curve"       -> (q138LtvCurve _),
@@ -893,6 +944,7 @@ object StatsQueries {
     "q136_source_drift"    -> q136Sql,
     "q137_nearest_join"    -> q137Sql,
     "q138_ltv_curve"       -> q138Sql,
-    "q139_active_users"    -> q139Sql
+    "q139_active_users"    -> q139Sql,
+    "q140_seasonal_anomaly" -> q140Sql
   )
 }

@@ -430,6 +430,28 @@ class StatsQueriesSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq == Seq((0L, 2L, 2L)))
   }
 
+  test("q140: a weekday spike is anomalous against its own dow median") {
+    val d = java.nio.file.Files.createTempDirectory("graft-seas-spec").toString
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(day * 86400000L + i * 1000L)
+    // three consecutive same-dow days (7 apart) with counts 2,2,9:
+    // dow median = 2 → day 14 (count 9 > 2×2) flags; a different dow
+    // with a single day (its own median) never flags
+    val rows =
+      (0L until 2L).map(i => (100 + i, ts(0, i), 1L, "view", 0.0, "{}")) ++
+        (0L until 2L).map(i => (200 + i, ts(7, i), 1L, "view", 0.0, "{}")) ++
+        (0L until 9L).map(i => (300 + i, ts(14, i), 1L, "view", 0.0, "{}")) ++
+        (0L until 3L).map(i => (400 + i, ts(1, i), 1L, "view", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = StatsQueries.q140SeasonalAnomaly(spark, d)
+      .select("day", "c", "dow_med", "is_anomaly")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, false), (1L, 3L, 3L, false),
+      (7L, 2L, 2L, false), (14L, 9L, 2L, true)))
+  }
+
   test("q126: salted distinct equals plain countDistinct on real events") {
     val got = StatsQueries.q126SaltedDistinct(spark, sf)
       .as[(String, Long)].collect().toMap
