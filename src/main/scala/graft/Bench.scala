@@ -105,7 +105,26 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val env = s""""env":{"cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""warm":$warm,"load_start":$loadStart,"load_end":$loadEnd}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
+    val full =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
+    // The FULL per-query map (140 queries ≈ 4 KB) overflows the ~2 KB
+    // stdout tail the driver keeps, so its regex never recovered the
+    // JSON (BENCH_r07/r08 "parsed": null). Write the full line to a
+    // file and PRINT a short parseable line — same metric/total/sf,
+    // `queries` truncated to the slowest entries (the ones a
+    // regression read cares about), plus a pointer to the full map.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+      s""""queries":$slowest,"queries_shown":"15 slowest of ${results.size}",""" +
+      s""""queries_file":"$outPath","sf":"$sfDir",$env}""")
     Tables.clear(spark)
     spark.stop()
   }

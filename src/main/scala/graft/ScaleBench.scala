@@ -42,6 +42,15 @@ object ScaleBench {
     * physical timestamp generation replicates identically. */
   def synthesizeEvents(spark: SparkSession, baseDir: String, factor: Int, out: String): Unit = {
     val base = Tables(spark, baseDir).events
+    // the per-copy offsets assume the base ids fit under them; a larger
+    // base would silently produce colliding ids across copies and
+    // corrupt the per-user scaling measurement
+    val mx = base.agg(max(col("event_id")).cast("long").as("me"),
+        max(col("user_id")).cast("long").as("mu"))
+      .collect()(0)
+    require(mx.getLong(0) < 100_000_000L && mx.getLong(1) < 10_000_000L,
+      s"synthesizeEvents: base ids exceed the per-copy offsets " +
+        s"(max event_id=${mx.getLong(0)}, max user_id=${mx.getLong(1)})")
     val copies = (0 until factor).map { i =>
       base.select(
         (col("event_id") + lit(i.toLong * 100_000_000L)).as("event_id"),

@@ -27,6 +27,10 @@ object Skyline {
     * within-bin windows. */
   def paretoFront2D(df: DataFrame, x: String, y: String,
                     binWidth: Long = 10000L): DataFrame = {
+    // binWidth = 0 would NULL every __bin (the inner join then silently
+    // returns an empty front); negative widths reverse bin order and
+    // return wrong fronts — fail loudly instead
+    require(binWidth > 0, s"paretoFront2D: binWidth must be > 0 (got $binWidth)")
     val perX = df.groupBy(col(x))
       .agg(max(col(y)).as("__best_y"))
       .withColumn("__bin", expr(s"$x DIV $binWidth"))

@@ -705,6 +705,9 @@ object Relational {
         "l_orderkey")
       .filter(col("src") < col("dst"))
       .select("src", "dst")
+      .cache() // the seed set below re-reads the same self-join; without
+               // this the lineitem scan+join runs twice (Bench/Verify
+               // clear the cache between queries)
     val source = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .filter(col("node") % 10 === 0)
@@ -1358,9 +1361,10 @@ object Relational {
         "l_orderkey")
       .filter(col("src") < col("dst"))
       .select("src", "dst")
-    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    graft.operators.Graph.pageRank(sym, "src", "dst", iterations = 5)
+    // symmetrization happens inside the operator, fused with its edge-
+    // count sizing pass — one DataFrame union+distinct exchange fewer
+    graft.operators.Graph.pageRank(e0, "src", "dst", iterations = 5,
+        symmetrize = true)
       .select(col("node").as("part_id"), col("pr"))
       .orderBy("part_id")
   }

@@ -50,7 +50,13 @@ object StatsQueries {
         count(lit(1)).as("n_events"))
       .select("user_id", "event_type", "valid_from_us", "valid_to_us",
         "n_events")
-      .orderBy("user_id", "valid_from_us", "event_type")
+      // full output tuple as sort key: (user_id, valid_from_us,
+      // event_type) is NOT a total order — 3+ same-microsecond events of
+      // alternating types yield two runs agreeing on all three — so the
+      // trailing keys stop the row order (hence the driver hash) from
+      // being engine-dependent on such ties
+      .orderBy("user_id", "valid_from_us", "event_type", "valid_to_us",
+        "n_events")
   }
 
   val q121Sql: String =
@@ -70,7 +76,7 @@ object StatsQueries {
       |  min(ts_us) AS valid_from_us, max(ts_us) AS valid_to_us,
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM s GROUP BY user_id, run_id
-      |ORDER BY user_id, valid_from_us, event_type""".stripMargin
+      |ORDER BY user_id, valid_from_us, event_type, valid_to_us, n_events""".stripMargin
 
   // --------------------------------------------------------------- q122
   /** Duplicate-event suppression: drop an event when an identical

@@ -1218,13 +1218,21 @@ object TextQueries {
     * hash, so at 100 TB the heavy exchange carries fixed-width keys and
     * the doc-level rollup is the only doc-keyed stage. */
   def q95SubstringDup(spark: SparkSession, dir: String): DataFrame = {
+    // Staged ONCE, partitioned on the hash (Dedup.scala's discipline):
+    // the round-8 shape recomputed the explode+md5 pipeline for both the
+    // census and the join AND shuffled each copy separately. With the
+    // frame clustered on `h`, the doc-frequency census (countDistinct
+    // plans its distinct phase on (h, doc_id) — clustering on h already
+    // satisfies it) and the census⋈occurrences join are both
+    // EXCHANGE-FREE; the only remaining shuffle is the per-doc rollup.
     val sh = docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
       .select(col("doc_id"),
         explode(expr(shingleArrayExpr(ShingleDupK))).as("shingle"))
       .select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
-    val stats = sh.distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .repartition(col("h"))
+      .localCheckpoint()
+    val stats = sh.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     sh.join(stats, Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -1250,22 +1258,47 @@ object TextQueries {
     * of `source` values sharing at least one k-token shingle, the count
     * of distinct shared shingle hashes and the Jaccard overlap of the two
     * sources' shingle sets — the train/test (or crawl-vs-benchmark)
-    * leakage census at source granularity. Scale shape: the per-source
-    * shingle sets are distinct-(source,hash) rows keyed by hash; the
-    * self-join on the hash meets ≤ |sources| rows per key (source count
-    * is bounded, not corpus-sized), and the per-source set sizes are a
-    * tiny broadcast frame. Only pairs with n_shared ≥ 1 appear. */
+    * leakage census at source granularity. Scale shape (round-9): ONE
+    * hash-keyed exchange total — the per-hash source-set collapse
+    * (collect_set both DEDUPES the (source, hash) occurrences map-side
+    * and gathers the ≤ |sources| survivors) is the only shuffle the
+    * corpus-sized frame ever crosses; pair emission is a per-row array
+    * expansion bounded by |sources|² — never a self-join re-shuffling
+    * the census (the round-8 shape paid the hash exchange twice plus a
+    * distinct). The collapsed census (one row per distinct shingle) is
+    * the frame that stages, and the per-source set sizes fall out of
+    * it. Only pairs with n_shared ≥ 1 appear. */
   def q97SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
+    // one row per hash: its sorted distinct source set; staged because
+    // both the sizes census and the pair emission read it — and it is
+    // the SMALL frame (≤ one row per distinct shingle, vs the
+    // occurrence frame upstream, which now crosses exactly one shuffle)
+    val perHash = docs(spark, dir)
       .select(col("source"), toks.as("l"))
       .select(col("source"),
         explode(expr(shingleArrayExpr(ShingleDupK))).as("shingle"))
       .select(col("source"), md5Hash60(col("shingle")).as("h"))
-      .distinct()
-    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
-    sh.select(col("source").as("source_a"), col("h"))
-      .join(sh.select(col("source").as("source_b"), col("h")), Seq("h"))
-      .filter(col("source_a") < col("source_b"))
+      // distinct first: a plain map-side-combined HashAggregate dedups
+      // the occurrences BEFORE any set objects exist, so the object-
+      // heavy collect_set only ever sees ≤ |sources| rows per hash
+      .groupBy("h", "source").agg(count(lit(1)))
+      .groupBy("h")
+      .agg(array_sort(collect_set("source")).as("ss"))
+      .localCheckpoint()
+    val sizes = perHash.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    // ordered pairs from the sorted set: i < j ⟹ ss[i] < ss[j], so the
+    // a < b orientation is built into the expansion (guard short sets —
+    // sequence(2, 1) would COUNT DOWN)
+    val pairs = perHash.select(explode(expr(
+      """if(size(ss) < 2, array(),
+        |  flatten(transform(sequence(1, size(ss) - 1),
+        |    i -> transform(sequence(i + 1, size(ss)),
+        |      j -> struct(element_at(ss, i) AS source_a,
+        |                  element_at(ss, j) AS source_b)))))""".stripMargin))
+      .as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+    pairs
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(sizes.select(col("source").as("source_a"),

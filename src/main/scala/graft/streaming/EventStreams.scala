@@ -353,7 +353,17 @@ object EventStreams {
 
   // ----------------------------------------- streaming SCD2 run twin
 
-  case class RunState(runType: String, start: Long, lastSeen: Long, n: Long)
+  /** [[streamingRuns]] input row. `ts` (millisecond Timestamp) exists
+    * for the WATERMARK only; all run arithmetic uses `ts_us` — exact
+    * epoch microseconds, the precision contract batch q121 states
+    * (`ts_ns DIV 1000`). Carrying the microseconds as an explicit long
+    * instead of deriving them from `ts.getTime` is what keeps
+    * sub-millisecond event time from silently truncating to zero, and
+    * `event_id` carries the batch twin's tie-break for same-microsecond
+    * events. */
+  case class RunEvent(ts: Timestamp, ts_us: Long, event_id: Long,
+                      event_type: String, user_id: Long)
+  case class RunState(runType: String, startUs: Long, lastSeenUs: Long, n: Long)
   case class RunOut(user_id: Long, event_type: String, valid_from_us: Long,
                     valid_to_us: Long, n_events: Long)
 
@@ -366,19 +376,29 @@ object EventStreams {
     *
     * The still-open run emits on event-time timeout once the watermark
     * passes `lastSeen + flushAfterMillis` (same policy as sessionize's
-    * gap timeout). Closed runs match the batch operator exactly when
-    * per-user timestamps are strictly increasing — the batch twin
-    * breaks same-microsecond ties on event_id, which this Dataset
-    * doesn't carry (asserted against q121 in StreamingRunsSpec). */
-  def streamingRuns(events: Dataset[UserEvent],
+    * gap timeout). Precision contract: run boundaries are exact epoch
+    * MICROSECONDS ([[RunEvent]].ts_us) and same-microsecond ties order
+    * on event_id — identical to the batch twin's (ts_us, event_id)
+    * window sort. Closed runs match the batch operator exactly when
+    * (a) events arrive in non-decreasing event time across micro-
+    * batches (within a batch any order is fine — rows re-sort), and
+    * (b) no same-type run idles past `watermark + flushAfterMillis` in
+    * event time: the timeout flush SPLITS such a run where batch q121's
+    * gap-independent islands keep one interval, so either size the
+    * flush horizon past the longest expected idle gap (q141 does — the
+    * bounded-source parity entry) or have downstream consumers merge
+    * adjacent same-type intervals. Asserted against q121 in
+    * StreamingRunsSpec and hash-checked against q121's oracle by
+    * catalog entry q141. */
+  def streamingRuns(events: Dataset[RunEvent],
                     flushAfterMillis: Long = 60 * 60 * 1000L)
                    (implicit spark: SparkSession): Dataset[RunOut] = {
     import spark.implicits._
 
     def close(userId: Long, s: RunState): RunOut =
-      RunOut(userId, s.runType, s.start * 1000L, s.lastSeen * 1000L, s.n)
+      RunOut(userId, s.runType, s.startUs, s.lastSeenUs, s.n)
 
-    def update(userId: Long, rows: Iterator[UserEvent],
+    def update(userId: Long, rows: Iterator[RunEvent],
                state: GroupState[RunState]): Iterator[RunOut] = {
       if (state.hasTimedOut) {
         val s = state.get
@@ -387,21 +407,24 @@ object EventStreams {
       }
       var cur = state.getOption
       val out = scala.collection.mutable.ArrayBuffer.empty[RunOut]
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
         cur match {
           case Some(s) if s.runType == e.event_type =>
-            cur = Some(s.copy(lastSeen = t, n = s.n + 1))
+            cur = Some(s.copy(lastSeenUs = e.ts_us, n = s.n + 1))
           case Some(s) =>
             out += close(userId, s)
-            cur = Some(RunState(e.event_type, t, t, 1))
+            cur = Some(RunState(e.event_type, e.ts_us, e.ts_us, 1))
           case None =>
-            cur = Some(RunState(e.event_type, t, t, 1))
+            cur = Some(RunState(e.event_type, e.ts_us, e.ts_us, 1))
         }
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.lastSeen + flushAfterMillis)
+        // timeout clock is event-time MILLIS (the watermark's unit);
+        // floorDiv so a mid-millisecond lastSeen still waits the full
+        // horizon
+        state.setTimeoutTimestamp(
+          Math.floorDiv(s.lastSeenUs, 1000L) + flushAfterMillis)
       }
       out.iterator
     }

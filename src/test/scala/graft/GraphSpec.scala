@@ -59,11 +59,72 @@ class GraphSpec extends SparkSpec {
     assert(a == Map(5L -> 3L, 3L -> 3L, 9L -> 3L, 7L -> 7L, 8L -> 7L))
   }
 
+  /** Run `body` with the small-graph fast path disabled, so the
+    * distributed Pregel loop is what executes. */
+  private def distributedPath[T](body: => T): T = {
+    val saved = Graph.SmallGraphEdgeThreshold
+    Graph.SmallGraphEdgeThreshold = -1L
+    try body finally Graph.SmallGraphEdgeThreshold = saved
+  }
+
   test("unconverged exit fails loudly instead of returning wrong labels") {
+    // the cap only exists on the distributed round loop — the small-path
+    // union-find always reaches the fixpoint
     val edges = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
     intercept[IllegalArgumentException] {
-      Graph.connectedComponents(edges, "src", "dst", maxIterations = 2)
-        .collect()
+      distributedPath {
+        Graph.connectedComponents(edges, "src", "dst", maxIterations = 2)
+          .collect()
+      }
     }
+  }
+
+  test("small path ≡ distributed path on all four kernels") {
+    // deterministic pseudo-random graph: ~60 nodes, md5-derived edges —
+    // multiple components, triangles, uneven degrees
+    val edges = ((0 until 150).map { i =>
+      val a = (i * 2654435761L % 61) + 1
+      val b = (i * 40503L % 61) + 1
+      (math.min(a, b), math.max(a, b))
+    } ++ Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L)))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    val sources = Seq(1L, 7L, 13L).toDF("node")
+
+    val ccS = Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    val bfsS = Graph.bfsLevels(edges, "src", "dst", sources, maxRounds = 6)
+      .as[(Long, Long)].collect().toSet
+    val prS = Graph.pageRank(edges, "src", "dst", iterations = 4,
+      symmetrize = true).as[(Long, Long)].collect().toSet
+    val triS = Graph.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toSet
+
+    val (ccD, bfsD, prD, triD) = distributedPath {
+      (Graph.connectedComponents(edges, "src", "dst")
+         .as[(Long, Long)].collect().toSet,
+       Graph.bfsLevels(edges, "src", "dst", sources, maxRounds = 6)
+         .as[(Long, Long)].collect().toSet,
+       Graph.pageRank(edges, "src", "dst", iterations = 4, symmetrize = true)
+         .as[(Long, Long)].collect().toSet,
+       Graph.triangleCounts(edges, "src", "dst")
+         .as[(Long, Long)].collect().toSet)
+    }
+    assert(ccS == ccD)
+    assert(bfsS == bfsD)
+    assert(prS == prD)
+    assert(triS == triD)
+    assert(ccS.nonEmpty && bfsS.nonEmpty && prS.nonEmpty && triS.nonEmpty)
+  }
+
+  test("pageRank symmetrize=true equals caller-side union+distinct") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 2L))
+      .toDF("src", "dst")
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val a = Graph.pageRank(e0, "src", "dst", iterations = 3, symmetrize = true)
+      .as[(Long, Long)].collect().toSet
+    val b = Graph.pageRank(sym, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
   }
 }
