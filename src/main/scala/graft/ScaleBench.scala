@@ -447,7 +447,22 @@ object ScaleBench {
         // hierarchical coarse quantizer — the row measures exactly that
         // split
         "semdedup" -> (() => Similarity.semDedup(emb, tau = 0.30,
-          numCells = 8 * factor)))
+          numCells = 8 * factor)),
+        // persisted-index lifecycle (q142's shape), split so the claim
+        // is measurable: BUILD writes the (vec_id, cell, codes) parquet
+        // artifact once per factor (linear in corpus — the encode);
+        // QUERY answers the fixed 100-query batch from the artifact
+        // alone — no encode anywhere in its plan, cost = pruned index
+        // scan + |q|·rerank exact re-rank. Build amortizes across every
+        // subsequent batch; the query row vs knn_ivfpq above is the
+        // measured amortization
+        "ivfpq_index_build" -> (() => {
+          Similarity.ivfPqIndexWrite(emb, s"$dir/ivfpq_index.parquet")
+          Similarity.ivfPqIndexRead(spark, s"$dir/ivfpq_index.parquet").limit(1)
+        }),
+        "ivfpq_index_query" -> (() => Similarity.ivfPqKnnIndexed(
+          Similarity.ivfPqIndexRead(spark, s"$dir/ivfpq_index.parquet"),
+          emb, queries100, 10, rerank = 50)))
       val timed = (ops ++ annOps).filter(p => opSelected(p._1))
         .map { case (name, mk) => name -> time(mk()) }
       val js = timed.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

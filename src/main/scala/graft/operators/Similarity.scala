@@ -503,22 +503,67 @@ object Similarity {
   def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                numCells: Int = 8, nprobe: Int = 2, rerank: Int = 30,
                dim: Int = 64): DataFrame = {
+    // cell + codes in ONE pass; the repartition is the same load-bearing
+    // exchange as pqAdcKnn's (without it the encode chain fuses into the
+    // join and re-evaluates per pair)
+    val c = ivfPqIndex(corpus, numCells, dim).repartition(col("vec_id"))
+    ivfPqKnnIndexed(c, corpus, queries, k, numCells, nprobe, rerank, dim,
+      pruneCells = false)
+  }
+
+  /** The IVF+PQ index ARTIFACT: one `(vec_id, cell, codes)` row per
+    * corpus vector — the coarse cell (argmax spherical score) and the
+    * 8-byte PQ codes computed in ONE narrow pass, ~28 B/row. This is
+    * the build-once half of the build-once/query-many split every
+    * ivfPqKnn scaladoc promises: a deployment materializes THIS frame,
+    * not the raw vectors, and every query batch scans it instead of
+    * re-encoding the corpus. */
+  def ivfPqIndex(corpus: DataFrame, numCells: Int = 8, dim: Int = 64): DataFrame = {
     def scores(emb: Column): Column =
       array((0 until numCells).map(cc => cellScore(emb, cc, dim)): _*)
     val enc = graft.plans.PqEncode(
       col("emb"), pqCodebookFlat, pqNorms2Flat,
       PqSubspaces, PqCodes, PqSubDim)
-    // cell + codes in ONE pass; the repartition is the same load-bearing
-    // exchange as pqAdcKnn's (without it the encode chain fuses into the
-    // join and re-evaluates per pair)
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("scores", scores(col("emb")))
       .select(col("vec_id"),
         (array_position(col("scores"), array_max(col("scores"))) - 1)
           .cast("int").as("cell"),
         enc.as("__pq_enc"))
       .select(col("vec_id"), col("cell"), col("__pq_enc.codes").as("codes"))
-      .repartition(col("vec_id"))
+  }
+
+  /** Persist the IVF+PQ index, PARTITIONED BY CELL: each coarse cell is
+    * its own parquet partition directory, so an indexed query that
+    * probes `nprobe` of `numCells` cells reads exactly that fraction of
+    * the index files (partition pruning at the scan — the physical
+    * reason an IVF index exists). Codes are encoded once, here; queries
+    * never touch the raw vectors except for the final exact re-rank. */
+  def ivfPqIndexWrite(corpus: DataFrame, path: String,
+                      numCells: Int = 8, dim: Int = 64): Unit =
+    ivfPqIndex(corpus, numCells, dim)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read a persisted [[ivfPqIndexWrite]] artifact. */
+  def ivfPqIndexRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("codes"))
+
+  /** IVF+PQ kNN over a PRE-BUILT `(vec_id, cell, codes)` index — the
+    * query-many half: identical results to [[ivfPqKnn]] (PqSpec pins
+    * the law), but the corpus-encode pass is gone; the scan cost is a
+    * function of the INDEX, not of how it was built. `corpus` supplies
+    * raw vectors only for the |queries|·rerank exact re-rank pairs.
+    * With `pruneCells` (the persisted-index path) the ≤ numCells probed
+    * cell ids — a bounded artifact, the CMS/bloom collect discipline —
+    * become a literal IN-filter on the index scan, so a partitionBy-
+    * cell parquet index prunes unprobed partitions at the file level. */
+  def ivfPqKnnIndexed(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+                      k: Int, numCells: Int = 8, nprobe: Int = 2,
+                      rerank: Int = 30, dim: Int = 64,
+                      pruneCells: Boolean = true): DataFrame = {
+    def scores(emb: Column): Column =
+      array((0 until numCells).map(cc => cellScore(emb, cc, dim)): _*)
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cell").asc)
     val probes = queries
@@ -537,6 +582,15 @@ object Similarity {
     }).reduce(_ + _)
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val c =
+      if (!pruneCells) index
+      else {
+        // ≤ numCells ints: the bounded-artifact collect that turns the
+        // probe set into a static partition filter on the index scan
+        val probed = probes.select("cell").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        index.filter(col("cell").isin(probed: _*))
+      }
     val cand = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("adc_dist", adc)

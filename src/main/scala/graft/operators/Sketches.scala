@@ -103,6 +103,19 @@ object Sketches {
     regs.groupBy(groupCols.map(col) :+ col("__hll_bucket"): _*)
       .agg(max("__hll_m").as("__hll_m"))
 
+  /** Persist a register frame: the build-once half of the sketch
+    * lifecycle. The artifact is ≤ groups×256 rows whatever the input
+    * size, so the write is trivially cheap and any later session
+    * answers distinct-count queries (including merged ones — registers
+    * max-merge, [[hllMergeRegisters]]) WITHOUT rescanning the corpus.
+    * Catalog entry q143 round-trips this against q64's oracle. */
+  def hllRegistersWrite(regs: DataFrame, path: String): Unit =
+    regs.write.mode("overwrite").parquet(path)
+
+  /** Read a persisted [[hllRegistersWrite]] artifact. */
+  def hllRegistersRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Estimate from a register frame ([[hllRegisters]] /
     * [[hllMergeRegisters]] output). Split out so sketches can be
     * stored, shipped, and merged between build and estimate. */

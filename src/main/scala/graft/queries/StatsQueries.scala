@@ -78,6 +78,72 @@ object StatsQueries {
       |FROM s GROUP BY user_id, run_id
       |ORDER BY user_id, valid_from_us, event_type, valid_to_us, n_events""".stripMargin
 
+  // --------------------------------------------------------------- q141
+  /** The STREAMING kernel answering q121's batch question over the same
+    * bounded source, hash-checked against the SAME oracle — the
+    * batch-parity proof that moves the streaming twins from "spec" to
+    * "pass". Mechanics: the events table is staged as a parquet file
+    * stream (all files arrive in the first micro-batch, so per-user
+    * arrival order within the batch is whatever the files held — the
+    * operator re-sorts each group by (ts_us, event_id), q121's exact
+    * tie-break); two far-future sentinel files then advance the
+    * watermark in two further micro-batches so every open run's
+    * event-time timer fires (the flush horizon is set beyond the
+    * table's whole time span, so NO run is ever split by a timeout —
+    * the documented equivalence precondition). The memory-sink result
+    * is the closed-runs relation: each row was emitted by
+    * flatMapGroupsWithState state transitions, not by a window pass,
+    * yet the hash matches the batch islands oracle exactly. Sentinel
+    * rows (user_id = -1) never reach the output. */
+  def q141StreamingRuns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q141").toString
+    val src = tmp + "/events"
+    eventsUs(spark, dir)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("ts_us"),
+        timestamp_micros(col("ts_us")).as("ts"))
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[graft.streaming.EventStreams.RunEvent]
+    // flush horizon ≈ 200 years: longer than any gap inside the bounded
+    // table, so only the sentinel-driven final flush closes open runs
+    val flushMs = 6311520000000L
+    val qname = s"graft_q141_runs_${Q141Runs.incrementAndGet()}"
+    val query = graft.streaming.EventStreams.streamingRuns(stream, flushMs)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      query.processAllAvailable() // batch 1: every real event
+      // sentinel batches: each advances the watermark computed from the
+      // PREVIOUS batch's max event time, so batch 3 fires every timer
+      Seq(("2400-01-01 00:00:00", 2L), ("2500-01-01 00:00:00", 3L))
+        .foreach { case (tsStr, i) =>
+          val t = java.sql.Timestamp.valueOf(tsStr)
+          Seq((-i, -1L, "sentinel", t.getTime * 1000L, t))
+            .toDF("event_id", "user_id", "event_type", "ts_us", "ts")
+            .write.mode("append").parquet(src)
+          query.processAllAvailable()
+        }
+    } finally query.stop()
+    spark.table(qname)
+      .filter(col("user_id") >= 0)
+      .select("user_id", "event_type", "valid_from_us", "valid_to_us",
+        "n_events")
+      .orderBy("user_id", "valid_from_us", "event_type", "valid_to_us",
+        "n_events")
+  }
+
+  /** Memory-sink names must be unique per stream start within a JVM. */
+  private val Q141Runs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The streaming kernel answers the BATCH oracle. */
+  val q141Sql: String = q121Sql
+
   // --------------------------------------------------------------- q122
   /** Duplicate-event suppression: drop an event when an identical
     * (user, type, value-cents) event arrived within the trailing
@@ -919,6 +985,7 @@ object StatsQueries {
     "q138_ltv_curve"       -> (q138LtvCurve _),
     "q136_source_drift"    -> (q136SourceDrift _),
     "q121_scd2_runs"       -> (q121Scd2Runs _),
+    "q141_streaming_runs"  -> (q141StreamingRuns _),
     "q122_dup_suppress"    -> (q122DupSuppress _),
     "q123_skyline"         -> (q123Skyline _),
     "q124_trend_slope"     -> (q124TrendSlope _),
@@ -935,6 +1002,7 @@ object StatsQueries {
 
   val oracles: Map[String, String] = Map(
     "q121_scd2_runs"       -> q121Sql,
+    "q141_streaming_runs"  -> q141Sql,
     "q122_dup_suppress"    -> q122Sql,
     "q123_skyline"         -> q123Sql,
     "q124_trend_slope"     -> q124Sql,

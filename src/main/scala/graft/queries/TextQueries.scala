@@ -952,6 +952,11 @@ object TextQueries {
     * comma string (lexicographic "10"<"2" would diverge between
     * engines). */
   def q88InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    // staged ONCE: both the df census and the final join read the
+    // postings (round-8 recomputed the posexplode+collect_list pipeline
+    // twice and shuffled the payload-heavy frame again for the join —
+    // here df, an aggregated ≤|vocabulary|-row frame, broadcasts
+    // instead, so the postings cross no further exchange)
     val postings = docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
       .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "token")))
@@ -960,8 +965,9 @@ object TextQueries {
         array_join(
           transform(sort_array(collect_list(col("pos"))), _.cast("string")),
           ",").as("positions"))
+      .localCheckpoint()
     val df = postings.groupBy("token").agg(count(lit(1)).as("df"))
-    postings.join(df, "token")
+    postings.join(broadcast(df), "token")
       .select("token", "doc_id", "tf", "positions", "df")
       .orderBy("token", "doc_id")
   }
@@ -1147,12 +1153,17 @@ object TextQueries {
     * whole corpus, so the computation is order-free and shuffle-bounded
     * by the distinct-bigram census. */
   def q92NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // staged clustered on the bigram (q95's discipline): the first-
+    // occurrence census and the join back both run exchange-free on the
+    // staged frame instead of recomputing the explode and re-shuffling
     val big = docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
       .select(col("doc_id"), explode(expr(
         "array_distinct(zip_with(slice(l, 1, greatest(size(l) - 1, 0)), " +
           "slice(l, 2, greatest(size(l) - 1, 0)), " +
           "(a, b) -> concat(a, ' ', b)))")).as("bigram"))
+      .repartition(col("bigram"))
+      .localCheckpoint()
     val first = big.groupBy("bigram").agg(min("doc_id").as("first_doc"))
     big.join(first, "bigram")
       .groupBy("doc_id")

@@ -83,6 +83,21 @@ class PqSpec extends SparkSpec {
     assert(got.size == 100)
   }
 
+  test("persisted index round-trip: indexed query equals the in-query form") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val direct = Similarity.ivfPqKnn(emb, qs, k = 5, numCells = 8,
+        nprobe = 2, rerank = 30)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pqspec-idx").toString + "/index"
+    Similarity.ivfPqIndexWrite(emb, path, numCells = 8)
+    val viaIndex = Similarity.ivfPqKnnIndexed(
+        Similarity.ivfPqIndexRead(spark, path), emb, qs, k = 5,
+        numCells = 8, nprobe = 2, rerank = 30)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
   test("adc distance approximates true normalized-L2 distance") {
     // ADC(q, c) should correlate with 2-2cos(q, c); spot-check that for
     // one query the ADC-nearest neighbor is within the true top half

@@ -57,6 +57,17 @@ def per_query_min(bench_jsons):
     return merged
 
 
+# Deliberately-UNGATED baseline entries: each exists to measure what its
+# gated production twin saves, so its ratio is a property of the baseline
+# design, not a perf defect. Excluded from over_2x_nontrivial by name,
+# with the twin recorded here and in the artifact's protocol block.
+BASELINE_QUERIES = {
+    "q63_pq_adc_knn": ("full-corpus ADC scan kept as the ungated baseline; "
+                       "the gated production twin is q73_ivfpq_knn "
+                       "(cell-pruned, measured well under 1x)"),
+}
+
+
 def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
     benches = [json.load(open(p)) for p in spark_paths]
     cold = per_query_min([b for b in benches if b.get("env", {}).get("warm", 0) == 0])
@@ -89,7 +100,8 @@ def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
             "over_2x_nontrivial": sorted(
                 n for n in names
                 if (paired[n].get(f"{label}_ratio") or 0) > 2.0
-                and duck[n] >= 0.2),
+                and duck[n] >= 0.2
+                and n not in BASELINE_QUERIES),
         }
 
     out = {
@@ -104,7 +116,8 @@ def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
                      "multi-stage constants; over_2x lists only queries "
                      "with duck_sec >= 0.2s - below that the ratio "
                      "measures per-query session constants, not the data "
-                     "path")},
+                     "path - and excludes the named baseline entries"),
+            "excluded_baselines": BASELINE_QUERIES},
         "summary": {"cold": agg("cold", cold), "warm": agg("warm", warm)},
         "queries": paired,
     }
