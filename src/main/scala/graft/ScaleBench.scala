@@ -107,6 +107,16 @@ object ScaleBench {
     }
     def fmt(d: Double): String = "%.2f".formatLocal(Locale.ROOT, d)
 
+    // run `f` with Graph's small-graph fast path disabled, so the
+    // distributed Pregel loop is what gets measured (the path decision
+    // is taken eagerly inside the operator call, so restoring the seam
+    // before the timed write is safe)
+    def forcedPregel(f: => DataFrame): DataFrame = {
+      val saved = graft.operators.Graph.SmallGraphEdgeThreshold
+      graft.operators.Graph.SmallGraphEdgeThreshold = -1L
+      try f finally graft.operators.Graph.SmallGraphEdgeThreshold = saved
+    }
+
     // cache key includes the base corpus name, and a parquet directory
     // only counts as cached when its _SUCCESS marker exists — a cache
     // from a different SPARK_GRAFT_SF_DIR or an interrupted write must
@@ -415,6 +425,44 @@ object ScaleBench {
             .union(d.select((col("doc_id") + 1).as("src"), (col("doc_id") + 2).as("dst")))
             .union(d.select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst")))
           graft.operators.Graph.triangleCounts(edges, "src", "dst")
+        }),
+        // the same kernels with the small-graph fast path DISABLED: the
+        // synthesized topologies stay under the in-task threshold even
+        // at 100×, so these rows are what keep the DISTRIBUTED Pregel
+        // loop's scaling measured (the 100 TB shape the operators take
+        // automatically above the threshold); the unforced rows above
+        // measure what a caller actually gets at these sizes
+        "cc_pregel" -> (() => forcedPregel {
+          val d = Tables(spark, dir).documents
+          val edges = d.select(col("doc_id").as("src"),
+              (col("doc_id") - col("doc_id") % 5).as("dst"))
+            .filter(col("src") =!= col("dst"))
+          graft.operators.Graph.connectedComponents(edges, "src", "dst")
+        }),
+        "pagerank_pregel" -> (() => forcedPregel {
+          val d = Tables(spark, dir).documents
+          val edges = d.select(col("doc_id").as("src"),
+              (col("doc_id") - col("doc_id") % 5).as("dst"))
+            .filter(col("src") =!= col("dst"))
+          graft.operators.Graph.pageRank(edges, "src", "dst")
+        }),
+        "triangles_pregel" -> (() => forcedPregel {
+          val d = Tables(spark, dir).documents
+            .filter(col("doc_id") % 3 === 0 && col("doc_id") % 10000000L < 4998)
+          val edges = d.select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+            .union(d.select((col("doc_id") + 1).as("src"), (col("doc_id") + 2).as("dst")))
+            .union(d.select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst")))
+          graft.operators.Graph.triangleCounts(edges, "src", "dst")
+        }),
+        "bfs_pregel" -> (() => forcedPregel {
+          val d = Tables(spark, dir).documents
+          val edges = d.select(col("doc_id").as("src"),
+              (col("doc_id") - col("doc_id") % 5).as("dst"))
+            .filter(col("src") =!= col("dst"))
+          val seeds = d.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id").as("node"))
+          graft.operators.Graph.bfsLevels(edges, "src", "dst", seeds,
+            maxRounds = 3)
         }))
       // ANN over an N×-replicated embedding corpus, fixed 100-query set
       // (base-copy ids): brute force is O(|corpus|·|queries|) dot

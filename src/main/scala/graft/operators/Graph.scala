@@ -76,29 +76,33 @@ object Graph {
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
   }
 
-  /** Round-loop partition sizing: ≥1M edges per partition before a
-    * second one opens. AQE coalesces tiny DataFrame exchanges the same
-    * way; RDD stages get no AQE, so the loop sizes its OWN partitioner
-    * from the measured edge count. The cap is the source frame's
-    * planned partitioning, so at cluster scale the loop inherits the
-    * cluster's width. */
+  /** Round-loop partition sizing for the DISTRIBUTED path (which only
+    * runs above [[SmallGraphEdgeThreshold]], or when a measurement
+    * forces it): at least the source frame's planned width — at cluster
+    * scale the loop inherits the cluster's parallelism — growing past
+    * it at ~1M edges per partition so giant graphs keep partitions
+    * bounded in size. (Graphs small enough that fewer partitions would
+    * be the right call never reach this: the small-graph path takes
+    * them in one task.) */
   private val EdgesPerPartition = 1000000L
 
   private def sizedPartitioner(edgeCount: Long, scaleHint: Int): HashPartitioner = {
     val wanted = ((edgeCount + EdgesPerPartition - 1) / EdgesPerPartition).toInt
-    new HashPartitioner(math.max(1, math.min(wanted, math.max(1, scaleHint))))
+    new HashPartitioner(math.max(math.max(1, scaleHint), wanted))
   }
 
-  /** Symmetric, deduped adjacency RDD with its measured edge count,
-    * co-partitioned on a partitioner sized from that count (the
-    * counting job's shuffle files are reused by the materialization). */
-  private def undirected(e: RDD[(Long, Long)]): (RDD[(Long, Long)], HashPartitioner, Long) = {
+  /** Symmetric, deduped adjacency RDD with its measured edge count and
+    * the source's width hint. NOT yet re-partitioned: the small path
+    * coalesces the distinct's own shuffle output straight into one
+    * task, and the distributed path partitions on [[sizedPartitioner]]
+    * — deciding after the count avoids a wasted exchange either way
+    * (the counting job's shuffle files are reused by whichever
+    * materialization follows). */
+  private def undirected(e: RDD[(Long, Long)]): (RDD[(Long, Long)], Long, Int) = {
     val hint = math.max(1, e.getNumPartitions)
     val raw = e.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
       .distinct(hint)
-    val m = raw.count()
-    val part = sizedPartitioner(m, hint)
-    (raw.partitionBy(part).cache(), part, m)
+    (raw, raw.count(), hint)
   }
 
   // ------------------------------------------------- connected components
@@ -127,11 +131,11 @@ object Graph {
     import spark.implicits._
     val sc = spark.sparkContext
     val e = edgeRdd(edges, srcCol, dstCol)
-    val (und, part, m) = undirected(e)
+    val (raw, m, hint) = undirected(e)
 
     val result: RDD[(Long, Long)] =
       if (m <= SmallGraphEdgeThreshold) {
-        und.coalesce(1).mapPartitions { it =>
+        raw.coalesce(1).mapPartitions { it =>
           // union-find with MIN-ID ROOTS: union always hangs the larger
           // root under the smaller, so each component's final root IS
           // its minimum node id — the propagation fixpoint, exactly
@@ -151,6 +155,8 @@ object Graph {
           nodes.iterator.map(n => (n, find(n)))
         }
       } else {
+        val part = sizedPartitioner(m, hint)
+        val und = raw.partitionBy(part).cache()
         var labels: RDD[(Long, Long)] = und.keys.distinct(part.numPartitions)
           .map(n => (n, n)).partitionBy(part).cache()
         var round = 0
@@ -199,7 +205,7 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edgeRdd(edges, srcCol, dstCol)
-    val (und, part, m) = undirected(e)
+    val (raw, m, hint) = undirected(e)
     val srcType = sources.schema("node").dataType
     require(IntegralTypes.contains(srcType),
       s"Graph.bfsLevels: source node column must be integral (got $srcType)")
@@ -208,7 +214,7 @@ object Graph {
 
     val result: RDD[(Long, Long)] =
       if (m <= SmallGraphEdgeThreshold) {
-        und.coalesce(1).zipPartitions(srcRdd.coalesce(1)) { (eIt, sIt) =>
+        raw.coalesce(1).zipPartitions(srcRdd.coalesce(1)) { (eIt, sIt) =>
           val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
           eIt.foreach { case (s, d) =>
             adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d }
@@ -229,6 +235,8 @@ object Graph {
           level.iterator
         }
       } else {
+        val part = sizedPartitioner(m, hint)
+        val und = raw.partitionBy(part).cache()
         val l0: RDD[(Long, Long)] = srcRdd.map(n => (n, 0L))
           .reduceByKey(part, (a, _) => a) // dedup seeds, co-partition
           .cache()
@@ -369,11 +377,11 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edgeRdd(edges, srcCol, dstCol).filter { case (s, d) => s != d }
-    val (und, part, m) = undirected(e)
+    val (raw, m, hint) = undirected(e)
 
     val result: RDD[(Long, Long)] =
       if (m <= SmallGraphEdgeThreshold) {
-        und.coalesce(1).mapPartitions { it =>
+        raw.coalesce(1).mapPartitions { it =>
           val es = it.toArray // symmetric, deduped
           val deg = mutable.HashMap.empty[Long, Long]
           es.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
@@ -409,6 +417,8 @@ object Graph {
           cnt.iterator
         }
       } else {
+        val part = sizedPartitioner(m, hint)
+        val und = raw.partitionBy(part).cache()
         val deg = und.mapValues(_ => 1L).reduceByKey(part, _ + _).cache() // narrow
         // total order ≺ = (deg, id); orient src→dst iff src ≺ dst
         val oriented = und.join(deg)                        // narrow: src degree

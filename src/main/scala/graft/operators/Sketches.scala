@@ -287,6 +287,20 @@ object Sketches {
         .as(Seq("row", "col")))
       .groupBy("row", "col").agg(count(lit(1)).as("c"))
 
+  /** Persist a count-min sketch frame: the build-once half of the CMS
+    * lifecycle (HLL: [[hllRegistersWrite]]; PQ: Similarity
+    * .ivfPqIndexWrite). The artifact is ≤ d·w (row, col, c) rows
+    * whatever the input size; split sketches written per day/shard
+    * merge downstream by plain `union` + `groupBy(row, col).sum(c)` —
+    * counter addition, the CMS merge law. Catalog entry q144
+    * round-trips this against q67's oracle. */
+  def countMinWrite(sketch: DataFrame, path: String): Unit =
+    sketch.write.mode("overwrite").parquet(path)
+
+  /** Read a persisted [[countMinWrite]] artifact. */
+  def countMinRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Point-estimate the count of each probe value: min over the d
     * counters the value hashes to. The sketch artifact is ≤ d·w
     * non-zero counters BY CONSTRUCTION (a few KB), so it is evaluated

@@ -319,6 +319,31 @@ object SketchQueries {
       .orderBy("token")
   }
 
+  // --------------------------------------------------------------- q144
+  /** Persisted count-min lifecycle: q67's sketch built once, written as
+    * a ≤ d·w-row parquet artifact (Sketches.countMinWrite), read back,
+    * and probed — completing the persisted-sketch trio next to q142
+    * (PQ index) and q143 (HLL registers). The probe collects the
+    * ARTIFACT (not the corpus) into the d×w literal and runs as a pure
+    * projection, so a later session answers frequency queries without
+    * the build scan; the exact-count yardstick here exists only for
+    * the oracle's never-undercounts law, same as q67. */
+  def q144CmsIndexPersist(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(whitespaceTokens(col("text"))).as("token"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-cms").toString + "/sketch"
+    Sketches.countMinWrite(Sketches.countMinBuild(toks, col("token")), path)
+    val sketch = Sketches.countMinRead(spark, path)
+    val probes = toks.filter(col("doc_id") < 5).select("token").distinct()
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
+    Sketches.countMinProbe(probes, col("token"), sketch)
+      .join(exact, Seq("token"))
+      .select(col("token"), col("cm_count"), col("exact_count"),
+        (col("cm_count") - col("exact_count")).as("overcount"))
+      .orderBy("token")
+  }
+
   val q67Sql: String = {
     val d = Sketches.CmDepth; val w = Sketches.CmWidth
     // row r reads hex digits [8r+1, 8r+8] of ONE md5 per value — must
@@ -609,7 +634,8 @@ object SketchQueries {
     "q67_countmin" -> q67CountMin,
     "q71_heavy_hitters" -> q71HeavyHitters,
     "q72_hll_merge" -> q72HllMerge,
-    "q143_hll_index_persist" -> (q143HllIndexPersist _))
+    "q143_hll_index_persist" -> (q143HllIndexPersist _),
+    "q144_cms_index_persist" -> (q144CmsIndexPersist _))
 
   val oracles: Map[String, String] = Map(
     "q135_hll_growth" -> q135Sql,
@@ -620,5 +646,6 @@ object SketchQueries {
     "q67_countmin" -> q67Sql,
     "q71_heavy_hitters" -> q71Sql,
     "q72_hll_merge" -> q72Sql,
-    "q143_hll_index_persist" -> q143Sql)
+    "q143_hll_index_persist" -> q143Sql,
+    "q144_cms_index_persist" -> q67Sql)
 }

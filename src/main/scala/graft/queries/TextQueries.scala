@@ -1165,7 +1165,8 @@ object TextQueries {
       .repartition(col("bigram"))
       .localCheckpoint()
     val first = big.groupBy("bigram").agg(min("doc_id").as("first_doc"))
-    big.join(first, "bigram")
+    // shuffle_hash for the same reason as q95: skip the corpus-side sort
+    big.join(first.hint("shuffle_hash"), "bigram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -1244,7 +1245,14 @@ object TextQueries {
       .repartition(col("h"))
       .localCheckpoint()
     val stats = sh.groupBy("h").agg(countDistinct("doc_id").as("nd"))
-    sh.join(stats, Seq("h"))
+    // shuffle_hash: both sides are already clustered on h, so the join
+    // needs no exchange either way — but without the hint Catalyst
+    // plans a sort-merge (the checkpointed frame carries no size
+    // stats) and SORTS the corpus-sized occurrence frame; hashing the
+    // census side instead is 1.7× faster at 100× (measured 17.3 s →
+    // 10.5 s) and the build side is the per-partition census slice,
+    // bounded by distinct shingles, never the corpus
+    sh.join(stats.hint("shuffle_hash"), Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
