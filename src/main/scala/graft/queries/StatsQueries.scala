@@ -112,7 +112,7 @@ object StatsQueries {
     // flush horizon ≈ 200 years: longer than any gap inside the bounded
     // table, so only the sentinel-driven final flush closes open runs
     val flushMs = 6311520000000L
-    val qname = s"graft_q141_runs_${Q141Runs.incrementAndGet()}"
+    val qname = s"graft_q141_runs_${StreamQueryIds.incrementAndGet()}"
     val query = graft.streaming.EventStreams.streamingRuns(stream, flushMs)
       .writeStream.format("memory").queryName(qname)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -139,10 +139,93 @@ object StatsQueries {
   }
 
   /** Memory-sink names must be unique per stream start within a JVM. */
-  private val Q141Runs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val StreamQueryIds = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The streaming kernel answers the BATCH oracle. */
   val q141Sql: String = q121Sql
+
+  // --------------------------------------------------------------- q145
+  /** Second streaming batch-parity entry: the WINDOWED STREAMING HLL
+    * (EventStreams.streamingHllDistinct — 256 bytes of register state
+    * per open hour×type, flatMapGroupsWithState) run over the bounded
+    * events source, hash-checked against a plain batch SQL oracle that
+    * recomputes every window's registers from scratch. Same harness as
+    * q141: all real events arrive in the first micro-batch; two
+    * far-future sentinel files advance the watermark so every real
+    * window's event-time timer fires (the sentinels' own windows never
+    * close and are filtered by type). Window alignment is
+    * floor(epoch_ms / 3600000) — identical to the oracle's truncating
+    * `epoch_ns // 3600e9` on this table's positive-epoch domain (the
+    * documented precondition; q13 states the same contract). The
+    * estimate crossing engines bit-exactly is the register-integer
+    * discipline (Sketches.scala): the streaming state, the batch
+    * column pipeline, and the DuckDB SQL all produce the same exact
+    * integer register sums, so the one rounded double agrees. */
+  def q145StreamingHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q145").toString
+    val src = tmp + "/events"
+    Tables(spark, dir).events
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"))
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[graft.streaming.EventStreams.UserEvent]
+    val qname = s"graft_q145_hll_${StreamQueryIds.incrementAndGet()}"
+    val query = graft.streaming.EventStreams.streamingHllDistinct(stream)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      query.processAllAvailable()
+      Seq("2400-01-01 00:00:00", "2500-01-01 00:00:00").foreach { tsStr =>
+        val t = java.sql.Timestamp.valueOf(tsStr)
+        Seq((-1L, "sentinel", t)).toDF("user_id", "event_type", "ts")
+          .write.mode("append").parquet(src)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.table(qname)
+      .filter(col("event_type") =!= "sentinel")
+      .select(expr("unix_millis(window_start) DIV 1000").as("window_start_sec"),
+        col("event_type"), round(col("hll_distinct"), 4).as("hll_distinct"))
+      .orderBy("window_start_sec", "event_type")
+  }
+
+  /** Batch recomputation of every window's registers — q64's arithmetic
+    * empty-register reconstruction keyed by (window, type). */
+  val q145Sql: String = {
+    val m = graft.operators.Sketches.HllBuckets
+    s"""WITH e AS (
+       |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
+       |    event_type, user_id FROM events),
+       |h AS (
+       |  SELECT window_start_sec, event_type,
+       |    CAST(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM e),
+       |r AS (
+       |  SELECT window_start_sec, event_type, h % $m AS bucket,
+       |    max(CASE WHEN h // $m = 0 THEN 53
+       |        ELSE 53 - length(bin(h // $m)) END) AS m
+       |  FROM h GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT window_start_sec, event_type,
+       |    sum(CAST(1 AS BIGINT) << (53 - m))
+       |      + (CAST($m AS BIGINT) - count(*)) * (CAST(1 AS BIGINT) << 53) AS s,
+       |    sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+       |      + (CAST($m AS BIGINT) - count(*)) AS zeros
+       |  FROM r GROUP BY 1, 2)
+       |SELECT window_start_sec, event_type,
+       |  round(CASE WHEN ${graft.operators.Sketches.HllAlphaScaled} / CAST(s AS DOUBLE)
+       |              <= ${2.5 * m} AND zeros > 0
+       |    THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / CAST(zeros AS DOUBLE))
+       |    ELSE ${graft.operators.Sketches.HllAlphaScaled} / CAST(s AS DOUBLE) END, 4)
+       |    AS hll_distinct
+       |FROM agg ORDER BY window_start_sec, event_type""".stripMargin
+  }
 
   // --------------------------------------------------------------- q122
   /** Duplicate-event suppression: drop an event when an identical
@@ -986,6 +1069,7 @@ object StatsQueries {
     "q136_source_drift"    -> (q136SourceDrift _),
     "q121_scd2_runs"       -> (q121Scd2Runs _),
     "q141_streaming_runs"  -> (q141StreamingRuns _),
+    "q145_streaming_hll"   -> (q145StreamingHll _),
     "q122_dup_suppress"    -> (q122DupSuppress _),
     "q123_skyline"         -> (q123Skyline _),
     "q124_trend_slope"     -> (q124TrendSlope _),
@@ -1003,6 +1087,7 @@ object StatsQueries {
   val oracles: Map[String, String] = Map(
     "q121_scd2_runs"       -> q121Sql,
     "q141_streaming_runs"  -> q141Sql,
+    "q145_streaming_hll"   -> q145Sql,
     "q122_dup_suppress"    -> q122Sql,
     "q123_skyline"         -> q123Sql,
     "q124_trend_slope"     -> q124Sql,

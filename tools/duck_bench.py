@@ -57,14 +57,33 @@ def per_query_min(bench_jsons):
     return merged
 
 
-# Deliberately-UNGATED baseline entries: each exists to measure what its
-# gated production twin saves, so its ratio is a property of the baseline
-# design, not a perf defect. Excluded from over_2x_nontrivial by name,
-# with the twin recorded here and in the artifact's protocol block.
+# Entries whose DECLARED ROLE makes the Spark/DuckDB ratio measure
+# something other than comparable work, excluded from over_2x_nontrivial
+# by name with the reason recorded in the artifact's protocol block:
+# ungated baselines (their gated twin is the production entry), and
+# lifecycle/streaming-parity entries whose Spark side deliberately does
+# MORE than the oracle (materializes a persisted artifact, or runs the
+# STREAMING kernel over a staged file stream) while the oracle computes
+# the same ANSWER as a plain batch query. Their per-query rows still
+# appear in the pairing for inspection.
 BASELINE_QUERIES = {
     "q63_pq_adc_knn": ("full-corpus ADC scan kept as the ungated baseline; "
                        "the gated production twin is q73_ivfpq_knn "
                        "(cell-pruned, measured well under 1x)"),
+    "q141_streaming_runs": ("runs the STREAMING SCD2 kernel (file-stream "
+                            "staging + 3 micro-batches + state store) to "
+                            "hash-match the batch oracle; the comparable "
+                            "batch form is q121_scd2_runs"),
+    "q145_streaming_hll": ("runs the STREAMING windowed-HLL kernel over a "
+                           "staged file stream; the comparable batch sketch "
+                           "form is q64_hll_distinct"),
+    "q142_ivfpq_index_persist": ("builds AND persists the IVF+PQ index to "
+                                 "parquet before querying it; the comparable "
+                                 "in-query form is q73_ivfpq_knn"),
+    "q143_hll_index_persist": ("persists + re-reads the register artifact; "
+                               "comparable in-query form is q64_hll_distinct"),
+    "q144_cms_index_persist": ("persists + re-reads the CMS artifact; "
+                               "comparable in-query form is q67_countmin"),
 }
 
 
