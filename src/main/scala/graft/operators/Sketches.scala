@@ -301,6 +301,19 @@ object Sketches {
   def countMinRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Sum-merge count-min sketch frames (counter addition — the CMS
+    * merge law, the additive twin of [[hllMergeRegisters]]'s max): the
+    * result is EXACTLY the sketch a direct [[countMinBuild]] over the
+    * concatenated inputs would produce, because each cell is a plain
+    * count of the rows hashing to it (SketchSpec pins the law). This is
+    * what makes per-split artifacts (per day/shard/source) the 100 TB
+    * form: any union of splits is answered from ≤ splits×d·w rows. */
+  def countMinMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "countMinMerge needs >= 1 sketch frame")
+    sketches.reduce(_ unionByName _)
+      .groupBy("row", "col").agg(sum("c").as("c"))
+  }
+
   /** Point-estimate the count of each probe value: min over the d
     * counters the value hashes to. The sketch artifact is ≤ d·w
     * non-zero counters BY CONSTRUCTION (a few KB), so it is evaluated

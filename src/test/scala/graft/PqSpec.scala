@@ -98,6 +98,27 @@ class PqSpec extends SparkSpec {
     assert(viaIndex == direct && direct.nonEmpty)
   }
 
+  test("persisted index: probed-cell filter lands as a PARTITION filter on the scan") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pqspec-prune").toString + "/index"
+    Similarity.ivfPqIndexWrite(emb, path, numCells = 8)
+    // the shape ivfPqKnnIndexed(pruneCells = true) produces: a literal
+    // IN-filter on the cell column, which for a partitionBy("cell")
+    // artifact must prune at the FILE level, not post-scan
+    val pruned = Similarity.ivfPqIndexRead(spark, path)
+      .filter(col("cell").isin(0, 3))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "cell filter must reach partitionFilters (file-level pruning)")
+    // and the pruned scan really reads a subset of the cells
+    val cells = pruned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(Set(0, 3)))
+  }
+
   test("adc distance approximates true normalized-L2 distance") {
     // ADC(q, c) should correlate with 2-2cos(q, c); spot-check that for
     // one query the ADC-nearest neighbor is within the true top half

@@ -248,6 +248,35 @@ class SketchSpec extends SparkSpec {
       r.getAs[Long]("cm_count") >= r.getAs[Long]("exact_count")))
   }
 
+  test("count-min sum-merge of splits == direct build of the union, bit-identical") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => s"k${i % 37}").toDF("k")
+    val b = (1 to 300).map(i => s"k${i % 53}").toDF("k")
+    val merged = Sketches.countMinMerge(
+        Sketches.countMinBuild(a, col("k")),
+        Sketches.countMinBuild(b, col("k")))
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = Sketches.countMinBuild(a.union(b), col("k"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == direct && direct.nonEmpty)
+  }
+
+  test("persisted CMS artifact round-trips and probes identically") {
+    import spark.implicits._
+    val d = (1 to 500).map(i => s"tok${i % 61}").toDF("k")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-cms-spec").toString + "/sketch"
+    Sketches.countMinWrite(Sketches.countMinBuild(d, col("k")), path)
+    val probes = (0 until 61).map(i => s"tok$i").toDF("k")
+    val viaArtifact = Sketches.countMinProbe(probes, col("k"),
+        Sketches.countMinRead(spark, path))
+      .as[(String, Long)].collect().toMap
+    val direct = Sketches.countMinProbe(probes, col("k"),
+        Sketches.countMinBuild(d, col("k")))
+      .as[(String, Long)].collect().toMap
+    assert(viaArtifact == direct && direct.nonEmpty)
+  }
+
   test("q72 merged ALL estimate == direct global sketch on testdata") {
     val rows = SketchQueries.q72HllMerge(spark, sf).collect()
     assert(rows.map(_.getAs[String]("scope")).contains("ALL"))
