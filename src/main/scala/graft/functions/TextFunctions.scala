@@ -113,6 +113,14 @@ object TextFunctions {
   def md5Hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** All k-token shingle hashes of a token array in one native kernel —
+    * `array<long>`, element i == [[md5Hash60]] of the space-joined
+    * window starting at token i (empty array when the doc is shorter
+    * than k). Replaces the transform+concat+explode(string) render on
+    * the substring-dup paths: no shingle string is ever materialized. */
+  def shingleHashes60(tokens: Column, k: Int): Column =
+    graft.plans.ShingleHash60Expr.column(tokens, k)
+
   /** 32-bit base hash (low 32 bits of the md5 slice). Universal-hash
     * seeds build on this so md5 runs ONCE per token, not once per seed. */
   def md5Hash32(c: Column): Column = md5Hash60(c) % lit(1L << 32)

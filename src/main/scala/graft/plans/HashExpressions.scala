@@ -141,3 +141,100 @@ object Md5SlicesExpr {
     GraftSqlBridge.column(
       Md5SlicesExpr(GraftSqlBridge.expression(c), depth, width))
 }
+
+/** All k-token shingle hashes of one token array in ONE kernel —
+  * `array<long>` of md5_hash60 over each window's space-joined text,
+  * bit-identical to `transform(windows, w -> md5_hash60(concat_ws(' ',
+  * w)))` over the composed shingle render (parity pinned in
+  * VectorExpressionSpec against the exact `shingleArrayExpr` +
+  * `md5Hash60` chain the substring-dup queries used).
+  *
+  * Why native: the composed form materializes every shingle as a
+  * ~50-byte string (k element_at calls + concat per window, 2.3M
+  * allocations at sf0.1) only for the hash to consume and discard it —
+  * measured at ~0.45 s of the 0.58 s explode+hash stage, more than
+  * DuckDB's whole q95. Here the digest streams each window's token
+  * bytes directly (`MessageDigest.update` per token + separator), so
+  * no shingle string ever exists; the explode downstream carries longs.
+  * Per-row cost is O(tokens × k) digest updates — the same bytes the
+  * composed form hashed, without the alloc/copy/GC tax.
+  *
+  * Null contract: a null ARRAY yields null (UnaryExpression default);
+  * null ELEMENTS are not supported (inputs are `split` outputs, which
+  * never contain them) — matching the composed form, whose concat
+  * would turn such a window into a null shingle, is therefore moot. */
+case class ShingleHash60Expr(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  require(k >= 1, s"shingle_hash60 k must be >= 1 (got $k)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_: StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got $t")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override def prettyName: String = "shingle_hash60"
+
+  override protected def nullSafeEval(s: Any): Any =
+    ShingleHash60Expr.hashes(
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.ShingleHash60Expr.hashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60Expr =
+    copy(child = newChild)
+}
+
+object ShingleHash60Expr {
+
+  private val Space = ' '.toByte
+
+  def hashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+             k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = Md5Hash60Expr.digests.get()
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(Space)
+        md.update(toks(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) {
+        v = (v << 8) | (d(b) & 0xffL)
+        b += 1
+      }
+      out(i) = v >>> 4
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column-API entry point. */
+  def column(c: Column, k: Int): Column =
+    GraftSqlBridge.column(ShingleHash60Expr(GraftSqlBridge.expression(c), k))
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -952,22 +953,22 @@ object TextQueries {
     * comma string (lexicographic "10"<"2" would diverge between
     * engines). */
   def q88InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    // staged ONCE: both the df census and the final join read the
-    // postings (round-8 recomputed the posexplode+collect_list pipeline
-    // twice and shuffled the payload-heavy frame again for the join —
-    // here df, an aggregated ≤|vocabulary|-row frame, broadcasts
-    // instead, so the postings cross no further exchange)
-    val postings = docs(spark, dir)
+    // one data exchange, nothing staged: cluster the postings stream on
+    // token once; the (token, doc_id) rollup and the df census (a count
+    // window over the grouped frame — one row per posting, so count ==
+    // document frequency) both run exchange-free on that clustering.
+    // The round-8/9 forms (recompute-twice, then localCheckpoint +
+    // broadcast join) each paid a materialization barrier per run.
+    docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
       .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "token")))
+      .repartition(col("token"))
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"),
         array_join(
           transform(sort_array(collect_list(col("pos"))), _.cast("string")),
           ",").as("positions"))
-      .localCheckpoint()
-    val df = postings.groupBy("token").agg(count(lit(1)).as("df"))
-    postings.join(broadcast(df), "token")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .select("token", "doc_id", "tf", "positions", "df")
       .orderBy("token", "doc_id")
   }
@@ -1153,9 +1154,10 @@ object TextQueries {
     * whole corpus, so the computation is order-free and shuffle-bounded
     * by the distinct-bigram census. */
   def q92NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    // staged clustered on the bigram (q95's discipline): the first-
-    // occurrence census and the join back both run exchange-free on the
-    // staged frame instead of recomputing the explode and re-shuffling
+    // q95's single-consumer discipline: the frame is already distinct
+    // per (doc, bigram), so the first-occurrence census is a min window
+    // over the bigram cluster — no staging, no join, two exchanges
+    // (bigram cluster + per-doc rollup)
     val big = docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
       .select(col("doc_id"), explode(expr(
@@ -1163,10 +1165,8 @@ object TextQueries {
           "slice(l, 2, greatest(size(l) - 1, 0)), " +
           "(a, b) -> concat(a, ' ', b)))")).as("bigram"))
       .repartition(col("bigram"))
-      .localCheckpoint()
-    val first = big.groupBy("bigram").agg(min("doc_id").as("first_doc"))
-    // shuffle_hash for the same reason as q95: skip the corpus-side sort
-    big.join(first.hint("shuffle_hash"), "bigram")
+    big.withColumn("first_doc",
+        min("doc_id").over(Window.partitionBy("bigram")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -1230,32 +1230,30 @@ object TextQueries {
     * hash, so at 100 TB the heavy exchange carries fixed-width keys and
     * the doc-level rollup is the only doc-keyed stage. */
   def q95SubstringDup(spark: SparkSession, dir: String): DataFrame = {
-    // Staged ONCE, partitioned on the hash (Dedup.scala's discipline):
-    // the round-8 shape recomputed the explode+md5 pipeline for both the
-    // census and the join AND shuffled each copy separately. With the
-    // frame clustered on `h`, the doc-frequency census (countDistinct
-    // plans its distinct phase on (h, doc_id) — clustering on h already
-    // satisfies it) and the census⋈occurrences join are both
-    // EXCHANGE-FREE; the only remaining shuffle is the per-doc rollup.
+    // SINGLE-CONSUMER shape, nothing staged: the round-8/9 staging
+    // forms (recompute-twice, then localCheckpoint + self-join) both
+    // paid a full materialization barrier inside every run — warm
+    // sweeps measured ≈ cold because the checkpoint write IS the cost.
+    // Instead: cluster the occurrences on h once; then the per-(h,doc)
+    // rollup AND the per-h doc census (a count window over the distinct
+    // (h, doc) frame — countDistinct as a window, no join) are both
+    // exchange-free, because HashPartitioning(h) satisfies every
+    // downstream h-keyed distribution. Two exchanges total (occurrence
+    // cluster + per-doc rollup), zero checkpoints, zero joins.
     val sh = docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
+      // native kernel: hash all k-windows per doc without materializing
+      // a single shingle string (bit-parity with the composed render
+      // pinned in VectorExpressionSpec)
       .select(col("doc_id"),
-        explode(expr(shingleArrayExpr(ShingleDupK))).as("shingle"))
-      .select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
+        explode(shingleHashes60(col("l"), ShingleDupK)).as("h"))
       .repartition(col("h"))
-      .localCheckpoint()
-    val stats = sh.groupBy("h").agg(countDistinct("doc_id").as("nd"))
-    // shuffle_hash: both sides are already clustered on h, so the join
-    // needs no exchange either way — but without the hint Catalyst
-    // plans a sort-merge (the checkpointed frame carries no size
-    // stats) and SORTS the corpus-sized occurrence frame; hashing the
-    // census side instead is 1.7× faster at 100× (measured 17.3 s →
-    // 10.5 s) and the build side is the per-partition census slice,
-    // bounded by distinct shingles, never the corpus
-    sh.join(stats.hint("shuffle_hash"), Seq("h"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    val perDocHash = sh.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+    val withNd = perDocHash.withColumn("nd",
+      count(lit(1)).over(Window.partitionBy("h")))
+    withNd.groupBy("doc_id")
+      .agg(sum("c").as("n_shingles"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup"))
       .withColumn("dup_ratio",
         round(col("n_dup").cast("double") / col("n_shingles"), 4))
       .orderBy("doc_id")
@@ -1288,38 +1286,52 @@ object TextQueries {
     * the frame that stages, and the per-source set sizes fall out of
     * it. Only pairs with n_shared ≥ 1 appear. */
   def q97SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // one row per hash: its sorted distinct source set; staged because
-    // both the sizes census and the pair emission read it — and it is
-    // the SMALL frame (≤ one row per distinct shingle, vs the
-    // occurrence frame upstream, which now crosses exactly one shuffle)
-    val perHash = docs(spark, dir)
+    // SINGLE-CONSUMER pipeline, nothing staged: one h-clustered pass
+    // dedups occurrences, builds each hash's sorted distinct source
+    // set, and explodes BOTH the ordered pairs and one singleton row
+    // per member from the same set — so the per-pair overlap counts
+    // (n_shared) and the per-source hash census (n_a/n_b, the '' rows)
+    // come out of ONE tiny aggregation, split AFTER the heavy lifting.
+    // The round-8/9 staged forms (localCheckpoint feeding two
+    // consumers) paid the materialization barrier per run; this shape
+    // is two exchanges end-to-end (the h cluster + the
+    // map-side-combined ≤ |sources|²-row pair/census rollup).
+    // Ordered pairs from the sorted set: i < j ⟹ ss[i] < ss[j], so the
+    // a < b orientation is built into the expansion (guard short sets —
+    // sequence(2, 1) would COUNT DOWN).
+    val agg = docs(spark, dir)
       .select(col("source"), toks.as("l"))
+      // native shingle-hash kernel — see q95
       .select(col("source"),
-        explode(expr(shingleArrayExpr(ShingleDupK))).as("shingle"))
-      .select(col("source"), md5Hash60(col("shingle")).as("h"))
-      // distinct first: a plain map-side-combined HashAggregate dedups
-      // the occurrences BEFORE any set objects exist, so the object-
-      // heavy collect_set only ever sees ≤ |sources| rows per hash
+        explode(shingleHashes60(col("l"), ShingleDupK)).as("h"))
+      .repartition(col("h"))
+      // distinct first: a plain HashAggregate dedups the occurrences
+      // BEFORE any set objects exist, so the object-heavy collect_set
+      // only ever sees ≤ |sources| rows per hash; both groupBys run
+      // exchange-free on the h cluster
       .groupBy("h", "source").agg(count(lit(1)))
       .groupBy("h")
       .agg(array_sort(collect_set("source")).as("ss"))
+      .select(explode(expr(
+        """concat(
+          |  transform(ss, s -> struct(s AS source_a, '' AS source_b)),
+          |  if(size(ss) < 2, array(),
+          |    flatten(transform(sequence(1, size(ss) - 1),
+          |      i -> transform(sequence(i + 1, size(ss)),
+          |        j -> struct(element_at(ss, i) AS source_a,
+          |                    element_at(ss, j) AS source_b))))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.source_a").as("a"), col("p.source_b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      // the census/pairs split below reads this twice — materialize the
+      // ≤ |sources|² + |sources| rows (hundreds) so the heavy pass runs
+      // once; THIS checkpoint is O(|sources|²), not O(corpus)
       .localCheckpoint()
-    val sizes = perHash.select(explode(col("ss")).as("source"))
-      .groupBy("source").agg(count(lit(1)).as("n"))
-    // ordered pairs from the sorted set: i < j ⟹ ss[i] < ss[j], so the
-    // a < b orientation is built into the expansion (guard short sets —
-    // sequence(2, 1) would COUNT DOWN)
-    val pairs = perHash.select(explode(expr(
-      """if(size(ss) < 2, array(),
-        |  flatten(transform(sequence(1, size(ss) - 1),
-        |    i -> transform(sequence(i + 1, size(ss)),
-        |      j -> struct(element_at(ss, i) AS source_a,
-        |                  element_at(ss, j) AS source_b)))))""".stripMargin))
-      .as("p"))
-      .select(col("p.source_a"), col("p.source_b"))
-    pairs
-      .groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_shared"))
+    val sizes = agg.filter(col("b") === "")
+      .select(col("a").as("source"), col("n"))
+    agg.filter(col("b") =!= "")
+      .select(col("a").as("source_a"), col("b").as("source_b"),
+        col("n").as("n_shared"))
       .join(broadcast(sizes.select(col("source").as("source_a"),
         col("n").as("n_a"))), Seq("source_a"))
       .join(broadcast(sizes.select(col("source").as("source_b"),

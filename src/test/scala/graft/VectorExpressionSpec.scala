@@ -156,6 +156,51 @@ class VectorExpressionSpec extends SparkSpec {
     }
   }
 
+  test("ShingleHash60Expr == composed render + md5Hash60, all input shapes") {
+    import graft.functions.TextFunctions.{md5Hash60, shingleHashes60}
+    // the exact chain q95/q97 used before the kernel: k-window concat
+    // render, then the 60-bit hash of each shingle string
+    val k = 8
+    val parts = (0 until k)
+      .map(j => if (j == 0) "element_at(l, i)" else s"element_at(l, i + $j)")
+      .mkString(", ' ', ")
+    val composedRender =
+      s"if(size(l) < $k, array(), transform(sequence(1, size(l) - ${k - 1}), " +
+        s"i -> concat($parts)))"
+    val rnd = new Random(23)
+    val rows = (0 until 400).map { i =>
+      if (i % 53 == 0) null
+      else {
+        val n = i % 19 // includes n < k (empty result) and n == 0
+        Seq.fill(n)(
+          if (rnd.nextInt(5) == 0) s"übergrößé∆${rnd.nextInt(100)}"
+          else s"tok${rnd.nextInt(1000)}").mkString(" ")
+      }
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+      .select(when(col("text").isNotNull, split(col("text"), " ")).as("l"))
+    def check(): Unit = {
+      val bad = df
+        .select(shingleHashes60(col("l"), k).as("native"),
+          expr(composedRender).as("shingles"))
+        .select(col("native"),
+          transform(col("shingles"), s => md5Hash60(s)).as("composed"))
+        .filter(!(col("native") <=> col("composed")))
+        .count()
+      assert(bad == 0)
+    }
+    check()
+    // interpreted path (codegen off) agrees too
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      check()
+    }
+  }
+
   test("Md5SlicesExpr == composed hex-slice form per position") {
     // position r must equal conv(substring(md5(c), 8r+1, 8), 16, 10) % w
     // — the recipe every CMS/bloom oracle states in SQL
