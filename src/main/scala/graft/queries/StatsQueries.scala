@@ -1061,7 +1061,255 @@ object StatsQueries {
       |FROM d2 JOIN m USING (event_type, dow)
       |ORDER BY event_type, day""".stripMargin
 
+  // --------------------------------------------------------------- q147
+  /** Third streaming batch-parity entry: the WINDOWED STREAMING
+    * COUNT-MIN census (EventStreams.streamingCountMin — exactly d·w
+    * longs of state per open hour×type) over the bounded events source,
+    * hash-checked against a batch SQL oracle that recomputes every
+    * window's non-zero cells from scratch. Harness identical to
+    * q141/q145 (file stream, one real micro-batch, two far-future
+    * sentinel files to fire every event-time timer). The cells crossing
+    * engines exactly is the md5-slice discipline: the streaming state
+    * updates through Sketches.cmUpdate, whose positions are pinned
+    * bit-identical to the oracle's hex-slice SQL in
+    * VectorExpressionSpec — so a lambda architecture's streaming census
+    * and batch backfill reconcile cell-for-cell, and the emitted
+    * artifacts sum-merge with any batch sketch (countMinMerge). */
+  def q147StreamingCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q147").toString
+    val src = tmp + "/events"
+    Tables(spark, dir).events
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"))
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[graft.streaming.EventStreams.UserEvent]
+    val qname = s"graft_q147_cm_${StreamQueryIds.incrementAndGet()}"
+    val query = graft.streaming.EventStreams.streamingCountMin(stream)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      query.processAllAvailable()
+      Seq("2400-01-01 00:00:00", "2500-01-01 00:00:00").foreach { tsStr =>
+        val t = java.sql.Timestamp.valueOf(tsStr)
+        Seq((-1L, "sentinel", t)).toDF("user_id", "event_type", "ts")
+          .write.mode("append").parquet(src)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.table(qname)
+      .filter(col("event_type") =!= "sentinel")
+      .select(expr("unix_millis(window_start) DIV 1000").as("window_start_sec"),
+        col("event_type"), col("row").cast("int").as("r"),
+        col("col").cast("int").as("c_pos"), col("c").cast("long").as("c"))
+      .orderBy("window_start_sec", "event_type", "r", "c_pos")
+  }
+
+  /** Batch recomputation of every window's non-zero cells — the q144
+    * hex-slice recipe keyed by (window, type). */
+  val q147Sql: String = {
+    val d = graft.operators.Sketches.CmDepth
+    val w = graft.operators.Sketches.CmWidth
+    s"""WITH e AS (
+       |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
+       |    event_type, CAST(user_id AS VARCHAR) AS k
+       |  FROM events)
+       |SELECT window_start_sec, event_type, CAST(r AS INT) AS r,
+       |  CAST(CAST(('0x' || substr(md5('cm|' || k), 1 + 8 * r, 8)) AS BIGINT)
+       |    % $w AS INT) AS c_pos,
+       |  count(*) AS c
+       |FROM e, range(0, $d) rr(r)
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY window_start_sec, event_type, r, c_pos""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q148
+  /** Fourth streaming batch-parity entry: STREAMING DEDUPLICATION
+    * (EventStreams.streamingDedup = dropDuplicatesWithinWatermark on
+    * the event id — state is one entry per id inside the watermark
+    * horizon, evicted as event time advances, which is what makes
+    * exactly-once delivery from an at-least-once feed bounded-state).
+    * The staged source UNIONS the events table with a duplicate copy of
+    * every 5th event (same rows byte-for-byte), so the kernel must
+    * suppress 20% of arrivals; the output hash-matches a plain
+    * SELECT over the ORIGINAL table — the duplicates are invisible,
+    * and because the duplicate rows are identical in every column the
+    * result is arrival-order-free (either survivor is the same row).
+    * No sentinels needed: dedup emits rows as they pass, state eviction
+    * is bookkeeping, not emission. */
+  def q148StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q148").toString
+    val src = tmp + "/events"
+    val base = Tables(spark, dir).events
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("ts_us"),
+        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"))
+    base.write.mode("overwrite").parquet(src)
+    // the duplicate feed: every 5th event again, identical bytes
+    base.filter(col("event_id") % 5 === 0)
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val qname = s"graft_q148_dedup_${StreamQueryIds.incrementAndGet()}"
+    val query = graft.streaming.EventStreams
+      .streamingDedup(stream, "event_id", "1 hour")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(qname)
+      .select("event_id", "user_id", "event_type", "ts_us")
+      .orderBy("event_id")
+  }
+
+  /** The duplicates must be invisible: the oracle is the original table. */
+  val q148Sql: String =
+    """SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- q149
+  /** Fifth streaming batch-parity entry: the WINDOWED STREAMING BLOOM
+    * build (EventStreams.streamingBloom — exactly m bits of state per
+    * open hour×type, emitting the set-bit positions on event-time
+    * timeout). The oracle recomputes each window's position set as
+    * plain SQL over the same md5 hex-slice recipe the JVM kernel uses
+    * (Sketches.bloomUpdate, 'bloom|' prefix, 3 slices mod m) — the
+    * emitted artifact is the SAME ≤ m-row relation a batch bloomBuild
+    * produces, so streaming windows feed bloomProbe / OR-merge
+    * unchanged. Harness identical to q145/q147. */
+  def q149StreamingBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q149").toString
+    val src = tmp + "/events"
+    Tables(spark, dir).events
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"))
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[graft.streaming.EventStreams.UserEvent]
+    val qname = s"graft_q149_bloom_${StreamQueryIds.incrementAndGet()}"
+    val query = graft.streaming.EventStreams.streamingBloom(stream)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      query.processAllAvailable()
+      Seq("2400-01-01 00:00:00", "2500-01-01 00:00:00").foreach { tsStr =>
+        val t = java.sql.Timestamp.valueOf(tsStr)
+        Seq((-1L, "sentinel", t)).toDF("user_id", "event_type", "ts")
+          .write.mode("append").parquet(src)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.table(qname)
+      .filter(col("event_type") =!= "sentinel")
+      .select(expr("unix_millis(window_start) DIV 1000").as("window_start_sec"),
+        col("event_type"), col("pos").cast("int").as("pos"))
+      .orderBy("window_start_sec", "event_type", "pos")
+  }
+
+  /** Distinct set-bit positions per window — the bloom hex-slice recipe
+    * as SQL (q65's form, keyed by window and type). */
+  val q149Sql: String = {
+    val m = graft.operators.Sketches.BloomBits
+    val h = graft.operators.Sketches.BloomHashes
+    s"""WITH e AS (
+       |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
+       |    event_type, CAST(user_id AS VARCHAR) AS k
+       |  FROM events)
+       |SELECT DISTINCT window_start_sec, event_type,
+       |  CAST(CAST(('0x' || substr(md5('bloom|' || k), 1 + 8 * i, 8))
+       |    AS BIGINT) % $m AS INT) AS pos
+       |FROM e, range(0, $h) hh(i)
+       |ORDER BY window_start_sec, event_type, pos""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q150
+  /** Sixth streaming batch-parity entry — with this one EVERY streaming
+    * kernel (runs, HLL, CMS, dedup, bloom, quantile) is hash-checked in
+    * the correctness gate, not just spec-pinned. The WINDOWED STREAMING
+    * QUANTILE sketch (EventStreams.streamingQuantile — fixed-width
+    * histogram counts as state, ≤ range/width longs per open hour)
+    * emits each closed window's P50/P90/P99 estimate; the oracle is
+    * q66's histogram-walk recipe keyed by window. The doubles crossing
+    * engines exactly is the shared arithmetic shape: both sides compute
+    * bin·width + width·(target − below)/count from exact integer
+    * histogram counts, the same two FP ops in the same order. */
+  def q150StreamingQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q150").toString
+    val src = tmp + "/events"
+    Tables(spark, dir).events
+      .select(col("user_id").cast("long").as("user_id"),
+        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"), col("value"))
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[graft.streaming.EventStreams.Event]
+    val qname = s"graft_q150_qs_${StreamQueryIds.incrementAndGet()}"
+    val query = graft.streaming.EventStreams.streamingQuantile(stream)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      query.processAllAvailable()
+      Seq("2400-01-01 00:00:00", "2500-01-01 00:00:00").foreach { tsStr =>
+        val t = java.sql.Timestamp.valueOf(tsStr)
+        Seq((-1L, t, 0.0)).toDF("user_id", "ts", "value")
+          .write.mode("append").parquet(src)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    // unlike the typed twins there is no sentinel event_type to filter
+    // on — the FIRST sentinel's window closes when the second advances
+    // the watermark past it, so drop far-future windows by time instead
+    spark.table(qname)
+      .select(expr("unix_millis(window_start) DIV 1000").as("window_start_sec"),
+        col("q"), col("quantile_est"), col("n_rows"))
+      .filter(col("window_start_sec") <
+        lit(java.sql.Timestamp.valueOf("2400-01-01 00:00:00").getTime / 1000))
+      .orderBy("window_start_sec", "q")
+  }
+
+  /** q66's histogram-walk recipe keyed by the hour window. */
+  val q150Sql: String =
+    """WITH e AS (
+      |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
+      |    value FROM events),
+      |hist AS (
+      |  SELECT window_start_sec, floor(value / 10.0) AS bin, count(*) AS c
+      |  FROM e GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT window_start_sec, bin, c,
+      |    sum(c) OVER (PARTITION BY window_start_sec ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY window_start_sec) AS n
+      |  FROM hist),
+      |t AS (
+      |  SELECT cum.*, q, floor(q * n) + 1 AS target
+      |  FROM cum CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+      |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q) qq)
+      |SELECT window_start_sec, q,
+      |  bin * 10.0 + (10.0 * (target - (cum - c))) / c AS quantile_est,
+      |  CAST(n AS BIGINT) AS n_rows
+      |FROM t
+      |WHERE cum >= target AND cum - c < target
+      |ORDER BY window_start_sec, q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_streaming_cms"   -> (q147StreamingCountMin _),
+    "q148_streaming_dedup" -> (q148StreamingDedup _),
+    "q149_streaming_bloom" -> (q149StreamingBloom _),
+    "q150_streaming_quantile" -> (q150StreamingQuantile _),
     "q140_seasonal_anomaly" -> (q140SeasonalAnomaly _),
     "q139_active_users"    -> (q139ActiveUsers _),
     "q137_nearest_join"    -> (q137NearestJoin _),
@@ -1088,6 +1336,10 @@ object StatsQueries {
     "q121_scd2_runs"       -> q121Sql,
     "q141_streaming_runs"  -> q141Sql,
     "q145_streaming_hll"   -> q145Sql,
+    "q147_streaming_cms"   -> q147Sql,
+    "q148_streaming_dedup" -> q148Sql,
+    "q149_streaming_bloom" -> q149Sql,
+    "q150_streaming_quantile" -> q150Sql,
     "q122_dup_suppress"    -> q122Sql,
     "q123_skyline"         -> q123Sql,
     "q124_trend_slope"     -> q124Sql,

@@ -1703,7 +1703,121 @@ object TextQueries {
       |  FROM documents)
       |ORDER BY position""".stripMargin
 
+  // --------------------------------------------------------------- q146
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", public): score
+    * every document by how much more likely its hashed-unigram bag is
+    * under a TARGET distribution (here: the `lang = 'en'` slice) than
+    * under the RAW corpus distribution, then draw a fixed-size sample
+    * via deterministic Gumbel top-k over the importance weights.
+    *
+    * Mechanics, all exactly mirrored by the oracle:
+    * - tokens hash into [[DsirBuckets]] buckets (md5-60bit mod B — the
+    *   paper's hashed n-gram feature space, which caps the model size
+    *   at B counts however large the vocabulary grows);
+    * - per-bucket add-one-smoothed log likelihood ratio
+    *   `ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))` from exact integer
+    *   counts (computed once per bucket — ≤ B rows, broadcast);
+    * - per-doc weight = Σ n_db·lr_b folded in pinned bucket order
+    *   (the q125 sequential-fold device, so both engines run the same
+    *   IEEE sum left to right);
+    * - Gumbel key = w − ln(−ln(u)) with u ∈ (0,1) derived from
+    *   md5_hash60('dsir|' ⊕ doc_id) — the Gumbel-max trick makes
+    *   top-k BY KEY a weighted sample WITHOUT replacement ∝ e^w,
+    *   deterministic and engine-free; ranking is on the ROUNDED key
+    *   (the repo's ≤1-ulp-absorbing device) with doc_id tiebreak.
+    *
+    * Scale shape: two narrow aggregations to ≤ B rows (broadcast), one
+    * (doc, bucket) aggregation, one broadcast join, one per-doc fold;
+    * the only global step is the top-k rank over doc weights, which a
+    * deployment replaces with an approximate threshold or per-partition
+    * top-k — noted, not needed at catalog scale. */
+  val DsirBuckets = 512
+  val DsirKeep = 200
+
+  def q146DsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
+    val d = docs(spark, dir)
+    val occ = d
+      .select(col("doc_id"), col("lang"),
+        explode(toks).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (md5Hash60(col("tok")) % B).as("b"))
+    val raw = occ.groupBy("b").agg(count(lit(1)).as("r"))
+    val tgt = occ.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("t"))
+    val tot = occ.agg(count(lit(1)).as("r_tot"),
+      count(when(col("lang") === "en", 1)).as("t_tot"))
+    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((coalesce(col("t"), lit(0L)) + 1).cast("double") /
+          (col("t_tot") + B).cast("double")) -
+          log((col("r") + 1).cast("double") /
+            (col("r_tot") + B).cast("double"))).as("lr"))
+    val w = occ.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(lr), Seq("b"))
+      .withColumn("v", col("n").cast("double") * col("lr"))
+      .groupBy("doc_id")
+      .agg(expr("aggregate(sort_array(collect_list(struct(b, v))), 0D, " +
+        "(acc, s) -> acc + s.v)").as("w"))
+    val keyed = w.withColumn("gumbel_key",
+      round(col("w") - log(-log(
+        (md5Hash60(concat(lit("dsir|"), col("doc_id"))) + 1).cast("double") /
+          lit(1152921504606846978L).cast("double"))), 6))
+    val ranked = keyed.withColumn("kept",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("gumbel_key"), col("doc_id"))) <= DsirKeep).cast("int"))
+    d.select("doc_id", "lang", "source").join(ranked, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("w"), 6).as("dsir_w"), col("gumbel_key"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  val q146Sql: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, lang,
+       |         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+       |           % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |raw AS (SELECT b, count(*) AS r FROM occ GROUP BY 1),
+       |tgt AS (SELECT b, count(*) AS t FROM occ WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT count(*) AS r_tot,
+       |               count(*) FILTER (WHERE lang = 'en') AS t_tot FROM occ),
+       |lr AS (
+       |  SELECT raw.b,
+       |         ln(CAST(coalesce(tgt.t, 0) + 1 AS DOUBLE) /
+       |            CAST(tot.t_tot + $DsirBuckets AS DOUBLE))
+       |       - ln(CAST(raw.r + 1 AS DOUBLE) /
+       |            CAST(tot.r_tot + $DsirBuckets AS DOUBLE)) AS lr
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+       |db AS (SELECT doc_id, b, count(*) AS n FROM occ GROUP BY 1, 2),
+       |w AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |             list(CAST(n AS DOUBLE) * lr ORDER BY b)),
+       |           (acc, x) -> acc + x) AS w
+       |  FROM db JOIN lr USING (b) GROUP BY doc_id),
+       |g AS (
+       |  SELECT doc_id, w,
+       |         round(w - ln(-ln(
+       |           CAST(CAST(('0x' || substr(md5('dsir|' ||
+       |               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1
+       |             AS DOUBLE) / CAST(1152921504606846978 AS DOUBLE))), 6)
+       |           AS gumbel_key
+       |  FROM w),
+       |ranked AS (
+       |  SELECT doc_id, w, gumbel_key,
+       |         CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+       |           <= $DsirKeep AS INT) AS kept
+       |  FROM g)
+       |SELECT d.doc_id, d.lang, d.source, round(ranked.w, 6) AS dsir_w,
+       |       gumbel_key, kept
+       |FROM ranked JOIN documents d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_dsir_resample"  -> (q146DsirResample _),
     "q115_curriculum_interleave" -> (q115CurriculumInterleave _),
     "q110_hybrid_rrf"     -> (q110HybridRrf _),
     "q108_token_drift"    -> ((s: SparkSession, d: String) => q108TokenDrift(s, d)),
@@ -1744,6 +1858,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_dsir_resample"  -> q146Sql,
     "q20_token_stats"     -> q20Sql,
     "q21_vocab_df"        -> q21Sql,
     "q22_bigram_top"      -> q22Sql,

@@ -84,6 +84,19 @@ BASELINE_QUERIES = {
                                "comparable in-query form is q64_hll_distinct"),
     "q144_cms_index_persist": ("persists + re-reads the CMS artifact; "
                                "comparable in-query form is q67_countmin"),
+    "q147_streaming_cms": ("runs the STREAMING windowed count-min kernel "
+                           "over a staged file stream; comparable batch "
+                           "form is q67_countmin"),
+    "q148_streaming_dedup": ("stages the source PLUS a 20% duplicate feed "
+                             "and runs streaming dropDuplicates; comparable "
+                             "batch form is q26_fingerprint/q27_dedup_exact"),
+    "q149_streaming_bloom": ("runs the STREAMING windowed bloom build over "
+                             "a staged file stream; comparable batch form "
+                             "is q65_bloom_semijoin"),
+    "q150_streaming_quantile": ("runs the STREAMING windowed quantile "
+                                "sketch over a staged file stream; "
+                                "comparable batch form is "
+                                "q66_quantile_sketch"),
 }
 
 
