@@ -359,6 +359,14 @@ object ScaleBench {
         // multiplies per-hash doc frequency but every stage stays
         // linear in input rows
         "substring_dup" -> (() => TextQueries.q95SubstringDup(spark, dir)),
+        // DSIR importance resampling (q146's shape): the bucket tables
+        // are ≤ B rows at ANY factor (hashed features cap the model),
+        // so runtime must track the linear token stream through two
+        // narrow aggregations + the broadcast log-ratio join
+        "dsir_resample" -> (() => TextQueries.q146DsirResample(spark, dir)),
+        // perplexity-bucket mixing (q152's shape): q49's NLL passes +
+        // one global ntile rank over per-doc rows (linear in docs)
+        "ppl_buckets" -> (() => TextQueries.q152PerplexityBuckets(spark, dir)),
         // cross-source shingle contamination (q97's shape): the
         // distinct (source, hash) census is IDENTICAL at every factor
         // (copies add no new source-level shingles), so runtime must

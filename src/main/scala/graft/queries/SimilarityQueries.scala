@@ -861,7 +861,61 @@ object SimilarityQueries {
       |FROM vecs a, vecs b WHERE a.label < b.label
       |ORDER BY label_a, label_b""".stripMargin
 
+  // --------------------------------------------------------------- q151
+  /** Per-vector int8 affine quantization — the embedding-storage op
+    * behind every "4× smaller vector index" deployment (asymmetric
+    * min/max affine, the ONNX/FAISS SQ8 recipe, public): code_i =
+    * floor((x_i − mn)/scale + 0.5) with scale = (mx − mn)/255, plus the
+    * reconstruction-quality audit (per-vector MSE of mn + code·scale).
+    * Cross-engine determinism: `floor(… + 0.5)` instead of round()
+    * (Spark rounds HALF_UP, DuckDB half-even — floor is IEEE-exact in
+    * both), all arithmetic on exactly-widened doubles in one shared
+    * association order, the code checksum an exact integer fold, and
+    * the MSE a pinned ascending fold. Degenerate constant vectors
+    * (scale = 0) quantize to code 0 with zero error by definition.
+    * Scale shape: one narrow projection — no shuffle at all before the
+    * output sort; at 100 TB this runs at scan speed and the codes
+    * column (64 B/vector vs 256 B float32) is what a deployment
+    * persists. */
+  def q151Int8Quant(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("x"))
+      .withColumn("mn", array_min(col("x")))
+      .withColumn("sc", (array_max(col("x")) - col("mn")) / lit(255.0))
+      .withColumn("codes", expr(
+        "transform(x, v -> IF(sc = 0D, 0L, " +
+          "CAST(floor((v - mn) / sc + 0.5D) AS BIGINT)))"))
+      .select(col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        round(expr(
+          "aggregate(zip_with(x, codes, " +
+            "(v, c) -> (v - (mn + c * sc)) * (v - (mn + c * sc))), " +
+            "0D, (a, d) -> a + d)") / size(col("codes")), 8).as("mse"))
+      .orderBy("vec_id")
+
+  val q151Sql: String =
+    """WITH p AS (
+      |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, x, list_min(x) AS mn,
+      |    (list_max(x) - list_min(x)) / 255.0 AS sc
+      |  FROM p),
+      |c AS (
+      |  SELECT vec_id, x, mn, sc,
+      |    list_transform(x, v -> CASE WHEN sc = 0 THEN 0
+      |      ELSE CAST(floor((v - mn) / sc + 0.5) AS BIGINT) END) AS codes
+      |  FROM m)
+      |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  round(list_sum(list_transform(range(1, len(codes) + 1),
+      |    i -> (x[i] - (mn + codes[i] * sc)) * (x[i] - (mn + codes[i] * sc))))
+      |    / len(codes), 8) AS mse
+      |FROM c ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_int8_quant" -> (q151Int8Quant _),
     "q130_centroid_sim" -> (q130CentroidSim _),
     "q96_semdedup" -> (q96SemDedup _),
     "q99_dup_cluster_hist" -> (q99DupClusterHistogram _),
@@ -884,6 +938,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_int8_quant" -> q151Sql,
     "q130_centroid_sim" -> q130Sql,
     "q96_semdedup" -> q96Sql,
     "q99_dup_cluster_hist" -> q99Sql,

@@ -1816,8 +1816,61 @@ object TextQueries {
        |FROM ranked JOIN documents d USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q152
+  /** CCNet-style perplexity-bucket mixing (Wenzek et al. 2020, public):
+    * score every document with the unigram-LM NLL (q49's exact recipe —
+    * sorted-count fold, one pinned double expression), cut the corpus
+    * into head/middle/tail terciles by score (ntile over the rounded
+    * NLL with doc_id tiebreak — a total order, so the bucket boundary
+    * is engine-independent), and keep each bucket at a declining rate
+    * (head 100%, middle 50%, tail 10%) via the salted-md5 keep device
+    * (q48's — partition-layout-independent, no RNG state). This is the
+    * canonical "filter by LM perplexity, don't cliff-edge it" corpus
+    * mix. Scale shape: q49's two aggregations + one global ntile rank —
+    * at deployment scale the tercile boundaries come from a quantile
+    * sketch instead of a global sort; the keep pass itself is narrow. */
+  def q152PerplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    q49LmLogprob(spark, dir)
+      .withColumn("bucket",
+        ntile(3).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("nll"), col("doc_id"))).cast("long"))
+      .withColumn("rate",
+        when(col("bucket") === 1, 100L)
+          .when(col("bucket") === 2, 50L).otherwise(10L))
+      .withColumn("kept",
+        ((md5Hash60(concat(lit("ccnet|"), col("doc_id"))) % 100) <
+          col("rate")).cast("int"))
+      .select("doc_id", "n_tokens", "nll", "bucket", "kept")
+      .orderBy("doc_id")
+
+  val q152Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+      |f AS (
+      |  SELECT doc_id, list(c ORDER BY c) AS cs, count(*) AS n_tokens
+      |  FROM t JOIN c USING (token) GROUP BY doc_id),
+      |s AS (
+      |  SELECT doc_id, n_tokens,
+      |    round(ln(n) - list_reduce(
+      |      list_prepend(0.0, list_transform(cs, x -> ln(x))),
+      |      (a, b) -> a + b) / n_tokens, 6) + 0.0 AS nll
+      |  FROM f, n),
+      |b AS (
+      |  SELECT doc_id, n_tokens, nll,
+      |    CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS BIGINT) AS bucket
+      |  FROM s)
+      |SELECT doc_id, n_tokens, nll, bucket,
+      |  CAST(CAST(('0x' || substr(md5('ccnet|' || CAST(doc_id AS VARCHAR)),
+      |      1, 15)) AS BIGINT) % 100 <
+      |    CASE bucket WHEN 1 THEN 100 WHEN 2 THEN 50 ELSE 10 END AS INT)
+      |    AS kept
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_dsir_resample"  -> (q146DsirResample _),
+    "q152_ppl_buckets"    -> (q152PerplexityBuckets _),
     "q115_curriculum_interleave" -> (q115CurriculumInterleave _),
     "q110_hybrid_rrf"     -> (q110HybridRrf _),
     "q108_token_drift"    -> ((s: SparkSession, d: String) => q108TokenDrift(s, d)),
@@ -1859,6 +1912,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q146_dsir_resample"  -> q146Sql,
+    "q152_ppl_buckets"    -> q152Sql,
     "q20_token_stats"     -> q20Sql,
     "q21_vocab_df"        -> q21Sql,
     "q22_bigram_top"      -> q22Sql,
