@@ -81,11 +81,19 @@ object Dedup {
     // are reference-counted by the ContextCleaner and freed when the
     // frame is GC'd, so repeated calls in a long-lived session can't
     // accumulate storage memory (cache() would leak until someone ran
-    // clearCache). The checkpoint carries hs (the per-shingle md5 base
-    // hashes) so the expensive md5 pass runs ONCE — each self-join side
-    // re-deriving it doubled the dominant per-row cost. At 100 TB the
-    // same shape becomes a reliable checkpoint to distributed storage.
-    val sh = hashedShingleSets(docs, shingleK).localCheckpoint()
+    // clearCache). The checkpoint carries ONLY the distinct 32-bit
+    // shingle-hash SET per doc: the md5 pass runs once, and the shingle
+    // STRINGS never leave the scan — the verification join below ships
+    // 8-byte hashes instead of ~30-byte shingle strings, a ~4× payload
+    // cut on the quadratic pair join that dominates the 100× sweep
+    // (Jaccard over the hash sets equals Jaccard over the string sets
+    // whenever the 32-bit hashes don't collide within the pair's union;
+    // the oracle applies the IDENTICAL hash-set form, so both engines
+    // agree exactly, collisions included). At 100 TB the same shape
+    // becomes a reliable checkpoint to distributed storage.
+    val sh = hashedShingleSets(docs, shingleK)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+      .localCheckpoint()
     // bucket-size gate: one window count over the same (band, sig)
     // shuffle the self-join needs anyway — no extra pass over documents.
     // Checkpointed because the self-join consumes it twice: the rows are
@@ -106,11 +114,11 @@ object Dedup {
       .distinct()
 
     pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

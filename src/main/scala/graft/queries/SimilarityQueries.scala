@@ -99,7 +99,17 @@ object SimilarityQueries {
     // 1000): buckets larger than the gate emit no pairs in EITHER engine,
     // so a degenerate boilerplate signature can't silently diverge the
     // oracle from the gated Spark result
+    // verification runs over the DISTINCT HASH SETS, mirroring the
+    // operator exactly (the pair join ships 8-byte hashes, not shingle
+    // strings): Jaccard over hash sets == Jaccard over string sets
+    // whenever the pair's union has no 32-bit collision, and when one
+    // occurs both engines agree on the collided answer
     s"""WITH $bandedCtePrefix,
+      |hsd AS (
+      |  SELECT doc_id, list_distinct(list_transform(sh,
+      |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 4294967296))
+      |    AS hs
+      |  FROM sh),
       |gated AS (
       |  SELECT doc_id, band, sig FROM (
       |    SELECT doc_id, band, sig,
@@ -111,13 +121,13 @@ object SimilarityQueries {
       |  FROM gated a JOIN gated b
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
       |SELECT id_a, id_b,
-      |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-      |    len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+      |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(x.hs, y.hs))) AS jaccard
       |FROM pairs
-      |JOIN sh x ON x.doc_id = id_a
-      |JOIN sh y ON y.doc_id = id_b
-      |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-      |    len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8
+      |JOIN hsd x ON x.doc_id = id_a
+      |JOIN hsd y ON y.doc_id = id_b
+      |WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(x.hs, y.hs))) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
   }
 
