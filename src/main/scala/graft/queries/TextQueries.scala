@@ -1067,14 +1067,15 @@ object TextQueries {
     * single-pass shape that runs at any corpus size. dup_ratio is one
     * integer-exact division rounded to 4dp. */
   def q90BoilerplateNgram(spark: SparkSession, dir: String): DataFrame =
+    // trigrams travel as 60-bit hashes from the native kernel (the
+    // repo's hash-travel convention, mirrored exactly by the oracle):
+    // the dup census is size − distinct over the hash array, no trigram
+    // string ever allocated
     docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
-      .withColumn("tri", expr(
-        "if(size(l) < 3, array(), transform(sequence(1, size(l) - 2), " +
-          "i -> concat(element_at(l, i), ' ', element_at(l, i + 1), ' ', " +
-          "element_at(l, i + 2))))"))
-      .select(col("doc_id"), size(col("tri")).cast("long").as("n_tri"),
-        (size(col("tri")) - size(array_distinct(col("tri"))))
+      .withColumn("th", shingleHashes60(col("l"), 3))
+      .select(col("doc_id"), size(col("th")).cast("long").as("n_tri"),
+        (size(col("th")) - size(array_distinct(col("th"))))
           .cast("long").as("n_dup"))
       .withColumn("dup_ratio",
         when(col("n_tri") > 0,
@@ -1089,13 +1090,15 @@ object TextQueries {
       |  SELECT doc_id,
       |    CASE WHEN len(l) < 3 THEN [] ELSE
       |      list_transform(range(1, len(l) - 1),
-      |        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]) END AS tri
+      |        i -> CAST(('0x' || substr(md5(
+      |          l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]), 1, 15))
+      |          AS BIGINT)) END AS th
       |  FROM t)
-      |SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_tri,
-      |  CAST(len(tri) - len(list_distinct(tri)) AS BIGINT) AS n_dup,
-      |  CASE WHEN len(tri) > 0 THEN
-      |    round(CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
-      |      / len(tri), 4)
+      |SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tri,
+      |  CAST(len(th) - len(list_distinct(th)) AS BIGINT) AS n_dup,
+      |  CASE WHEN len(th) > 0 THEN
+      |    round(CAST(len(th) - len(list_distinct(th)) AS DOUBLE)
+      |      / len(th), 4)
       |  ELSE 0.0 END AS dup_ratio
       |FROM g ORDER BY doc_id""".stripMargin
 
@@ -1158,15 +1161,15 @@ object TextQueries {
     // per (doc, bigram), so the first-occurrence census is a min window
     // over the bigram cluster — no staging, no join, two exchanges
     // (bigram cluster + per-doc rollup)
+    // bigrams travel as 60-bit hashes from the native kernel (oracle
+    // mirrors the hash exactly), so the cluster exchange ships longs
     val big = docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(zip_with(slice(l, 1, greatest(size(l) - 1, 0)), " +
-          "slice(l, 2, greatest(size(l) - 1, 0)), " +
-          "(a, b) -> concat(a, ' ', b)))")).as("bigram"))
-      .repartition(col("bigram"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingleHashes60(col("l"), 2))).as("bh"))
+      .repartition(col("bh"))
     big.withColumn("first_doc",
-        min("doc_id").over(Window.partitionBy("bigram")))
+        min("doc_id").over(Window.partitionBy("bh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -1179,16 +1182,17 @@ object TextQueries {
   val q92Sql: String =
     """WITH b AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(1, greatest(len(l), 1)), i -> l[i] || ' ' || l[i + 1])))
-      |    AS bigram
+      |    range(1, greatest(len(l), 1)),
+      |    i -> CAST(('0x' || substr(md5(l[i] || ' ' || l[i + 1]), 1, 15))
+      |      AS BIGINT)))) AS bh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
-      |f AS (SELECT bigram, min(doc_id) AS first_doc FROM b GROUP BY 1)
+      |f AS (SELECT bh, min(doc_id) AS first_doc FROM b GROUP BY 1)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
       |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_novel,
       |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
       |    AS DOUBLE) / count(*), 4) AS novelty_ratio
-      |FROM b JOIN f USING (bigram)
+      |FROM b JOIN f USING (bh)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- q95/q97 shared
@@ -1743,14 +1747,17 @@ object TextQueries {
         explode(toks).as("tok"))
       .select(col("doc_id"), col("lang"),
         (md5Hash60(col("tok")) % B).as("b"))
-    val raw = occ.groupBy("b").agg(count(lit(1)).as("r"))
-    val tgt = occ.filter(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("t"))
-    val tot = occ.agg(count(lit(1)).as("r_tot"),
-      count(when(col("lang") === "en", 1)).as("t_tot"))
-    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+    // ONE bucket census carries raw and target counts together (the
+    // totals are a second aggregation over its ≤ B rows), so the token
+    // stream is scanned twice overall (census + per-doc counts), not
+    // four times — same values as the separate raw/tgt/tot pipelines
+    // (the oracle keeps the spelled-out form; the numbers are equal)
+    val buckets = occ.groupBy("b").agg(count(lit(1)).as("r"),
+      count(when(col("lang") === "en", 1)).as("t"))
+    val tot = buckets.agg(sum("r").as("r_tot"), sum("t").as("t_tot"))
+    val lr = buckets.crossJoin(broadcast(tot))
       .select(col("b"),
-        (log((coalesce(col("t"), lit(0L)) + 1).cast("double") /
+        (log((col("t") + 1).cast("double") /
           (col("t_tot") + B).cast("double")) -
           log((col("r") + 1).cast("double") /
             (col("r_tot") + B).cast("double"))).as("lr"))
