@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr through UNWRAPPED: sbt's
+// default logger prefixes every line with "[info] "/"[error] ", which
+// is exactly what kept the driver's bench-JSON regex from matching a
+// line that must begin with '{' (BENCH_r07–r09 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
