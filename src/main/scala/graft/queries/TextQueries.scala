@@ -1728,55 +1728,78 @@ object TextQueries {
     * - Gumbel key = w − ln(−ln(u)) with u ∈ (0,1) derived from
     *   md5_hash60('dsir|' ⊕ doc_id) — the Gumbel-max trick makes
     *   top-k BY KEY a weighted sample WITHOUT replacement ∝ e^w,
-    *   deterministic and engine-free; ranking is on the ROUNDED key
-    *   (the repo's ≤1-ulp-absorbing device) with doc_id tiebreak.
+    *   deterministic and engine-free; membership is decided on the
+    *   ROUNDED key (the repo's ≤1-ulp-absorbing device) with doc_id
+    *   tiebreak.
     *
-    * Scale shape: two narrow aggregations to ≤ B rows (broadcast), one
-    * (doc, bucket) aggregation, one broadcast join, one per-doc fold;
-    * the only global step is the top-k rank over doc weights, which a
-    * deployment replaces with an approximate threshold or per-partition
-    * top-k — noted, not needed at catalog scale. */
+    * Scale shape (round-10): the bucket census is a ≤ B-row aggregate
+    * COLLECTED INTO LITERALS (the CMS-probe device that fixed q71/q67),
+    * so the per-doc weight is ONE shuffle-free fold — sort the doc's
+    * hashed buckets, run-length the sorted array, accumulate n_b·lr_b
+    * per run in ascending-b order (the oracle's exact IEEE sequence;
+    * the round-9 (doc, bucket) shuffle + broadcast join is gone). The
+    * top-k membership never sorts globally either: a treeAggregate of
+    * ≤ k-entry partition heaps yields the exact k-th (key, doc_id)
+    * boundary ([[graft.operators.GlobalRank.topKBoundary]]) and `kept`
+    * is a literal comparison — O(n) scan, O(k) state, no
+    * single-partition window anywhere in the plan. */
   val DsirBuckets = 512
   val DsirKeep = 200
 
   def q146DsirResample(spark: SparkSession, dir: String): DataFrame = {
     val B = DsirBuckets
     val d = docs(spark, dir)
-    val occ = d
-      .select(col("doc_id"), col("lang"),
-        explode(toks).as("tok"))
-      .select(col("doc_id"), col("lang"),
-        (md5Hash60(col("tok")) % B).as("b"))
-    // ONE bucket census carries raw and target counts together (the
-    // totals are a second aggregation over its ≤ B rows), so the token
-    // stream is scanned twice overall (census + per-doc counts), not
-    // four times — same values as the separate raw/tgt/tot pipelines
-    // (the oracle keeps the spelled-out form; the numbers are equal)
-    val buckets = occ.groupBy("b").agg(count(lit(1)).as("r"),
-      count(when(col("lang") === "en", 1)).as("t"))
-    val tot = buckets.agg(sum("r").as("r_tot"), sum("t").as("t_tot"))
-    val lr = buckets.crossJoin(broadcast(tot))
-      .select(col("b"),
-        (log((col("t") + 1).cast("double") /
-          (col("t_tot") + B).cast("double")) -
-          log((col("r") + 1).cast("double") /
-            (col("r_tot") + B).cast("double"))).as("lr"))
-    val w = occ.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
-      .join(broadcast(lr), Seq("b"))
-      .withColumn("v", col("n").cast("double") * col("lr"))
-      .groupBy("doc_id")
-      .agg(expr("aggregate(sort_array(collect_list(struct(b, v))), 0D, " +
-        "(acc, s) -> acc + s.v)").as("w"))
-    val keyed = w.withColumn("gumbel_key",
-      round(col("w") - log(-log(
-        (md5Hash60(concat(lit("dsir|"), col("doc_id"))) + 1).cast("double") /
-          lit(1152921504606846978L).cast("double"))), 6))
-    val ranked = keyed.withColumn("kept",
-      (row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(desc("gumbel_key"), col("doc_id"))) <= DsirKeep).cast("int"))
-    d.select("doc_id", "lang", "source").join(ranked, Seq("doc_id"))
+    // pass 1: the bounded bucket census — ≤ B rows by construction,
+    // raw and target counts together; totals fold on the driver
+    val census = d.select(col("lang"), explode(toks).as("tok"))
+      .select(col("lang"), (md5Hash60(col("tok")) % B).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("r"),
+        count(when(col("lang") === "en", 1)).as("t"))
+      .collect()
+    val rTot = census.map(_.getLong(1)).sum
+    val tTot = census.map(_.getLong(2)).sum
+    val lrArr = Array.fill(B)(0.0) // unseen buckets occur in no doc
+    census.foreach { row =>
+      val b = row.getLong(0).toInt
+      lrArr(b) = math.log((row.getLong(2) + 1).toDouble / (tTot + B).toDouble) -
+        math.log((row.getLong(1) + 1).toDouble / (rTot + B).toDouble)
+    }
+    val lrLit = array(lrArr.toIndexedSeq.map(lit): _*)
+    // pass 2: per-doc fold, zero shuffles — sort the doc's bucket ids
+    // and accumulate lr[b] PER TOKEN INSTANCE left-to-right in that
+    // order; the oracle runs the identical per-instance sequence
+    // (`list_reduce(list(lr ORDER BY b))`), so the IEEE sum crosses
+    // engines bit-for-bit (Σ over instances equals Σ n_b·lr_b
+    // mathematically, but only the instance form keeps BOTH engines on
+    // one addition sequence without the run-length accumulator struct
+    // that made this fold ~2× heavier per token)
+    val sortedB = sort_array(transform(toks, t => md5Hash60(t) % B))
+    val wExpr = aggregate(
+      sortedB, lit(0.0),
+      (acc, b) => acc + element_at(lrLit, (b + 1).cast("int")))
+    val keyed = d
+      .select(col("doc_id"), col("lang"), col("source"), wExpr.as("w"))
+      .withColumn("gumbel_key",
+        round(col("w") - log(-log(
+          (md5Hash60(concat(lit("dsir|"), col("doc_id"))) + 1).cast("double") /
+            lit(1152921504606846978L).cast("double"))), 6))
+      // the boundary probe below and the output both read this frame:
+      // materialize once (one narrow row per doc — the output's own
+      // size), so the fold never runs twice
+      .localCheckpoint()
+    // exact top-k membership without a global sort: the k-th
+    // (gumbel_key desc, doc_id asc) pair via bounded partition heaps
+    val kept = graft.operators.GlobalRank.topKBoundary(
+      keyed.select("gumbel_key", "doc_id"), DsirKeep) match {
+      case None => lit(1).cast("int") // fewer than k docs: keep all
+      case Some((bk, bd)) =>
+        (col("gumbel_key") > bk ||
+          (col("gumbel_key") === bk && col("doc_id") <= bd)).cast("int")
+    }
+    keyed
       .select(col("doc_id"), col("lang"), col("source"),
-        round(col("w"), 6).as("dsir_w"), col("gumbel_key"), col("kept"))
+        round(col("w"), 6).as("dsir_w"), col("gumbel_key"),
+        kept.as("kept"))
       .orderBy("doc_id")
   }
 
@@ -1798,13 +1821,12 @@ object TextQueries {
        |       - ln(CAST(raw.r + 1 AS DOUBLE) /
        |            CAST(tot.r_tot + $DsirBuckets AS DOUBLE)) AS lr
        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
-       |db AS (SELECT doc_id, b, count(*) AS n FROM occ GROUP BY 1, 2),
        |w AS (
        |  SELECT doc_id,
        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |             list(CAST(n AS DOUBLE) * lr ORDER BY b)),
+       |             list(lr ORDER BY b)),
        |           (acc, x) -> acc + x) AS w
-       |  FROM db JOIN lr USING (b) GROUP BY doc_id),
+       |  FROM occ JOIN lr USING (b) GROUP BY doc_id),
        |g AS (
        |  SELECT doc_id, w,
        |         round(w - ln(-ln(
@@ -1833,14 +1855,34 @@ object TextQueries {
     * (head 100%, middle 50%, tail 10%) via the salted-md5 keep device
     * (q48's — partition-layout-independent, no RNG state). This is the
     * canonical "filter by LM perplexity, don't cliff-edge it" corpus
-    * mix. Scale shape: q49's two aggregations + one global ntile rank —
-    * at deployment scale the tercile boundaries come from a quantile
-    * sketch instead of a global sort; the keep pass itself is narrow. */
-  def q152PerplexityBuckets(spark: SparkSession, dir: String): DataFrame =
-    q49LmLogprob(spark, dir)
-      .withColumn("bucket",
-        ntile(3).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("nll"), col("doc_id"))).cast("long"))
+    * mix. Scale shape (round-10): q49's two aggregations, then the
+    * tercile cut runs as an exact DISTRIBUTED ntile — range-partition
+    * on (nll, doc_id), sort within partitions, zipWithIndex for the
+    * global rank ([[graft.operators.GlobalRank.withRowNumber]]; every
+    * task sorts ~1/P of the rows), and the standard ntile arithmetic
+    * (first n%3 buckets take one extra row) maps rank → bucket. No
+    * single-partition window anywhere; the keep pass itself is narrow. */
+  def q152PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // one narrow row per doc; the count probe and the rank pass below
+    // both read it — materialize once. Measured A/B (min of 6, sf0.1):
+    // eager localCheckpoint 1.15 s full vs lazy persist 1.79 s — the
+    // persisted plan's .rdd re-derivation reads the cache worse than
+    // the checkpoint's truncated lineage does, so checkpoint wins here.
+    val scored = q49LmLogprob(spark, dir).localCheckpoint()
+    val n = scored.count()
+    val base = n / 3
+    val rem = n % 3
+    val ranked = graft.operators.GlobalRank.withRowNumber(
+      scored, Seq(col("nll"), col("doc_id")), "rk")
+    // integer DIV, not Column./ (which is double division — inexact
+    // once ranks approach 2^53); the else branch is unreachable when
+    // base = 0 (n < 3 ⟹ every rank ≤ rem·1) but guard its divisor
+    ranked
+      .withColumn("bucket", expr(
+        s"""CAST(IF(rk <= ${rem * (base + 1)},
+           |  (rk - 1) DIV ${base + 1} + 1,
+           |  $rem + (rk - 1 - ${rem * (base + 1)}) DIV ${math.max(base, 1L)}
+           |    + 1) AS BIGINT)""".stripMargin))
       .withColumn("rate",
         when(col("bucket") === 1, 100L)
           .when(col("bucket") === 2, 50L).otherwise(10L))
@@ -1849,6 +1891,7 @@ object TextQueries {
           col("rate")).cast("int"))
       .select("doc_id", "n_tokens", "nll", "bucket", "kept")
       .orderBy("doc_id")
+  }
 
   val q152Sql: String =
     """WITH t AS (
