@@ -82,6 +82,21 @@ object Scratch {
     time("q152_persist", 6)(rank152 { df => val s0 = df.persist(); (s0, s0.count()) })
     time("q152_ckpt", 6)(rank152 { df => val s0 = df.localCheckpoint(); (s0, s0.count()) })
     time("q152_q49_only", 6)(graft.queries.TextQueries.q49LmLogprob(spark, sfDir))
+
+    // q97 decomposition
+    import graft.functions.TextFunctions._
+    val toks97 = whitespaceTokens(col("text"))
+    val K = graft.queries.TextQueries.ShingleDupK
+    time("q97_scan_explode_only", 5) {
+      d.select(col("source"), explode(shingleHashes60(toks97, K)).as("h"))
+        .groupBy().agg(count(lit(1)).as("c"))
+    }
+    time("q97_census_h_groupby", 5) {
+      d.select(lit(1L).as("m"), explode(shingleHashes60(toks97, K)).as("h"))
+        .groupBy("h").agg(bit_or(col("m")).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    }
+    time("q97_full", 5)(graft.queries.TextQueries.q97SourceOverlap(spark, sfDir))
     spark.stop()
   }
 }

@@ -1279,33 +1279,87 @@ object TextQueries {
     * of `source` values sharing at least one k-token shingle, the count
     * of distinct shared shingle hashes and the Jaccard overlap of the two
     * sources' shingle sets — the train/test (or crawl-vs-benchmark)
-    * leakage census at source granularity. Scale shape (round-9): ONE
-    * hash-keyed exchange total — the per-hash source-set collapse
-    * (collect_set both DEDUPES the (source, hash) occurrences map-side
-    * and gathers the ≤ |sources| survivors) is the only shuffle the
-    * corpus-sized frame ever crosses; pair emission is a per-row array
-    * expansion bounded by |sources|² — never a self-join re-shuffling
-    * the census (the round-8 shape paid the hash exchange twice plus a
-    * distinct). The collapsed census (one row per distinct shingle) is
-    * the frame that stages, and the per-source set sizes fall out of
-    * it. Only pairs with n_shared ≥ 1 appear. */
+    * leakage census at source granularity. Scale shape (round-10): the
+    * corpus-sized frame crosses ONE hash-keyed exchange carrying
+    * map-side-combined `bit_or` partials of a per-source BITMASK — a
+    * primitive long aggregate, no set objects; the ≤ |distinct masks|
+    * mask census then expands to pairs (bounded by |sources|² per row)
+    * far from the corpus. Never a self-join re-shuffling the census.
+    * Only pairs with n_shared ≥ 1 appear. */
   def q97SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // SINGLE-CONSUMER pipeline, nothing staged: one h-clustered pass
-    // dedups occurrences, builds each hash's sorted distinct source
-    // set, and explodes BOTH the ordered pairs and one singleton row
-    // per member from the same set — so the per-pair overlap counts
-    // (n_shared) and the per-source hash census (n_a/n_b, the '' rows)
-    // come out of ONE tiny aggregation, split AFTER the heavy lifting.
-    // The round-8/9 staged forms (localCheckpoint feeding two
-    // consumers) paid the materialization barrier per run; this shape
-    // is two exchanges end-to-end (the h cluster + the
-    // map-side-combined ≤ |sources|²-row pair/census rollup).
-    // Ordered pairs from the sorted set: i < j ⟹ ss[i] < ss[j], so the
-    // a < b orientation is built into the expansion (guard short sets —
-    // sequence(2, 1) would COUNT DOWN).
+    // Round-10 shape: the source membership of each shingle hash is a
+    // BITMASK, not a set object. The source names are collected once
+    // (a |sources|-row distinct — provenance labels, not data), each
+    // mapped to one bit; the per-hash collapse is then `bit_or` over a
+    // long — a primitive-typed, codegen'd aggregate where the round-9
+    // collect_set form allocated a set object per hash. The mask
+    // census (groupBy mask → count) collapses the per-hash frame to
+    // ≤ |distinct masks| rows BEFORE any pair expansion, so the
+    // |sources|²-bounded explode runs over the tiny census, not per
+    // hash. Census rows (per-source sizes) ride the same expansion
+    // tagged source_b = NULL — NULL cannot collide with a real source
+    // name the way the old '' sentinel could. Sources beyond 63 bits
+    // fall back to the set-explode form below.
+    val d0 = docs(spark, dir)
+    val names = d0.select("source").distinct().collect()
+      .map(_.getString(0)).sorted
+    if (names.length > 63) return q97SetExplode(spark, dir)
+    val namesSql = names.map(s => s"'${s.replace("'", "''")}'")
+      .mkString("array(", ", ", ")")
+    val bitMap = map(names.toIndexedSeq.zipWithIndex.flatMap {
+      case (s, i) => Seq(lit(s), lit(1L << i)) }: _*)
+    val agg = d0
+      // native shingle-hash kernel — see q95
+      .select(element_at(bitMap, col("source")).as("m"),
+        explode(shingleHashes60(toks, ShingleDupK)).as("h"))
+      .groupBy("h").agg(bit_or(col("m")).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      .withColumn("ss", expr(
+        s"""filter(transform(sequence(0, ${names.length - 1}),
+           |  i -> if((mask >> i) % 2 != 0, element_at($namesSql, i + 1),
+           |          CAST(NULL AS STRING))), x -> x IS NOT NULL)""".stripMargin))
+      // ordered pairs from the sorted name array: i < j ⟹ ss[i] < ss[j]
+      // (guard short sets — sequence(2, 1) would COUNT DOWN)
+      .select(col("cnt"), explode(expr(
+        """concat(
+          |  transform(ss, s -> struct(s AS source_a,
+          |                            CAST(NULL AS STRING) AS source_b)),
+          |  if(size(ss) < 2, array(),
+          |    flatten(transform(sequence(1, size(ss) - 1),
+          |      i -> transform(sequence(i + 1, size(ss)),
+          |        j -> struct(element_at(ss, i) AS source_a,
+          |                    element_at(ss, j) AS source_b))))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.source_a").as("a"), col("p.source_b").as("b"), col("cnt"))
+      .groupBy("a", "b").agg(sum("cnt").as("n"))
+      // ≤ |sources|² + |sources| rows — a BOUNDED artifact (the
+      // sketch-collect discipline): one job, finish on the driver.
+      // The round-9 tail (checkpoint barrier + census/pair split + two
+      // broadcast joins) spent 0.43 s of tiny jobs re-reading what fits
+      // in a page (measured; this form is 0.81 → ~0.55 s warm)
+      .collect()
+    val sizes = agg.filter(_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val pairRows = agg.filter(!_.isNullAt(1)).map { r =>
+      val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      (a, b, sizes(a), sizes(b), n)
+    }.toIndexedSeq
+    import spark.implicits._
+    pairRows.toDF("source_a", "source_b", "n_a", "n_b", "n_shared")
+      // round IN SPARK so the HALF_UP semantics match every other query
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 4))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** General-cardinality fallback (> 63 sources): per-hash sorted
+    * distinct source SETS via collect_set on the h cluster — the
+    * round-9 shape, kept for corpora whose provenance labels overflow
+    * a long's bits. */
+  private def q97SetExplode(spark: SparkSession, dir: String): DataFrame = {
     val agg = docs(spark, dir)
       .select(col("source"), toks.as("l"))
-      // native shingle-hash kernel — see q95
       .select(col("source"),
         explode(shingleHashes60(col("l"), ShingleDupK)).as("h"))
       .repartition(col("h"))
@@ -1318,7 +1372,8 @@ object TextQueries {
       .agg(array_sort(collect_set("source")).as("ss"))
       .select(explode(expr(
         """concat(
-          |  transform(ss, s -> struct(s AS source_a, '' AS source_b)),
+          |  transform(ss, s -> struct(s AS source_a,
+          |                            CAST(NULL AS STRING) AS source_b)),
           |  if(size(ss) < 2, array(),
           |    flatten(transform(sequence(1, size(ss) - 1),
           |      i -> transform(sequence(i + 1, size(ss)),
@@ -1327,13 +1382,17 @@ object TextQueries {
           .stripMargin)).as("p"))
       .select(col("p.source_a").as("a"), col("p.source_b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
-      // the census/pairs split below reads this twice — materialize the
-      // ≤ |sources|² + |sources| rows (hundreds) so the heavy pass runs
-      // once; THIS checkpoint is O(|sources|²), not O(corpus)
       .localCheckpoint()
-    val sizes = agg.filter(col("b") === "")
+    joinSizes(agg)
+  }
+
+  /** Shared tail of the two q97 forms: split the ≤ |sources|² + |sources|
+    * row census (source_b NULL = per-source size row), broadcast the
+    * sizes onto the pairs, compute Jaccard. */
+  private def joinSizes(agg: DataFrame): DataFrame = {
+    val sizes = agg.filter(col("b").isNull)
       .select(col("a").as("source"), col("n"))
-    agg.filter(col("b") =!= "")
+    agg.filter(col("b").isNotNull)
       .select(col("a").as("source_a"), col("b").as("source_b"),
         col("n").as("n_shared"))
       .join(broadcast(sizes.select(col("source").as("source_a"),
