@@ -97,6 +97,21 @@ object Scratch {
         .groupBy("mask").agg(count(lit(1)).as("cnt"))
     }
     time("q97_full", 5)(graft.queries.TextQueries.q97SourceOverlap(spark, sfDir))
+
+    // q88 A/B: round-9 window form vs round-10 census-join form
+    import org.apache.spark.sql.expressions.Window
+    def q88window(): DataFrame =
+      d.select(col("doc_id"), whitespaceTokens(col("text")).as("l"))
+        .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "token")))
+        .repartition(col("token"))
+        .groupBy("token", "doc_id")
+        .agg(count(lit(1)).as("tf"),
+          array_join(transform(sort_array(collect_list(col("pos"))), _.cast("string")), ",").as("positions"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+        .select("token", "doc_id", "tf", "positions", "df")
+        .orderBy("token", "doc_id")
+    time("q88_window_r9", 5)(q88window())
+    time("q88_censusjoin_r10", 5)(graft.queries.TextQueries.q88InvertedIndex(spark, sfDir))
     spark.stop()
   }
 }

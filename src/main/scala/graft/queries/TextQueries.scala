@@ -953,13 +953,19 @@ object TextQueries {
     * comma string (lexicographic "10"<"2" would diverge between
     * engines). */
   def q88InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    // one data exchange, nothing staged: cluster the postings stream on
-    // token once; the (token, doc_id) rollup and the df census (a count
-    // window over the grouped frame — one row per posting, so count ==
-    // document frequency) both run exchange-free on that clustering.
-    // The round-8/9 forms (recompute-twice, then localCheckpoint +
-    // broadcast join) each paid a materialization barrier per run.
-    docs(spark, dir)
+    // Round-10 shape: the postings stream crosses ONE token-keyed
+    // exchange (repartition, then the (token, doc_id) rollup and the
+    // df join both run on that clustering), and document frequency
+    // comes from a SECOND, cheap scan — per-doc distinct tokens →
+    // map-side-combined groupBy(token) count — joined on token. The
+    // round-9 count-window over token was exchange-free but buffered
+    // every posting of a hot token in ONE task: for a stopword at
+    // corpus scale that is ~|docs| rows through a single sort buffer,
+    // exactly the skew a shuffle JOIN survives (AQE splits skewed join
+    // partitions; a window partition is unsplittable by definition).
+    // The census is vocab-sized — tiny counts, never positions — and
+    // joins without a new exchange on the shared token clustering.
+    val grouped = docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
       .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "token")))
       .repartition(col("token"))
@@ -968,7 +974,10 @@ object TextQueries {
         array_join(
           transform(sort_array(collect_list(col("pos"))), _.cast("string")),
           ",").as("positions"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+    val dfCensus = docs(spark, dir)
+      .select(explode(array_distinct(toks)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    grouped.join(dfCensus, Seq("token"))
       .select("token", "doc_id", "tf", "positions", "df")
       .orderBy("token", "doc_id")
   }
