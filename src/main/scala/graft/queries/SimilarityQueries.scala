@@ -631,8 +631,8 @@ object SimilarityQueries {
     * independence. */
   def q142IvfPqIndexPersist(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-ivfpq-index").toString + "/index"
+    val path = graft.sources.TempDirs
+      .create("graft-ivfpq-index").toString + "/index"
     Similarity.ivfPqIndexWrite(e, path, numCells = 8)
     val idx = Similarity.ivfPqIndexRead(spark, path)
     Similarity.ivfPqKnnIndexed(idx, e, e.filter(col("vec_id") < 20), k = 5,

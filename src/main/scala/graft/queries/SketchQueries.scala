@@ -149,8 +149,8 @@ object SketchQueries {
     * artifact's error, same as q64. */
   def q143HllIndexPersist(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-hll-regs").toString + "/registers"
+    val path = graft.sources.TempDirs
+      .create("graft-hll-regs").toString + "/registers"
     Sketches.hllRegistersWrite(
       Sketches.hllRegisters(li, col("l_partkey"), Seq("l_returnflag")), path)
     val regs = Sketches.hllRegistersRead(spark, path)
@@ -331,8 +331,8 @@ object SketchQueries {
   def q144CmsIndexPersist(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), explode(whitespaceTokens(col("text"))).as("token"))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-cms").toString + "/sketch"
+    val path = graft.sources.TempDirs
+      .create("graft-cms").toString + "/sketch"
     Sketches.countMinWrite(Sketches.countMinBuild(toks, col("token")), path)
     val sketch = Sketches.countMinRead(spark, path)
     val probes = toks.filter(col("doc_id") < 5).select("token").distinct()

@@ -98,16 +98,11 @@ object StatsQueries {
   def q141StreamingRuns(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q141").toString
-    val src = tmp + "/events"
-    eventsUs(spark, dir)
-      .select(col("event_id").cast("long").as("event_id"),
-        col("user_id").cast("long").as("user_id"),
-        col("event_type"), col("ts_us"),
-        timestamp_micros(col("ts_us")).as("ts"))
-      .write.mode("overwrite").parquet(src)
-    val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema).parquet(src)
+    val src = graft.streaming.StreamStage.linkedDir("graft-q141",
+      graft.streaming.StreamStage.eventsDir(spark, dir))
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
+      .parquet(src)
       .as[graft.streaming.EventStreams.RunEvent]
     // flush horizon ≈ 200 years: longer than any gap inside the bounded
     // table, so only the sentinel-driven final flush closes open runs
@@ -121,14 +116,7 @@ object StatsQueries {
       query.processAllAvailable() // batch 1: every real event
       // sentinel batches: each advances the watermark computed from the
       // PREVIOUS batch's max event time, so batch 3 fires every timer
-      Seq(("2400-01-01 00:00:00", 2L), ("2500-01-01 00:00:00", 3L))
-        .foreach { case (tsStr, i) =>
-          val t = java.sql.Timestamp.valueOf(tsStr)
-          Seq((-i, -1L, "sentinel", t.getTime * 1000L, t))
-            .toDF("event_id", "user_id", "event_type", "ts_us", "ts")
-            .write.mode("append").parquet(src)
-          query.processAllAvailable()
-        }
+      graft.streaming.StreamStage.advanceWatermark(spark, src, query)
     } finally query.stop()
     spark.table(qname)
       .filter(col("user_id") >= 0)
@@ -164,14 +152,11 @@ object StatsQueries {
   def q145StreamingHll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q145").toString
-    val src = tmp + "/events"
-    Tables(spark, dir).events
-      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
-        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"))
-      .write.mode("overwrite").parquet(src)
-    val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema).parquet(src)
+    val src = graft.streaming.StreamStage.linkedDir("graft-q145",
+      graft.streaming.StreamStage.eventsDir(spark, dir))
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
+      .parquet(src)
       .as[graft.streaming.EventStreams.UserEvent]
     val qname = s"graft_q145_hll_${StreamQueryIds.incrementAndGet()}"
     val query = graft.streaming.EventStreams.streamingHllDistinct(stream)
@@ -180,12 +165,7 @@ object StatsQueries {
       .start()
     try {
       query.processAllAvailable()
-      Seq("2400-01-01 00:00:00", "2500-01-01 00:00:00").foreach { tsStr =>
-        val t = java.sql.Timestamp.valueOf(tsStr)
-        Seq((-1L, "sentinel", t)).toDF("user_id", "event_type", "ts")
-          .write.mode("append").parquet(src)
-        query.processAllAvailable()
-      }
+      graft.streaming.StreamStage.advanceWatermark(spark, src, query)
     } finally query.stop()
     spark.table(qname)
       .filter(col("event_type") =!= "sentinel")
@@ -1078,14 +1058,11 @@ object StatsQueries {
   def q147StreamingCountMin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q147").toString
-    val src = tmp + "/events"
-    Tables(spark, dir).events
-      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
-        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"))
-      .write.mode("overwrite").parquet(src)
-    val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema).parquet(src)
+    val src = graft.streaming.StreamStage.linkedDir("graft-q147",
+      graft.streaming.StreamStage.eventsDir(spark, dir))
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
+      .parquet(src)
       .as[graft.streaming.EventStreams.UserEvent]
     val qname = s"graft_q147_cm_${StreamQueryIds.incrementAndGet()}"
     val query = graft.streaming.EventStreams.streamingCountMin(stream)
@@ -1094,12 +1071,7 @@ object StatsQueries {
       .start()
     try {
       query.processAllAvailable()
-      Seq("2400-01-01 00:00:00", "2500-01-01 00:00:00").foreach { tsStr =>
-        val t = java.sql.Timestamp.valueOf(tsStr)
-        Seq((-1L, "sentinel", t)).toDF("user_id", "event_type", "ts")
-          .write.mode("append").parquet(src)
-        query.processAllAvailable()
-      }
+      graft.streaming.StreamStage.advanceWatermark(spark, src, query)
     } finally query.stop()
     spark.table(qname)
       .filter(col("event_type") =!= "sentinel")
@@ -1143,19 +1115,14 @@ object StatsQueries {
     * is bookkeeping, not emission. */
   def q148StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q148").toString
-    val src = tmp + "/events"
-    val base = Tables(spark, dir).events
-      .select(col("event_id").cast("long").as("event_id"),
-        col("user_id").cast("long").as("user_id"), col("event_type"),
-        expr("ts_ns DIV 1000").as("ts_us"),
-        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"))
-    base.write.mode("overwrite").parquet(src)
-    // the duplicate feed: every 5th event again, identical bytes
-    base.filter(col("event_id") % 5 === 0)
-      .write.mode("append").parquet(src)
-    val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema).parquet(src)
+    // the shared staged table PLUS the duplicate feed (every 5th event
+    // again, identical values), both hard-linked into the private dir
+    val src = graft.streaming.StreamStage.linkedDir("graft-q148",
+      graft.streaming.StreamStage.eventsDir(spark, dir),
+      graft.streaming.StreamStage.dupsDir(spark, dir))
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
+      .parquet(src)
     val qname = s"graft_q148_dedup_${StreamQueryIds.incrementAndGet()}"
     val query = graft.streaming.EventStreams
       .streamingDedup(stream, "event_id", "1 hour")
@@ -1186,14 +1153,11 @@ object StatsQueries {
   def q149StreamingBloom(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q149").toString
-    val src = tmp + "/events"
-    Tables(spark, dir).events
-      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
-        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"))
-      .write.mode("overwrite").parquet(src)
-    val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema).parquet(src)
+    val src = graft.streaming.StreamStage.linkedDir("graft-q149",
+      graft.streaming.StreamStage.eventsDir(spark, dir))
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
+      .parquet(src)
       .as[graft.streaming.EventStreams.UserEvent]
     val qname = s"graft_q149_bloom_${StreamQueryIds.incrementAndGet()}"
     val query = graft.streaming.EventStreams.streamingBloom(stream)
@@ -1202,12 +1166,7 @@ object StatsQueries {
       .start()
     try {
       query.processAllAvailable()
-      Seq("2400-01-01 00:00:00", "2500-01-01 00:00:00").foreach { tsStr =>
-        val t = java.sql.Timestamp.valueOf(tsStr)
-        Seq((-1L, "sentinel", t)).toDF("user_id", "event_type", "ts")
-          .write.mode("append").parquet(src)
-        query.processAllAvailable()
-      }
+      graft.streaming.StreamStage.advanceWatermark(spark, src, query)
     } finally query.stop()
     spark.table(qname)
       .filter(col("event_type") =!= "sentinel")
@@ -1246,14 +1205,11 @@ object StatsQueries {
   def q150StreamingQuantile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q150").toString
-    val src = tmp + "/events"
-    Tables(spark, dir).events
-      .select(col("user_id").cast("long").as("user_id"),
-        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"), col("value"))
-      .write.mode("overwrite").parquet(src)
-    val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema).parquet(src)
+    val src = graft.streaming.StreamStage.linkedDir("graft-q150",
+      graft.streaming.StreamStage.eventsDir(spark, dir))
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
+      .parquet(src)
       .as[graft.streaming.EventStreams.Event]
     val qname = s"graft_q150_qs_${StreamQueryIds.incrementAndGet()}"
     val query = graft.streaming.EventStreams.streamingQuantile(stream)
@@ -1262,12 +1218,7 @@ object StatsQueries {
       .start()
     try {
       query.processAllAvailable()
-      Seq("2400-01-01 00:00:00", "2500-01-01 00:00:00").foreach { tsStr =>
-        val t = java.sql.Timestamp.valueOf(tsStr)
-        Seq((-1L, t, 0.0)).toDF("user_id", "ts", "value")
-          .write.mode("append").parquet(src)
-        query.processAllAvailable()
-      }
+      graft.streaming.StreamStage.advanceWatermark(spark, src, query)
     } finally query.stop()
     // unlike the typed twins there is no sentinel event_type to filter
     // on — the FIRST sentinel's window closes when the second advances

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.Tables
+import graft.sources.TempDirs
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Shared file-stream staging for the six streaming batch-parity
+  * catalog entries (q141/q145/q147–q150).
+  *
+  * Round-9 each of them wrote its OWN full copy of the events table
+  * into a fresh temp dir — six table writes (~36 s of the sf0.1 sweep)
+  * staging the same rows. Round-10 stages ONE superset projection per
+  * (JVM, sf dir) — every column any of the six kernels reads — and
+  * each query run gets a private dir of HARD LINKS to the staged files
+  * (no bytes copied; a brace-glob source path is not expanded by the
+  * file-stream source, so links it is), where its watermark-advancing
+  * sentinel files can be appended without other queries ever seeing
+  * them. Parquet column pruning means a kernel wanting
+  * (user_id, ts, value) reads only those columns of the superset
+  * files.
+  *
+  * All staged dirs come from [[TempDirs]] (deleted at JVM exit — the
+  * round-9 form leaked a full-table copy per query run). */
+object StreamStage {
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The superset events projection, staged once per sf dir:
+    * (event_id, user_id, event_type, ts_us, ts, value). */
+  def eventsDir(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent(dir, _ => {
+      val out = TempDirs.create("graft-stream-events").toString + "/events"
+      Tables(spark, dir).events
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"),
+          expr("ts_ns DIV 1000").as("ts_us"),
+          timestamp_micros(expr("ts_ns DIV 1000")).as("ts"),
+          col("value"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Every 5th event AGAIN (identical values), staged once per sf dir —
+    * the duplicate feed q148's streaming dedup must suppress. */
+  def dupsDir(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent(dir + "#dups", _ => {
+      val out = TempDirs.create("graft-stream-dups").toString + "/dups"
+      spark.read.parquet(eventsDir(spark, dir))
+        .filter(col("event_id") % 5 === 0)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Schema of the staged superset (one footer read, memoized). */
+  private val schemas =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  def eventsSchema(spark: SparkSession, dir: String): StructType =
+    schemas.computeIfAbsent(dir,
+      _ => spark.read.parquet(eventsDir(spark, dir)).schema)
+
+  /** A fresh PRIVATE source dir for one query run: every parquet file
+    * of the given staged dirs HARD-LINKED in (no data copied — the
+    * whole point of the shared stage), so the query can append its own
+    * sentinel files without other queries ever seeing them. */
+  def linkedDir(prefix: String, srcDirs: String*): String = {
+    val out = TempDirs.create(prefix)
+    srcDirs.zipWithIndex.foreach { case (src, i) =>
+      val d = java.nio.file.Paths.get(src)
+      val ls = java.nio.file.Files.list(d)
+      try ls.forEach { f =>
+        if (f.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.createLink(
+            out.resolve(s"${i}_${f.getFileName}"), f)
+      } finally ls.close()
+    }
+    out.toString
+  }
+
+  /** The watermark-advancing harness shared by the timer-flushed
+    * kernels: two far-future sentinel rows (superset shape, negative
+    * ids, event_type 'sentinel'), each appended as its own file so the
+    * stream sees one further micro-batch per sentinel — batch N's
+    * watermark is computed from batch N−1's max event time, so the
+    * second sentinel is what fires every real-data timer. */
+  def advanceWatermark(spark: SparkSession, sentDir: String,
+      query: StreamingQuery): Unit = {
+    import spark.implicits._
+    Seq(("2400-01-01 00:00:00", 2L), ("2500-01-01 00:00:00", 3L))
+      .foreach { case (tsStr, i) =>
+        val t = java.sql.Timestamp.valueOf(tsStr)
+        Seq((-i, -1L, "sentinel", t.getTime * 1000L, t, 0.0))
+          .toDF("event_id", "user_id", "event_type", "ts_us", "ts", "value")
+          .write.mode("append").parquet(sentDir)
+        query.processAllAvailable()
+      }
+  }
+}
