@@ -111,11 +111,8 @@ object ScaleBench {
     // distributed Pregel loop is what gets measured (the path decision
     // is taken eagerly inside the operator call, so restoring the seam
     // before the timed write is safe)
-    def forcedPregel(f: => DataFrame): DataFrame = {
-      val saved = graft.operators.Graph.SmallGraphEdgeThreshold
-      graft.operators.Graph.SmallGraphEdgeThreshold = -1L
-      try f finally graft.operators.Graph.SmallGraphEdgeThreshold = saved
-    }
+    def forcedPregel(f: => DataFrame): DataFrame =
+      graft.operators.Graph.SmallGraphEdgeThreshold.withValue(-1L)(f)
 
     // cache key includes the base corpus name, and a parquet directory
     // only counts as cached when its _SUCCESS marker exists — a cache

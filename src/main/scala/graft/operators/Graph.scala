@@ -52,12 +52,18 @@ import scala.collection.mutable
 object Graph {
 
   /** Edge count at or below which a kernel runs in one task instead of
-    * as a distributed round loop. 5M symmetric edges ≈ 80 MB of pairs
-    * plus the kernel's hash maps — comfortable inside one executor
-    * task at any sane executor size. private[graft] var as the test
-    * seam: GraphSpec pins small-path ≡ distributed-path equality by
-    * setting it to -1. */
-  private[graft] var SmallGraphEdgeThreshold: Long = 5000000L
+    * as a distributed round loop. The in-task kernels materialize BOXED
+    * structures — Tuple2 arrays (~60-80 B/edge), adjacency hash maps,
+    * and (for triangles) an oriented-edge HashSet — so the realistic
+    * footprint is ~10× the raw 16 B/edge: 1M symmetric edges ≈
+    * 100-200 MB in one task, a safe ceiling at any sane executor size
+    * where the previous 5M default could reach 1 GB and OOM a task the
+    * operator auto-selected. A DynamicVariable (not a global var) is
+    * the test/bench seam: GraphSpec and ScaleBench pin the distributed
+    * path via `withValue(-1L)`, scoped and thread-safe, so concurrent
+    * graph queries can never observe a torn save/restore. */
+  private[graft] val SmallGraphEdgeThreshold =
+    new scala.util.DynamicVariable[Long](1000000L)
 
   private val IntegralTypes: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType)
@@ -134,7 +140,7 @@ object Graph {
     val (raw, m, hint) = undirected(e)
 
     val result: RDD[(Long, Long)] =
-      if (m <= SmallGraphEdgeThreshold) {
+      if (m <= SmallGraphEdgeThreshold.value) {
         raw.coalesce(1).mapPartitions { it =>
           // union-find with MIN-ID ROOTS: union always hangs the larger
           // root under the smaller, so each component's final root IS
@@ -213,7 +219,7 @@ object Graph {
       .rdd.map(_.getLong(0))
 
     val result: RDD[(Long, Long)] =
-      if (m <= SmallGraphEdgeThreshold) {
+      if (m <= SmallGraphEdgeThreshold.value) {
         raw.coalesce(1).zipPartitions(srcRdd.coalesce(1)) { (eIt, sIt) =>
           val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
           eIt.foreach { case (s, d) =>
@@ -309,7 +315,7 @@ object Graph {
     val m = eC.count()
 
     val result: RDD[(Long, Long)] =
-      if (m <= SmallGraphEdgeThreshold) {
+      if (m <= SmallGraphEdgeThreshold.value) {
         eC.coalesce(1).mapPartitions { it =>
           val es = it.toArray
           val deg = mutable.HashMap.empty[Long, Long]
@@ -380,7 +386,7 @@ object Graph {
     val (raw, m, hint) = undirected(e)
 
     val result: RDD[(Long, Long)] =
-      if (m <= SmallGraphEdgeThreshold) {
+      if (m <= SmallGraphEdgeThreshold.value) {
         raw.coalesce(1).mapPartitions { it =>
           val es = it.toArray // symmetric, deduped
           val deg = mutable.HashMap.empty[Long, Long]

@@ -586,8 +586,10 @@ object Similarity {
       if (!pruneCells) index
       else {
         // ≤ numCells ints: the bounded-artifact collect that turns the
-        // probe set into a static partition filter on the index scan
-        val probed = probes.select("cell").distinct()
+        // probe set into a static partition filter on the index scan.
+        // Cast defensively: a hand-read index parquet may carry cell as
+        // long/short, which would otherwise CCE at getInt
+        val probed = probes.select(col("cell").cast("int")).distinct()
           .collect().map(_.getInt(0)).toSeq
         index.filter(col("cell").isin(probed: _*))
       }

@@ -61,11 +61,8 @@ class GraphSpec extends SparkSpec {
 
   /** Run `body` with the small-graph fast path disabled, so the
     * distributed Pregel loop is what executes. */
-  private def distributedPath[T](body: => T): T = {
-    val saved = Graph.SmallGraphEdgeThreshold
-    Graph.SmallGraphEdgeThreshold = -1L
-    try body finally Graph.SmallGraphEdgeThreshold = saved
-  }
+  private def distributedPath[T](body: => T): T =
+    Graph.SmallGraphEdgeThreshold.withValue(-1L)(body)
 
   test("unconverged exit fails loudly instead of returning wrong labels") {
     // the cap only exists on the distributed round loop — the small-path
