@@ -112,6 +112,49 @@ object Scratch {
         .orderBy("token", "doc_id")
     time("q88_window_r9", 5)(q88window())
     time("q88_censusjoin_r10", 5)(graft.queries.TextQueries.q88InvertedIndex(spark, sfDir))
+
+    // q42 multi-table LSH recall experiment
+    {
+      import graft.operators.Similarity
+      val sfq = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      val e = spark.read.parquet(s"$sfq/embeddings.parquet")
+      val exact = Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 20), 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((tables, bits) <- Seq((1,4),(2,4),(4,4),(8,4),(2,6),(4,6),(2,8),(4,8))) {
+        val tot = tables * bits
+        val c = e.select(col("vec_id"), Similarity.lshSignature(
+          org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")), tot).as("sig"))
+        val tcol = explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), shiftright(col("sig"), t * bits).mod(lit(1 << bits)).as("s"))): _*))
+        val cb = c.select(col("vec_id"), tcol.as("ts")).select(col("vec_id"), col("ts.t"), col("ts.s"))
+        val qb = cb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("t"), col("s"))
+        val cand = cb.join(qb, Seq("t", "s"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
+        val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // rank candidates by true cosine, take top5 per query
+        val hits = exact.count(candSet.contains)   // upper bound on recall numerator if k>=5 candidates kept
+        val nCand = candSet.size
+        println(f"[scratch] q42 tables=$tables bits=$bits candPairs=$nCand%6d exactHitsInCand=$hits/${exact.size}")
+      }
+    }
+
+    // new q42 final recall@5 at this SF
+    {
+      import graft.operators.Similarity
+      val sfq = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val e2 = spark.read.parquet(s"$sfq/embeddings.parquet")
+      val qv = e2.filter(col("vec_id") < 20)
+      val ex2 = Similarity.bruteForceKnn(e2, qv, 5).select("query_id","neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((t, b, mp) <- Seq((8, 4, false), (1, 4, true))) {
+        val got = Similarity.signLshKnn(e2, qv, 5, bits = b, tables = t, multiProbe = mp)
+          .select("query_id","neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"[scratch] q42recall tables=$t bits=$b mp=$mp recall@5=${ex2.count(got.contains) / ex2.size.toDouble}%.2f")
+      }
+    }
     spark.stop()
   }
 }

@@ -625,38 +625,66 @@ object Similarity {
     * prefixes) or fall back to [[bruteForceKnn]].
     */
   /** @param multiProbe when true, each query also probes every bucket
-    *   at Hamming distance 1 from its own signature (bits+1 probes) —
-    *   the standard recall lift that costs query-side fanout instead of
-    *   a second corpus pass. The corpus is still bucketed ONCE.
+    *   at Hamming distance 1 from its own signature (bits+1 probes per
+    *   table) — the standard recall lift that costs query-side fanout
+    *   instead of a second corpus pass. The corpus is still bucketed
+    *   ONCE per table.
+    * @param tables number of independent hash tables (the LSH
+    *   OR-construction): one `tables·bits`-plane signature is computed
+    *   per vector and sliced into `tables` disjoint `bits`-bit keys; a
+    *   candidate matches if ANY table's key matches. Recall rises like
+    *   1−(1−p^bits)^tables at the cost of shuffling the corpus `tables`
+    *   times — the classic L-tables trade (Indyk–Motwani; measured on
+    *   the synthetic corpus: 1×4 bits ⇒ 12/100 true top-5 pairs
+    *   reachable at sf0.1, 8×4 bits ⇒ 68/100).
     * @param dim embedding dimensionality; a mismatch fails loudly (see
     *   [[lshSignature]]) instead of silently degrading. */
   def signLshKnn(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
-                 multiProbe: Boolean = false, dim: Int = 64): DataFrame = {
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("sig", lshSignature(col("emb"), bits, dim))
+                 multiProbe: Boolean = false, dim: Int = 64,
+                 tables: Int = 1): DataFrame = {
+    require(tables >= 1 && tables * bits <= 63,
+      s"signLshKnn: tables*bits must fit a long, got $tables x $bits")
+    val slice = (sig: Column, t: Int) =>
+      if (tables == 1) sig
+      else shiftright(sig, t * bits).mod(lit(1L << bits))
+    val c0 = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("sigAll", lshSignature(col("emb"), tables * bits, dim))
       .withColumn("nrm", l2Norm(col("emb")))
+    val c = c0
+      .withColumn("ts", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), slice(col("sigAll"), t).as("s"))): _*)))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("ts.t").as("t"), col("ts.s").as("s"))
     val qBase = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
-      .withColumn("sig0", lshSignature(col("q_emb"), bits, dim))
+      .withColumn("sigAll", lshSignature(col("q_emb"), tables * bits, dim))
       .withColumn("q_nrm", l2Norm(col("q_emb")))
-    val q =
-      if (!multiProbe) qBase.withColumnRenamed("sig0", "sig")
-      else qBase
-        .withColumn("sig", explode(array(
-          (col("sig0") +: (0 until bits).map(b =>
-            col("sig0").bitwiseXOR(lit(1L << b)))): _*)))
-        .drop("sig0")
+    val q = qBase
+      .withColumn("ts", explode(array((for {
+        t <- 0 until tables
+        probe <- if (!multiProbe) Seq(slice(col("sigAll"), t))
+          else slice(col("sigAll"), t) +: (0 until bits).map(b =>
+            slice(col("sigAll"), t).bitwiseXOR(lit(1L << b)))
+      } yield struct(lit(t).as("t"), probe.as("s"))): _*)))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("ts.t").as("t"), col("ts.s").as("s"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    // no dedup needed even under multi-probe: each corpus vector has
-    // exactly ONE signature, and the probe values {sig0} ∪ {sig0^2^b}
-    // are pairwise distinct, so a (query, neighbor) pair can match at
-    // most one probe row — a dropDuplicates here would be a pure
-    // no-op shuffle on the ANN hot path
-    val joined = c.join(q, Seq("sig"))
+    val joined = c.join(q, Seq("t", "s"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         col("vec_id").as("neighbor_id"), col("emb"), col("nrm"))
-    joined
+    // single-table: no dedup needed — each corpus vector has exactly
+    // ONE key and the probe values {s} ∪ {s^2^b} are pairwise
+    // distinct, so a (query, neighbor) pair matches at most one probe
+    // row; a dropDuplicates would be a pure no-op shuffle on the ANN
+    // hot path. Multi-table: a pair CAN match in several tables and
+    // must rank once — the deduped rows are identical in every column
+    // (both sides derived from the ids), so which one survives is
+    // immaterial.
+    val once =
+      if (tables == 1) joined
+      else joined.dropDuplicates("query_id", "neighbor_id")
+    once
       .withColumn("cos_sim",
         dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))

@@ -9,8 +9,9 @@ import graft.operators.{Dedup, Similarity}
 /** Similarity-search and near-dup queries over `embeddings` and
   * `documents`. q30/q31/q40/q41 are fully oracle-checked (all hashing is
   * md5-derived; all float math is double with identical fold order in
-  * both engines). q42 is the approximate scale path — rows-only check,
-  * its recall is asserted against q30 in SimilaritySpec.
+  * both engines). q42 (multi-table sign-LSH) is the approximate scale
+  * path — fully oracle-checked AND self-gated on a brute-force recall
+  * floor; SimilaritySpec asserts recall properties besides.
   */
 object SimilarityQueries {
 
@@ -156,14 +157,36 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------- q42
-  /** Approximate ANN via sign-LSH bucketing — the 100 TB scale path.
-    * Fully oracle-checked: the hyperplanes are deterministic md5 math
-    * emitted into the SQL as exact `k/10000.0` rationals, so both
-    * engines compute bit-identical signatures AND cosines (recall vs
-    * q30 is additionally asserted in SimilaritySpec). */
+  /** Approximate ANN via MULTI-TABLE sign-LSH bucketing (the
+    * OR-construction, 8 tables × 4 bits) — the 100 TB scale path.
+    * Round-10: the old single-table 4-bit form retrieved essentially
+    * nothing on the synthetic corpus (recall@5 ledger row 0.00), a
+    * baseline certifying no capability; the 8-table config reaches
+    * ~0.7 while still pruning ~99% of candidate pairs, and the query
+    * GATES itself on a 0.2 recall floor against brute force (q43's
+    * device) so the correctness artifact certifies retrieval, not just
+    * execution. Fully oracle-checked: the hyperplanes are
+    * deterministic md5 math emitted into the SQL as exact `k/10000.0`
+    * rationals, so both engines compute bit-identical signatures AND
+    * cosines. */
+  val Q42RecallFloor = 0.2
+
   def q42KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    Similarity.signLshKnn(e, e.filter(col("vec_id") < 20), k = 5, bits = 4)
+    val q = e.filter(col("vec_id") < 20)
+    val lsh = Similarity.signLshKnn(e, q, k = 5, bits = 4, tables = 8)
+    val exact = Similarity.bruteForceKnn(e, q, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val gate = exact.join(
+        lsh.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(avg(coalesce(col("hit"), lit(0))).as("mean_recall"))
+    lsh.crossJoin(broadcast(gate))
+      .filter(when(col("mean_recall") >= Q42RecallFloor, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"q42 recall floor $Q42RecallFloor violated: "),
+          col("mean_recall").cast("string")))))
+      .drop("mean_recall")
       .orderBy("query_id", "rank")
   }
 
@@ -175,10 +198,17 @@ object SimilarityQueries {
     * so the sign comparisons agree on every vector. */
   private def lshSigSql(bits: Int, dim: Int = 64): String =
     (0 until bits).map { p =>
-      val plane = (0 until dim)
-        .map(d => s"${Similarity.planeComponentScaled(p, d)}.0/10000.0")
-        .mkString("[", ",", "]")
-      s"CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> emb[i] * ($plane)[i])) > 0 THEN ${1L << p} ELSE 0 END"
+      // UNROLLED arithmetic, not list lambdas: DuckDB evaluates a
+      // list_transform-over-literal-list projection at ~0.4 ms per
+      // (row, plane) — 26 s for 32 planes × 2000 vectors at sf0.1 —
+      // while the same left-to-right sum written as plain +/* terms
+      // runs 25× faster with bit-identical results (same IEEE
+      // sequence, verified max(sig)-equal)
+      val dot = (0 until dim)
+        .map(d =>
+          s"emb[${d + 1}]*(${Similarity.planeComponentScaled(p, d)}.0/10000.0)")
+        .mkString(" + ")
+      s"CASE WHEN $dot > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("\n    + ")
 
   /** Shared oracle CTE: per-vector double embedding, L2 norm, and
@@ -194,13 +224,18 @@ object SimilarityQueries {
        |    ${lshSigSql(bits)} AS sig
        |  FROM e)""".stripMargin
 
-  val q42Sql: String =
-    s"""WITH ${lshScoredCte(4)},
+  val q42Sql: String = {
+    // a candidate matches when ANY of the 8 disjoint 4-bit slices of
+    // the 32-plane signature agrees — the OR-construction's join
+    val anyTable = (0 until 8)
+      .map(t => s"((q.sig >> ${t * 4}) & 15) = ((c.sig >> ${t * 4}) & 15)")
+      .mkString("(", "\n      OR ", ")")
+    s"""WITH ${lshScoredCte(32)},
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
        |      / (q.nrm * c.nrm) AS cos_sim
-       |  FROM n q JOIN n c ON q.sig = c.sig AND c.vec_id != q.vec_id
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id AND $anyTable
        |  WHERE q.vec_id < 20)
        |SELECT query_id, rank, neighbor_id, cos_sim FROM (
        |  SELECT query_id, neighbor_id, cos_sim,
@@ -208,6 +243,7 @@ object SimilarityQueries {
        |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   // --------------------------------------------------------------- q42b
   /** Multi-probe sign-LSH ANN: each query also probes every bucket at
