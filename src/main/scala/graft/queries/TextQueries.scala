@@ -953,22 +953,26 @@ object TextQueries {
     * comma string (lexicographic "10"<"2" would diverge between
     * engines). */
   def q88InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    // Round-10 shape: the postings stream crosses ONE token-keyed
-    // exchange (repartition, then the (token, doc_id) rollup and the
-    // df join both run on that clustering), and document frequency
-    // comes from a SECOND, cheap scan — per-doc distinct tokens →
-    // map-side-combined groupBy(token) count — joined on token. The
-    // round-9 count-window over token was exchange-free but buffered
-    // every posting of a hot token in ONE task: for a stopword at
-    // corpus scale that is ~|docs| rows through a single sort buffer,
-    // exactly the skew a shuffle JOIN survives (AQE splits skewed join
-    // partitions; a window partition is unsplittable by definition).
-    // The census is vocab-sized — tiny counts, never positions — and
-    // joins without a new exchange on the shared token clustering.
+    // Round-10 shape: ONE corpus-sized exchange, and it is a RANGE
+    // exchange on (token, doc_id) — the output's own total order — so
+    // the (token, doc_id) rollup runs on that clustering, the census
+    // join broadcasts onto it, and the final orderBy needs only a
+    // LOCAL sort (RangePartitioning(token, doc_id) satisfies the
+    // OrderedDistribution; the hash-partitioned form paid a second
+    // full exchange to sort — measured 1.30 vs 0.85 s same-session).
+    // Skew: range partitioning SPLITS a hot token across partitions by
+    // doc_id — strictly better than hash-by-token (a stopword's
+    // postings land in many ranges) and than the round-9 count-window
+    // (one unsplittable task buffering every posting of the token).
+    // Document frequency comes from a second, cheap scan — per-doc
+    // distinct tokens → map-side-combined groupBy(token) count — and
+    // is BROADCAST onto the postings (census rows are vocab-sized
+    // counts, never positions; a vocabulary too large to broadcast
+    // would switch this to a shuffle join, which AQE skew-splits).
     val grouped = docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
       .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "token")))
-      .repartition(col("token"))
+      .repartitionByRange(col("token"), col("doc_id"))
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"),
         array_join(
@@ -977,7 +981,7 @@ object TextQueries {
     val dfCensus = docs(spark, dir)
       .select(explode(array_distinct(toks)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
-    grouped.join(dfCensus, Seq("token"))
+    grouped.join(broadcast(dfCensus), Seq("token"))
       .select("token", "doc_id", "tf", "positions", "df")
       .orderBy("token", "doc_id")
   }
@@ -1303,56 +1307,88 @@ object TextQueries {
     // long — a primitive-typed, codegen'd aggregate where the round-9
     // collect_set form allocated a set object per hash. The mask
     // census (groupBy mask → count) collapses the per-hash frame to
-    // ≤ |distinct masks| rows BEFORE any pair expansion, so the
-    // |sources|²-bounded explode runs over the tiny census, not per
-    // hash. Census rows (per-source sizes) ride the same expansion
-    // tagged source_b = NULL — NULL cannot collide with a real source
-    // name the way the old '' sentinel could. Sources beyond 63 bits
-    // fall back to the set-explode form below.
+    // ≤ |distinct masks| rows BEFORE any pair expansion. Tiered finish
+    // by source cardinality:
+    //   ≤ 20 → the mask census is PROVABLY ≤ 2^20 rows (≤ 16 MB of
+    //          (long, long) — the sketch-collect discipline's bounded-
+    //          artifact budget): collect it and expand bit-pairs on the
+    //          driver, cutting the ss-explode + second aggregation
+    //          tier's two extra jobs;
+    //   ≤ 63 → distinct masks are bounded only by the hash count:
+    //          expand to pairs IN-PLAN over the census, then collect
+    //          the ≤ |sources|²-row pair census;
+    //   > 63 → per-hash sorted source SETS (q97SetExplode below).
     val d0 = docs(spark, dir)
     val names = d0.select("source").distinct().collect()
       .map(_.getString(0)).sorted
     if (names.length > 63) return q97SetExplode(spark, dir)
-    val namesSql = names.map(s => s"'${s.replace("'", "''")}'")
-      .mkString("array(", ", ", ")")
     val bitMap = map(names.toIndexedSeq.zipWithIndex.flatMap {
       case (s, i) => Seq(lit(s), lit(1L << i)) }: _*)
-    val agg = d0
-      // native shingle-hash kernel — see q95
+    val maskCensus = d0
+      // native shingle-hash kernel — see q95. (An in-row array_distinct
+      // pre-dedup was measured SLOWER here — 0.51 vs 0.37 s census —
+      // because shingles are near-unique within a doc, so the dedup
+      // saves no rows and pays per-row allocation.)
       .select(element_at(bitMap, col("source")).as("m"),
         explode(shingleHashes60(toks, ShingleDupK)).as("h"))
       .groupBy("h").agg(bit_or(col("m")).as("mask"))
       .groupBy("mask").agg(count(lit(1)).as("cnt"))
-      .withColumn("ss", expr(
-        s"""filter(transform(sequence(0, ${names.length - 1}),
-           |  i -> if((mask >> i) % 2 != 0, element_at($namesSql, i + 1),
-           |          CAST(NULL AS STRING))), x -> x IS NOT NULL)""".stripMargin))
-      // ordered pairs from the sorted name array: i < j ⟹ ss[i] < ss[j]
-      // (guard short sets — sequence(2, 1) would COUNT DOWN)
-      .select(col("cnt"), explode(expr(
-        """concat(
-          |  transform(ss, s -> struct(s AS source_a,
-          |                            CAST(NULL AS STRING) AS source_b)),
-          |  if(size(ss) < 2, array(),
-          |    flatten(transform(sequence(1, size(ss) - 1),
-          |      i -> transform(sequence(i + 1, size(ss)),
-          |        j -> struct(element_at(ss, i) AS source_a,
-          |                    element_at(ss, j) AS source_b))))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.source_a").as("a"), col("p.source_b").as("b"), col("cnt"))
-      .groupBy("a", "b").agg(sum("cnt").as("n"))
-      // ≤ |sources|² + |sources| rows — a BOUNDED artifact (the
-      // sketch-collect discipline): one job, finish on the driver.
-      // The round-9 tail (checkpoint barrier + census/pair split + two
-      // broadcast joins) spent 0.43 s of tiny jobs re-reading what fits
-      // in a page (measured; this form is 0.81 → ~0.55 s warm)
-      .collect()
-    val sizes = agg.filter(_.isNullAt(1))
-      .map(r => r.getString(0) -> r.getLong(2)).toMap
-    val pairRows = agg.filter(!_.isNullAt(1)).map { r =>
-      val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
-      (a, b, sizes(a), sizes(b), n)
-    }.toIndexedSeq
+    val s = names.length
+    val pairRows: IndexedSeq[(String, String, Long, Long, Long)] =
+      if (s <= 20) {
+        val sizes = Array.fill(s)(0L)
+        val shared = Array.ofDim[Long](s, s)
+        maskCensus.collect().foreach { r =>
+          val mask = r.getLong(0); val cnt = r.getLong(1)
+          var i = 0
+          while (i < s) {
+            if (((mask >> i) & 1L) != 0L) {
+              sizes(i) += cnt
+              var j = i + 1
+              while (j < s) {
+                if (((mask >> j) & 1L) != 0L) shared(i)(j) += cnt
+                j += 1
+              }
+            }
+            i += 1
+          }
+        }
+        for { i <- 0 until s; j <- (i + 1) until s if shared(i)(j) > 0 }
+          yield (names(i), names(j), sizes(i), sizes(j), shared(i)(j))
+      } else {
+        val namesSql = names.map(n => s"'${n.replace("'", "''")}'")
+          .mkString("array(", ", ", ")")
+        val agg = maskCensus
+          .withColumn("ss", expr(
+            s"""filter(transform(sequence(0, ${s - 1}),
+               |  i -> if((mask >> i) % 2 != 0, element_at($namesSql, i + 1),
+               |          CAST(NULL AS STRING))), x -> x IS NOT NULL)""".stripMargin))
+          // ordered pairs from the sorted name array: i < j ⟹ ss[i] < ss[j]
+          // (guard short sets — sequence(2, 1) would COUNT DOWN)
+          .select(col("cnt"), explode(expr(
+            """concat(
+              |  transform(ss, s -> struct(s AS source_a,
+              |                            CAST(NULL AS STRING) AS source_b)),
+              |  if(size(ss) < 2, array(),
+              |    flatten(transform(sequence(1, size(ss) - 1),
+              |      i -> transform(sequence(i + 1, size(ss)),
+              |        j -> struct(element_at(ss, i) AS source_a,
+              |                    element_at(ss, j) AS source_b))))))"""
+              .stripMargin)).as("p"))
+          .select(col("p.source_a").as("a"), col("p.source_b").as("b"), col("cnt"))
+          .groupBy("a", "b").agg(sum("cnt").as("n"))
+          // ≤ |sources|² + |sources| rows — a BOUNDED artifact: one job,
+          // finish on the driver (census rows tagged source_b = NULL —
+          // NULL cannot collide with a real source name the way a ''
+          // sentinel could)
+          .collect()
+        val sizes = agg.filter(_.isNullAt(1))
+          .map(r => r.getString(0) -> r.getLong(2)).toMap
+        agg.filter(!_.isNullAt(1)).map { r =>
+          val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          (a, b, sizes(a), sizes(b), n)
+        }.toIndexedSeq.sortBy(t => (t._1, t._2))
+      }
     import spark.implicits._
     pairRows.toDF("source_a", "source_b", "n_a", "n_b", "n_shared")
       // round IN SPARK so the HALF_UP semantics match every other query
