@@ -743,11 +743,14 @@ object Relational {
     * total order; NO ntile builtin — engines differ on remainder
     * placement conventions only in documentation, the explicit formula
     * is the portable definition). All integers end to end. Scale note:
-    * the quintile windows rank the ALREADY-AGGREGATED |customers|
-    * relation; at 100 TB swap the exact quintiles for q66's
-    * histogram-sketch cutpoints — the catalog keeps the exact form
-    * because the scored relation is orders-of-magnitude smaller than
-    * the fact table. */
+    * the three rank passes run over the ALREADY-AGGREGATED |customers|
+    * relation as exact DISTRIBUTED ranks
+    * ([[graft.operators.GlobalRank.withRowNumber]] — range exchange +
+    * per-partition offsets; every task sorts ~1/P of the customers,
+    * no single-partition window anywhere). The aggregate is
+    * localCheckpoint'ed once so the chained passes and their count
+    * probes re-read a materialized ~|customers|-row relation instead
+    * of re-running the orders rollup. */
   def q112RfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
       .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
@@ -759,20 +762,22 @@ object Relational {
       .crossJoin(broadcast(maxd))
       .withColumn("recency_days",
         datediff(col("maxd"), col("last_order")).cast("long"))
-    val scored = rfm
-      .withColumn("rn_r", row_number().over(
-        Window.orderBy(col("recency_days").desc, col("o_custkey").asc)))
-      .withColumn("rn_f", row_number().over(
-        Window.orderBy(col("frequency").asc, col("o_custkey").asc)))
-      .withColumn("rn_m", row_number().over(
-        Window.orderBy(col("monetary_cents").asc, col("o_custkey").asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val rfmC = rfm.localCheckpoint()
+    val n = math.max(rfmC.count(), 1L)
+    val ranked = Seq(
+      ("rn_r", Seq(col("recency_days").desc, col("o_custkey").asc)),
+      ("rn_f", Seq(col("frequency").asc, col("o_custkey").asc)),
+      ("rn_m", Seq(col("monetary_cents").asc, col("o_custkey").asc))
+    ).foldLeft(rfmC) { case (d, (out, keys)) =>
+      graft.operators.GlobalRank.withRowNumber(d, keys, out)
+    }
+    val scored = ranked
       .withColumn("r_score",
-        expr("CAST((CAST(rn_r AS BIGINT) - 1) * 5 DIV n + 1 AS BIGINT)"))
+        expr(s"CAST((rn_r - 1) * 5 DIV $n + 1 AS BIGINT)"))
       .withColumn("f_score",
-        expr("CAST((CAST(rn_f AS BIGINT) - 1) * 5 DIV n + 1 AS BIGINT)"))
+        expr(s"CAST((rn_f - 1) * 5 DIV $n + 1 AS BIGINT)"))
       .withColumn("m_score",
-        expr("CAST((CAST(rn_m AS BIGINT) - 1) * 5 DIV n + 1 AS BIGINT)"))
+        expr(s"CAST((rn_m - 1) * 5 DIV $n + 1 AS BIGINT)"))
     scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
         concat(col("r_score").cast("string"), col("f_score").cast("string"),
@@ -994,30 +999,37 @@ object Relational {
     * MAD are exact order statistics via q106's rank arithmetic — both
     * are actual data values in cents, so every comparison is integer;
     * the reported ratio is the only double (one division, 4dp). Scale
-    * note: two rank passes over the order-total relation; at 100 TB
-    * both swap for q66's histogram-sketch order statistics. */
+    * note: the two median passes are exact DISTRIBUTED rank selections
+    * ([[graft.operators.GlobalRank.withRowNumber]] over a 2-column
+    * (value, tiebreak) projection, then `rank == (n+1) DIV 2`) — every
+    * task sorts ~1/P of the orders; no single-partition window. The
+    * narrow order-total projection is localCheckpoint'ed once so the
+    * count probes and both median passes re-read a materialized
+    * 2-column relation instead of re-scanning parquet. */
   def q119MadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .localCheckpoint()
     def lowerMedian(df: DataFrame, c: String, id: String): DataFrame = {
-      val w = Window.orderBy(col(c).asc, col(id).asc)
-      df.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .filter(col("rn") === expr("(n + 1) DIV 2"))
+      val n = df.count()
+      graft.operators.GlobalRank.withRowNumber(
+          df.select(col(c), col(id)), Seq(col(c).asc, col(id).asc), "rn")
+        .filter(col("rn") === lit((n + 1) / 2))
         .select(col(c).as("med"))
     }
-    val med = lowerMedian(o, "cents", "o_orderkey")
-    val dev = o.crossJoin(broadcast(med))
-      .withColumn("deviation_cents", abs(col("cents") - col("med")))
+    // both medians are single scalars — land them as literals so the
+    // second pass (and the final filter) never re-evaluates the first
+    // rank plan through a broadcast cross join
+    val med = lowerMedian(o, "cents", "o_orderkey").head().getLong(0)
+    val dev = o.withColumn("deviation_cents", abs(col("cents") - lit(med)))
     val mad = lowerMedian(
       dev.select(col("o_orderkey"), col("deviation_cents")),
-      "deviation_cents", "o_orderkey")
-      .select(col("med").as("mad"))
-    dev.crossJoin(broadcast(mad))
-      .filter(col("deviation_cents") > lit(2L) * col("mad"))
+      "deviation_cents", "o_orderkey").head().getLong(0)
+    dev
+      .filter(col("deviation_cents") > lit(2L * mad))
       .withColumn("mad_ratio",
-        round(col("deviation_cents").cast("double") / col("mad"), 4))
+        round(col("deviation_cents").cast("double") / lit(mad.toDouble), 4))
       .select("o_orderkey", "cents", "deviation_cents", "mad_ratio")
       .orderBy(col("deviation_cents").desc, col("o_orderkey").asc)
       .limit(50)

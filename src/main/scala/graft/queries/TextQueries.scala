@@ -965,10 +965,14 @@ object TextQueries {
     // postings land in many ranges) and than the round-9 count-window
     // (one unsplittable task buffering every posting of the token).
     // Document frequency comes from a second, cheap scan — per-doc
-    // distinct tokens → map-side-combined groupBy(token) count — and
-    // is BROADCAST onto the postings (census rows are vocab-sized
-    // counts, never positions; a vocabulary too large to broadcast
-    // would switch this to a shuffle join, which AQE skew-splits).
+    // distinct tokens → map-side-combined groupBy(token) count. The
+    // census is materialized once (localCheckpoint), its row count is
+    // then a free metadata read, and the broadcast hint is GATED on it:
+    // ≤ 4M vocab rows (~160 MB of (token, long) pairs, inside Spark's
+    // 8 GB/512M-row broadcast hard limits with headroom) → broadcast
+    // onto the postings; a larger vocabulary takes the plain join and
+    // lets the planner/AQE pick (shuffle join, skew-splittable) instead
+    // of forcing a driver-OOM-sized broadcast.
     val grouped = docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
       .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "token")))
@@ -981,7 +985,10 @@ object TextQueries {
     val dfCensus = docs(spark, dir)
       .select(explode(array_distinct(toks)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
-    grouped.join(broadcast(dfCensus), Seq("token"))
+      .localCheckpoint()
+    val census = if (dfCensus.count() <= 4000000L) broadcast(dfCensus)
+      else dfCensus
+    grouped.join(census, Seq("token"))
       .select("token", "doc_id", "tf", "positions", "df")
       .orderBy("token", "doc_id")
   }
@@ -1309,11 +1316,13 @@ object TextQueries {
     // census (groupBy mask → count) collapses the per-hash frame to
     // ≤ |distinct masks| rows BEFORE any pair expansion. Tiered finish
     // by source cardinality:
-    //   ≤ 20 → the mask census is PROVABLY ≤ 2^20 rows (≤ 16 MB of
-    //          (long, long) — the sketch-collect discipline's bounded-
-    //          artifact budget): collect it and expand bit-pairs on the
-    //          driver, cutting the ss-explode + second aggregation
-    //          tier's two extra jobs;
+    //   ≤ 20 → the mask census is PROVABLY ≤ 2^20 rows: collect it as
+    //          a TYPED Dataset (specialized (Long, Long) tuples — ~32 B
+    //          a row, ≤ ~32 MB driver heap worst case, no boxed
+    //          GenericRows) and expand bit-pairs on the driver
+    //          iterating only SET bits (numberOfTrailingZeros — per-row
+    //          work is O(popcount²), not O(s²)), cutting the
+    //          ss-explode + second aggregation tier's two extra jobs;
     //   ≤ 63 → distinct masks are bounded only by the hash count:
     //          expand to pairs IN-PLAN over the census, then collect
     //          the ≤ |sources|²-row pair census;
@@ -1334,23 +1343,22 @@ object TextQueries {
       .groupBy("h").agg(bit_or(col("m")).as("mask"))
       .groupBy("mask").agg(count(lit(1)).as("cnt"))
     val s = names.length
+    import spark.implicits._
     val pairRows: IndexedSeq[(String, String, Long, Long, Long)] =
       if (s <= 20) {
         val sizes = Array.fill(s)(0L)
         val shared = Array.ofDim[Long](s, s)
-        maskCensus.collect().foreach { r =>
-          val mask = r.getLong(0); val cnt = r.getLong(1)
-          var i = 0
-          while (i < s) {
-            if (((mask >> i) & 1L) != 0L) {
-              sizes(i) += cnt
-              var j = i + 1
-              while (j < s) {
-                if (((mask >> j) & 1L) != 0L) shared(i)(j) += cnt
-                j += 1
-              }
+        maskCensus.as[(Long, Long)].collect().foreach { case (mask, cnt) =>
+          var m = mask
+          while (m != 0L) {
+            val i = java.lang.Long.numberOfTrailingZeros(m)
+            sizes(i) += cnt
+            var rest = m & (m - 1L) // bits above i only — so j > i always
+            while (rest != 0L) {
+              shared(i)(java.lang.Long.numberOfTrailingZeros(rest)) += cnt
+              rest &= rest - 1L
             }
-            i += 1
+            m &= m - 1L
           }
         }
         for { i <- 0 until s; j <- (i + 1) until s if shared(i)(j) > 0 }
@@ -1384,12 +1392,13 @@ object TextQueries {
           .collect()
         val sizes = agg.filter(_.isNullAt(1))
           .map(r => r.getString(0) -> r.getLong(2)).toMap
+        // no pre-sort here: the final orderBy(source_a, source_b) below
+        // is the ordering contract for BOTH tiers
         agg.filter(!_.isNullAt(1)).map { r =>
           val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
           (a, b, sizes(a), sizes(b), n)
-        }.toIndexedSeq.sortBy(t => (t._1, t._2))
+        }.toIndexedSeq
       }
-    import spark.implicits._
     pairRows.toDF("source_a", "source_b", "n_a", "n_b", "n_shared")
       // round IN SPARK so the HALF_UP semantics match every other query
       .withColumn("jaccard",
