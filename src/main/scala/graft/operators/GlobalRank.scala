@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, col, lit,
-  monotonically_increasing_id, spark_partition_id}
+import scala.util.Random
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Scale-safe replacements for the two global-total-order steps a
   * single-partition `Window.orderBy(...)` would otherwise pay — the one
@@ -11,20 +12,26 @@ import org.apache.spark.sql.functions.{broadcast, col, lit,
   *
   * Two devices, both exact (not approximations):
   *
-  *  1. [[withRowNumber]] — the classic distributed total-order rank:
-  *     range-repartition on the sort key (each partition receives a
-  *     contiguous key range), sort within partitions, then attach
-  *     `partition offset + local record number` entirely inside
-  *     Catalyst: `monotonically_increasing_id()`'s low 33 bits ARE the
-  *     record number within each sorted partition, and the offsets come
-  *     from one tiny `groupBy(spark_partition_id()).count()` job (≤ P
-  *     rows to the driver, broadcast back as a P-row join). Every task
-  *     sorts only its ~1/P slice; no task ever buffers the relation,
-  *     and — unlike an RDD `zipWithIndex` — no row ever leaves Tungsten
-  *     (the rank is a codegen'd projection over the sorted exchange).
-  *     Equivalent to `row_number() OVER (ORDER BY ...)` whenever the
-  *     sort key is a total order (callers append a unique tiebreak
-  *     column).
+  *  1. [[withRowNumber]] / [[withRowNumbers]] — distributed total-order
+  *     rank as a PURE PROJECTION over one hash exchange: sample the sort
+  *     key ONCE on the driver (a bounded reservoir per input partition),
+  *     freeze P−1 split tuples as literals, and derive each row's range
+  *     bucket with a codegen'd lexicographic comparison against those
+  *     literals. Because the bucket is a deterministic function of the
+  *     row — unlike `repartitionByRange`, whose RangePartitioner
+  *     re-samples split points with an RDD-id-seeded RNG on every job —
+  *     the census job and the consuming job agree on partition contents
+  *     BY CONSTRUCTION, and no materialization (checkpoint/cache) is
+  *     needed to reconcile them. Each bucket is then routed to its own
+  *     partition through `repartition(p, label)` using a label chosen so
+  *     Spark's Murmur3 hash lands bucket b exactly on partition b
+  *     (bijective — range-partition balance, hash-partition
+  *     determinism; the `pmod(hash(x), p)` identity is pinned by spec).
+  *     rank = bucket offset (an `element_at` over a ≤P-long literal
+  *     array, from one map-side-combined census) + the low 33 bits of
+  *     `monotonically_increasing_id()` over the sorted partition. No
+  *     window, no join, no RDD round trip for data rows, no eager
+  *     materialization: the final plan is Exchange → Sort → Project.
   *
   *  2. [[topKBoundary]] — when only "is this row in the global top k?"
   *     is needed (selection, not ranking), a full sort is overkill:
@@ -34,55 +41,228 @@ import org.apache.spark.sql.functions.{broadcast, col, lit,
   *     boundary literal. O(n) scan, O(k) state, zero shuffles of data
   *     rows.
   *
-  * Both run on deterministic inputs only: ranks depend solely on the
-  * key's total order, never on partition boundaries (RangePartitioner's
-  * sampled split points move rows between partitions but cannot reorder
-  * the concatenated key sequence).
+  * Contracts: sort keys must be non-null atomic orderable values (the
+  * boundary literals and the driver-side sample ordering both compare
+  * raw values), and should form a total order (give a unique tiebreak)
+  * — ties rank in partition-sort order, like the window form's own tie
+  * behavior. The input is evaluated three times (sample, census, rank):
+  * pass a materialized frame when the upstream plan is expensive —
+  * every catalog caller ranks an already-checkpointed aggregate.
   */
 object GlobalRank {
 
+  private case class Key(col: Column, asc: Boolean)
+
+  /** Split `.asc`/`.desc` sort Columns into (value column, direction);
+    * bare columns default to ascending, as the window form does. */
+  private def keysOf(sortExprs: Seq[Column]): Seq[Key] =
+    sortExprs.map { c =>
+      val (valueCol, asc) = GraftSqlBridge.sortKey(c)
+      Key(valueCol, asc)
+    }
+
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Comparable[_], y: AnyRef) =>
+      x.asInstanceOf[java.lang.Comparable[AnyRef]].compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"GlobalRank keys must be non-null Comparable values, got ($a, $b)")
+  }
+
+  private def tupleOrdering(asc: Seq[Boolean]): Ordering[Seq[Any]] =
+    (x: Seq[Any], y: Seq[Any]) => {
+      var i = 0
+      var r = 0
+      while (r == 0 && i < asc.length) {
+        val c = cmpAny(x(i), y(i))
+        r = if (asc(i)) c else -c
+        i += 1
+      }
+      r
+    }
+
+  /** One bounded-reservoir pass over `proj`: ~16·p sampled key tuples
+    * to the driver (the same budget RangePartitioner spends; the only
+    * data-path rows that ever leave Tungsten here). The pass sees every
+    * row anyway, so it also returns the EXACT total count — callers use
+    * it to size the bucket count and skip the census entirely when one
+    * task can rank the whole relation. */
+  private def sampleTuples(proj: DataFrame, width: Int,
+      p: Int): (Seq[Seq[Any]], Long) = {
+    val rdd = proj.rdd
+    val parts = math.max(rdd.getNumPartitions, 1)
+    val perPart = math.max(64, (p * 16 + parts - 1) / parts)
+    val perPartition = rdd.mapPartitionsWithIndex { (idx, it) =>
+      val rnd = new Random(0x9e3779b97f4a7c15L ^ idx)
+      val buf = new Array[Row](perPart)
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (n < perPart) buf(n.toInt) = r
+        else {
+          val j = (rnd.nextDouble() * (n + 1)).toLong
+          if (j < perPart) buf(j.toInt) = r
+        }
+        n += 1
+      }
+      Iterator.single(
+        (n, buf.take(math.min(n, perPart.toLong).toInt).toSeq))
+    }.collect()
+    (perPartition.toSeq.flatMap(_._2).map(r => Seq.tabulate(width)(r.get)),
+      perPartition.map(_._1).sum)
+  }
+
+  /** ≤ p−1 strictly increasing split tuples at even sample quantiles. */
+  private def pickBoundaries(sample: Seq[Seq[Any]], ord: Ordering[Seq[Any]],
+      p: Int): Seq[Seq[Any]] = {
+    val sorted = sample.sorted(ord)
+    val n = sorted.size
+    if (n == 0) Seq.empty
+    else {
+      val picks = (1 until p)
+        .map(i => sorted(math.min((i.toLong * n / p).toInt, n - 1)))
+      val out = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      picks.foreach { t =>
+        if (out.isEmpty || ord.compare(out.last, t) < 0) out += t
+      }
+      out.toSeq
+    }
+  }
+
+  /** bucket = #boundaries strictly below this row's key tuple — a
+    * codegen'd sum of lexicographic comparisons against literals,
+    * monotone in the sort order by construction. */
+  private def bucketExpr(keys: Seq[Key], boundaries: Seq[Seq[Any]]): Column = {
+    def gtBoundary(b: Seq[Any]): Column = {
+      def rec(i: Int): Column = {
+        val k = keys(i)
+        val l = lit(b(i))
+        val strict = if (k.asc) k.col > l else k.col < l
+        if (i == keys.size - 1) strict
+        else strict || (k.col === l && rec(i + 1))
+      }
+      rec(0)
+    }
+    boundaries.map(b => when(gtBoundary(b), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+  }
+
+  /** For each bucket b < buckets, an int label x with
+    * pmod(murmur3_32(x, 42), p) == b, so `repartition(p, label)` routes
+    * bucket b exactly to shuffle partition b — range balance with a
+    * deterministic hash exchange. The driver-side Murmur3_x86_32 here
+    * and the Murmur3Hash Spark evaluates inside HashPartitioning are
+    * the same function with the same seed (spec-pinned); the scan stops
+    * after ~p·ln p probes (coupon collector), bounded by require. */
+  private def partitionLabels(buckets: Int, p: Int): Array[Int] = {
+    val found = new Array[Int](buckets)
+    val have = new Array[Boolean](buckets)
+    var needed = buckets
+    var x = 0
+    while (needed > 0) {
+      require(x < (1 << 24), s"partitionLabels($buckets, $p): no convergence")
+      val h = Murmur3_x86_32.hashInt(x, 42)
+      val pid = ((h % p) + p) % p
+      if (pid < buckets && !have(pid)) {
+        found(pid) = x; have(pid) = true; needed -= 1
+      }
+      x += 1
+    }
+    found
+  }
+
   /** Exact `row_number() OVER (ORDER BY sortExprs)` (1-based) without a
-    * single-partition window. `sortExprs` must form a total order (give
-    * a unique tiebreak) or ranks among ties follow the range-partition
-    * sort, like the window form's own tie behavior.
-    *
-    * The sorted+numbered relation is eagerly localCheckpoint'ed before
-    * the count probe. This is correctness, not caching:
-    * `RangePartitioner` samples split points with a seed derived from
-    * the RDD id, so two separate jobs over the same range-exchange PLAN
-    * can land rows in different partitions — offsets measured by the
-    * probe job would then disagree with the pids the consumer sees
-    * (measured: duplicate/gapped ranks at 15k rows × 4 partitions; the
-    * old RDD `zipWithIndex` was immune only because its count and map
-    * jobs shared one RDD instance, i.e. one shuffle dependency). The
-    * checkpoint freezes partition contents the way zipWithIndex's
-    * shared shuffle files did, at the same I/O order (one
-    * materialization of the sorted run), without leaving Tungsten.
-    */
+    * single-partition window — see the object scaladoc for the shape. */
   def withRowNumber(df: DataFrame, sortExprs: Seq[Column], out: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    withRowNumbersCounted(df, Seq(out -> sortExprs), numPartitions)._1
+
+  /** [[withRowNumber]], also returning the relation's exact row count —
+    * already paid for by the census, so rank-arithmetic callers (ntile
+    * cuts, median selection) skip their own count job. */
+  def withRowNumberCounted(df: DataFrame, sortExprs: Seq[Column],
+      out: String, numPartitions: Int = 0): (DataFrame, Long) =
+    withRowNumbersCounted(df, Seq(out -> sortExprs), numPartitions)
+
+  /** Several exact global ranks over the same relation (q112's RFM
+    * computes three), sharing ONE sample pass and ONE census pass; the
+    * per-rank exchanges chain lazily inside the caller's terminal job.
+    * `specs` = (output column, sort keys) per rank. */
+  def withRowNumbers(df: DataFrame, specs: Seq[(String, Seq[Column])],
+      numPartitions: Int = 0): DataFrame =
+    withRowNumbersCounted(df, specs, numPartitions)._1
+
+  /** Rows-per-task ceiling for the adaptive partition count: a 2M-row
+    * task sort is a well-bounded unit of work (tens of MB of narrow
+    * rows, well under an executor's sort buffer), and anything smaller
+    * would spend more on task scheduling than on sorting — measured
+    * locally, 32 one-task stages on a 15k-row relation cost ~1.3 s of
+    * pure scheduling. Above conf.numShufflePartitions tasks the count
+    * clamps to the operator-sized parallelism, exactly like any other
+    * exchange in the session. */
+  private val RowsPerRankTask = 1L << 21
+
+  /** [[withRowNumbers]] + the exact row count from the shared census. */
+  def withRowNumbersCounted(df: DataFrame, specs: Seq[(String, Seq[Column])],
+      numPartitions: Int = 0): (DataFrame, Long) = {
+    require(specs.nonEmpty, "withRowNumbers: no rank specs")
     val spark = df.sparkSession
-    val p = if (numPartitions > 0) numPartitions
+    val conf = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    // monotonically_increasing_id = (pid << 33) | record-number, where
-    // the record number follows iterator order — here, the sorted order
-    val sorted = df.repartitionByRange(p, sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
-      .withColumn("_gr_pid", spark_partition_id())
-      .withColumn("_gr_mid", monotonically_increasing_id())
-      .localCheckpoint() // freeze pids/mids — see scaladoc
-    // ≤ P (pid, count) rows — the only data that touches the driver
-    val counts = sorted.groupBy("_gr_pid").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) =>
-      val o = acc; acc += c; (pid, o)
-    }.toSeq
-    val offDf = spark.createDataFrame(offsets).toDF("_gr_pid", "_gr_off")
-    sorted.join(broadcast(offDf), "_gr_pid")
-      .withColumn(out, col("_gr_off") +
-        col("_gr_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
-      .drop("_gr_pid", "_gr_mid", "_gr_off")
+    val allKeys = specs.map { case (_, se) => keysOf(se) }
+    // one uniform row reservoir serves every spec: sample the union of
+    // key columns, then slice each spec's tuple out of the sampled row
+    val flat = allKeys.flatMap(_.map(_.col))
+    val slices = allKeys.scanLeft(0)(_ + _.size)
+    val (sample, total) = sampleTuples(df.select(flat: _*), flat.size, conf)
+    // partition count sized from the MEASURED total: a small relation
+    // ranks in one task (no boundaries, no census job) while a
+    // corpus-sized one fans out to the session's shuffle parallelism;
+    // an explicit numPartitions pins the count, for specs
+    val p = if (numPartitions > 0) numPartitions
+      else math.max(1L, math.min(conf.toLong,
+        (total + RowsPerRankTask - 1) / RowsPerRankTask)).toInt
+    val boundariesPerSpec: Seq[Seq[Seq[Any]]] = specs.indices.map { i =>
+      pickBoundaries(sample.map(_.slice(slices(i), slices(i + 1))),
+        tupleOrdering(allKeys(i).map(_.asc)), p)
+    }
+    val bucketCols = specs.indices.map(i => s"_gr_bucket_$i")
+    val bucketed = specs.indices.foldLeft(df) { (d, i) =>
+      d.withColumn(bucketCols(i), bucketExpr(allKeys(i), boundariesPerSpec(i)))
+    }
+    // ONE census job for every spec: ≤ specs·p rows to the driver,
+    // map-side combined (the explode is specs small structs per row).
+    // With a single bucket everywhere the offsets are all zero and the
+    // job is skipped outright.
+    val census: Map[(Int, Int), Long] =
+      if (boundariesPerSpec.forall(_.isEmpty)) Map.empty
+      else {
+        val censusCol = explode(array(specs.indices.map(i =>
+          struct(lit(i).as("d"), col(bucketCols(i)).as("b"))): _*))
+        bucketed.select(censusCol.as("x"))
+          .groupBy(col("x.d").as("d"), col("x.b").as("b")).count()
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+          .toMap
+      }
+    val ranked = specs.indices.foldLeft(bucketed) { (d, i) =>
+      val (outCol, sortExprs) = specs(i)
+      val buckets = boundariesPerSpec(i).size + 1
+      val labels = partitionLabels(buckets, p)
+      val offsets = new Array[Long](buckets)
+      var acc = 0L
+      (0 until buckets).foreach { b =>
+        offsets(b) = acc; acc += census.getOrElse((i, b), 0L)
+      }
+      d.withColumn("_gr_label",
+          element_at(typedLit(labels.toSeq), col(bucketCols(i)) + 1))
+        .repartition(p, col("_gr_label"))
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn(outCol,
+          element_at(typedLit(offsets.toSeq), col(bucketCols(i)) + 1) +
+            monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) +
+            lit(1L))
+        .drop("_gr_label")
+    }
+    (bucketCols.foldLeft(ranked)(_ drop _), total)
   }
 
   /** The k-th largest (key, tie) pair under (key DESC, tie ASC) — the

@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Split a sort Column (`c.desc` / `c.asc` / bare) into its value
+    * column and direction. Spark 4 Columns carry a ColumnNode, not a
+    * catalyst Expression — `expression(c)` would wrap the SortOrder in
+    * a lazy ColumnNodeExpression, so the direction must be read off
+    * the node itself. Bare columns sort ascending, as in a window. */
+  def sortKey(c: Column): (Column, Boolean) = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      (new Column(so.child),
+        so.sortDirection == org.apache.spark.sql.internal.SortOrder.Ascending)
+    case _ => (c, true)
+  }
 }

@@ -745,12 +745,14 @@ object Relational {
     * is the portable definition). All integers end to end. Scale note:
     * the three rank passes run over the ALREADY-AGGREGATED |customers|
     * relation as exact DISTRIBUTED ranks
-    * ([[graft.operators.GlobalRank.withRowNumber]] — range exchange +
-    * per-partition offsets; every task sorts ~1/P of the customers,
-    * no single-partition window anywhere). The aggregate is
-    * localCheckpoint'ed once so the chained passes and their count
-    * probes re-read a materialized ~|customers|-row relation instead
-    * of re-running the orders rollup. */
+    * ([[graft.operators.GlobalRank.withRowNumbersCounted]] —
+    * deterministic sampled-boundary buckets, one shared sample pass and
+    * one shared census for all three orders, each rank a codegen'd
+    * projection over its own hash exchange; every task sorts ~1/P of
+    * the customers, no single-partition window anywhere). The aggregate
+    * is localCheckpoint'ed once so the sample/census/rank passes re-read
+    * a materialized ~|customers|-row relation instead of re-running the
+    * orders rollup; n comes from the census. */
   def q112RfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
       .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
@@ -763,14 +765,14 @@ object Relational {
       .withColumn("recency_days",
         datediff(col("maxd"), col("last_order")).cast("long"))
     val rfmC = rfm.localCheckpoint()
-    val n = math.max(rfmC.count(), 1L)
-    val ranked = Seq(
-      ("rn_r", Seq(col("recency_days").desc, col("o_custkey").asc)),
-      ("rn_f", Seq(col("frequency").asc, col("o_custkey").asc)),
-      ("rn_m", Seq(col("monetary_cents").asc, col("o_custkey").asc))
-    ).foldLeft(rfmC) { case (d, (out, keys)) =>
-      graft.operators.GlobalRank.withRowNumber(d, keys, out)
-    }
+    // the three ranks share ONE sample pass and ONE census pass; n is
+    // the census total, not a separate count job
+    val (ranked, nTotal) = graft.operators.GlobalRank.withRowNumbersCounted(
+      rfmC, Seq(
+        "rn_r" -> Seq(col("recency_days").desc, col("o_custkey").asc),
+        "rn_f" -> Seq(col("frequency").asc, col("o_custkey").asc),
+        "rn_m" -> Seq(col("monetary_cents").asc, col("o_custkey").asc)))
+    val n = math.max(nTotal, 1L)
     val scored = ranked
       .withColumn("r_score",
         expr(s"CAST((rn_r - 1) * 5 DIV $n + 1 AS BIGINT)"))
@@ -1000,32 +1002,34 @@ object Relational {
     * are actual data values in cents, so every comparison is integer;
     * the reported ratio is the only double (one division, 4dp). Scale
     * note: the two median passes are exact DISTRIBUTED rank selections
-    * ([[graft.operators.GlobalRank.withRowNumber]] over a 2-column
-    * (value, tiebreak) projection, then `rank == (n+1) DIV 2`) — every
-    * task sorts ~1/P of the orders; no single-partition window. The
-    * narrow order-total projection is localCheckpoint'ed once so the
-    * count probes and both median passes re-read a materialized
-    * 2-column relation instead of re-scanning parquet. */
+    * ([[graft.operators.GlobalRank.withRowNumberCounted]] over a
+    * 2-column (value, tiebreak) projection, then `rank == (n+1) DIV 2`
+    * with n from the rank census) — every task sorts ~1/P of the
+    * orders; no single-partition window. The narrow order-total
+    * projection is localCheckpoint'ed once so the sample/census/rank
+    * passes re-read a materialized 2-column relation instead of
+    * re-scanning parquet. */
   def q119MadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .localCheckpoint()
-    def lowerMedian(df: DataFrame, c: String, id: String): DataFrame = {
-      val n = df.count()
-      graft.operators.GlobalRank.withRowNumber(
-          df.select(col(c), col(id)), Seq(col(c).asc, col(id).asc), "rn")
-        .filter(col("rn") === lit((n + 1) / 2))
-        .select(col(c).as("med"))
+    def lowerMedian(df: DataFrame, c: String, id: String): Long = {
+      val (ranked, n) = graft.operators.GlobalRank.withRowNumberCounted(
+        df.select(col(c), col(id)), Seq(col(c).asc, col(id).asc), "rn")
+      // collect, not head: take(1)'s incremental partial jobs would
+      // re-run the rank exchange once per attempt
+      ranked.filter(col("rn") === lit((n + 1) / 2))
+        .select(col(c)).collect()(0).getLong(0)
     }
     // both medians are single scalars — land them as literals so the
     // second pass (and the final filter) never re-evaluates the first
     // rank plan through a broadcast cross join
-    val med = lowerMedian(o, "cents", "o_orderkey").head().getLong(0)
+    val med = lowerMedian(o, "cents", "o_orderkey")
     val dev = o.withColumn("deviation_cents", abs(col("cents") - lit(med)))
     val mad = lowerMedian(
       dev.select(col("o_orderkey"), col("deviation_cents")),
-      "deviation_cents", "o_orderkey").head().getLong(0)
+      "deviation_cents", "o_orderkey")
     dev
       .filter(col("deviation_cents") > lit(2L * mad))
       .withColumn("mad_ratio",

@@ -1968,12 +1968,13 @@ object TextQueries {
     * (head 100%, middle 50%, tail 10%) via the salted-md5 keep device
     * (q48's — partition-layout-independent, no RNG state). This is the
     * canonical "filter by LM perplexity, don't cliff-edge it" corpus
-    * mix. Scale shape (round-10): q49's two aggregations, then the
-    * tercile cut runs as an exact DISTRIBUTED ntile — range-partition
-    * on (nll, doc_id), sort within partitions, zipWithIndex for the
-    * global rank ([[graft.operators.GlobalRank.withRowNumber]]; every
-    * task sorts ~1/P of the rows), and the standard ntile arithmetic
-    * (first n%3 buckets take one extra row) maps rank → bucket. No
+    * mix. Scale shape (round-11): q49's two aggregations, then the
+    * tercile cut runs as an exact DISTRIBUTED ntile —
+    * [[graft.operators.GlobalRank.withRowNumberCounted]]'s
+    * deterministic-bucket rank (sampled literal boundaries, one hash
+    * exchange, rank as a codegen'd projection; every task sorts ~1/P
+    * of the rows), and the standard ntile arithmetic (first n%3
+    * buckets take one extra row) maps rank → bucket. No
     * single-partition window anywhere; the keep pass itself is narrow. */
   def q152PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
     // one narrow row per doc; the count probe and the rank pass below
@@ -1982,11 +1983,11 @@ object TextQueries {
     // persisted plan's .rdd re-derivation reads the cache worse than
     // the checkpoint's truncated lineage does, so checkpoint wins here.
     val scored = q49LmLogprob(spark, dir).localCheckpoint()
-    val n = scored.count()
+    // n is the rank census's total — no separate count job
+    val (ranked, n) = graft.operators.GlobalRank.withRowNumberCounted(
+      scored, Seq(col("nll"), col("doc_id")), "rk")
     val base = n / 3
     val rem = n % 3
-    val ranked = graft.operators.GlobalRank.withRowNumber(
-      scored, Seq(col("nll"), col("doc_id")), "rk")
     // integer DIV, not Column./ (which is double division — inexact
     // once ranks approach 2^53); the else branch is unreachable when
     // base = 0 (n < 3 ⟹ every rank ≤ rem·1) but guard its divisor

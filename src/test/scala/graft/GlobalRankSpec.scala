@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import scala.util.Random
 
 /** Pins the scale-safe global-order devices to their single-partition
-  * window equivalents, and asserts the two catalog adopters (q146/q152)
-  * really did leave the single-partition-window plan shape behind. */
+  * window equivalents, the Murmur3 routing identity the bucket labels
+  * stand on, and the catalog adopters' window-free plans. */
 class GlobalRankSpec extends SparkSpec {
 
   import spark.implicits._
@@ -40,6 +40,67 @@ class GlobalRankSpec extends SparkSpec {
         df, Seq(col("key").desc, col("id")), "rk", numPartitions = 16)
       .orderBy("id").collect()
     assert(got.sameElements(expected))
+  }
+
+  test("withRowNumber at a size where every bucket holds real runs") {
+    // 20k rows over 8 buckets: each partition receives ~2.5k rows, far
+    // past the reservoir size — the regime where round-11's first
+    // (RangePartitioner) design produced duplicate/gapped ranks until
+    // checkpointed, and where a wrong bucket→offset mapping cannot
+    // hide. Ranks must be an exact permutation of 1..n.
+    val got = GlobalRank.withRowNumber(
+        randomScores(20000, 23), Seq(col("key"), col("id")), "rk",
+        numPartitions = 8)
+      .select("rk").as[Long].collect().sorted
+    assert(got.head == 1L && got.last == 20000L &&
+      got.distinct.length == 20000)
+  }
+
+  test("withRowNumbers: three ranks over one relation == three windows") {
+    val df = randomScores(3000, 5)
+      .withColumn("key2", (col("id") * 7919L) % 101L)
+    val expected = df
+      .withColumn("a", row_number()
+        .over(Window.orderBy(col("key"), col("id"))).cast("long"))
+      .withColumn("b", row_number()
+        .over(Window.orderBy(col("key").desc, col("id"))).cast("long"))
+      .withColumn("c", row_number()
+        .over(Window.orderBy(col("key2"), col("id").desc)).cast("long"))
+      .orderBy("id").collect()
+    // no explicit numPartitions: the adaptive path ranks 3k rows in
+    // ONE partition with no boundaries and no census job — the small
+    // end of the size-adaptive plan
+    val (ranked, n) = GlobalRank.withRowNumbersCounted(df, Seq(
+        "a" -> Seq(col("key"), col("id")),
+        "b" -> Seq(col("key").desc, col("id")),
+        "c" -> Seq(col("key2"), col("id").desc)))
+    assert(n == 3000L)
+    val got = ranked
+      .select("key", "id", "key2", "a", "b", "c")
+      .orderBy("id").collect()
+    assert(got.sameElements(expected))
+  }
+
+  test("repartition(p, c) routes rows to pmod(hash(c), p) — the identity the bucket labels stand on") {
+    // GlobalRank picks int labels so range-bucket b lands on shuffle
+    // partition b. That works exactly while Spark's HashPartitioning
+    // id expression is pmod(murmur3(col, seed = 42), p). Pin it from
+    // both sides: the actual shuffle partition id vs pmod(hash), and
+    // the SQL hash() vs the driver-side Murmur3_x86_32 the label
+    // search evaluates.
+    val p = 13
+    val df = (1 to 2000).toDF("v")
+    val routed = df.repartition(p, col("v"))
+      .select(spark_partition_id().as("pid"),
+        pmod(hash(col("v")), lit(p)).as("expected"))
+      .collect()
+    assert(routed.forall(r => r.getInt(0) == r.getInt(1)))
+    val sqlHash = df.select(col("v"), hash(col("v"))).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    (1 to 2000).foreach { v =>
+      assert(sqlHash(v) ==
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42), s"v=$v")
+    }
   }
 
   test("topKBoundary is the k-th (key desc, id asc) pair exactly") {
