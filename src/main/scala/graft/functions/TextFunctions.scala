@@ -96,6 +96,15 @@ object TextFunctions {
   def shingles(tokens: Column, k: Int): Column =
     array_distinct(ngrams(tokens, k))
 
+  /** `size(array_distinct(ngrams(tokens, k)))` as one primitive pass —
+    * no n-gram strings, no arrays, no string hash set (the repetition
+    * signal of the Gopher quality rules, q37/q109). Exact up to a
+    * ~m²/2⁶⁵ per-doc 64-bit window-hash collision — see
+    * [[graft.plans.DistinctNgramCountExpr]]; parity with the composed
+    * form is spec-pinned on the real corpus. */
+  def distinctNgramCount(tokens: Column, k: Int): Column =
+    graft.plans.DistinctNgramCountExpr.column(tokens, k)
+
   /** Content fingerprint: md5 of the lowercased text — the exact-dedup
     * key. (Both Spark and DuckDB emit lowercase-hex md5.) */
   def fingerprint(c: Column): Column = md5(lower(c))
@@ -239,9 +248,17 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
-  /** Character-class count (portable regex char classes only). */
-  def charClassCount(text: Column, clazz: String): Column =
-    length(text) - length(regexp_replace(text, clazz, ""))
+  /** Character-class count (portable regex char classes only). The two
+    * classes the quality rules evaluate on every row route to a native
+    * byte-scan kernel ([[graft.plans.CharClassCountExpr]] — parity
+    * spec-pinned); anything else pays the composed regexp_replace form,
+    * which materializes a stripped copy of the text per row. */
+  def charClassCount(text: Column, clazz: String): Column = clazz match {
+    case "[A-Za-z]" => graft.plans.CharClassCountExpr.alphaColumn(text)
+    case c if c == SymbolClass =>
+      graft.plans.CharClassCountExpr.symbolColumn(text)
+    case _ => length(text) - length(regexp_replace(text, clazz, ""))
+  }
 
   /** Fraction of characters that are ASCII letters. */
   def alphaRatio(text: Column): Column =

@@ -238,3 +238,111 @@ object ShingleHash60Expr {
   def column(c: Column, k: Int): Column =
     GraftSqlBridge.column(ShingleHash60Expr(GraftSqlBridge.expression(c), k))
 }
+
+/** Distinct k-token-window count — the per-doc repetition signal
+  * (Gopher dup-bigram/trigram rules, q37/q109) as ONE primitive pass:
+  * 64-bit FNV-1a per token (read straight off the UTF8String bytes, no
+  * concatenated n-gram strings, no array materialization), an
+  * order-sensitive polynomial combine per window, and an open-addressed
+  * long set for the distinct count. Replaces
+  * `size(array_distinct(ngrams(toks, k)))`, which allocated one
+  * concatenated string per window plus a string hash set per row.
+  *
+  * Exactness: equals the string-distinct count unless two DIFFERENT
+  * windows of one document collide in 64 bits — ~m²/2⁶⁵ per doc
+  * (m = windows/doc), i.e. never in practice, and the oracle
+  * hash-check would surface it deterministically if it occurred (the
+  * count enters hash-checked output columns). Same trade the 60-bit
+  * shingle kernels (q95/q97) make, documented there.
+  *
+  * Null contract: null array → null (UnaryExpression default); null
+  * elements unsupported (inputs are `split` outputs). n < k → 0, like
+  * `size` of the empty n-gram array. */
+case class DistinctNgramCountExpr(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  require(k >= 1, s"distinct_ngram_count k must be >= 1 (got $k)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_: StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got $t")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = child.nullable
+
+  override def prettyName: String = "distinct_ngram_count"
+
+  override protected def nullSafeEval(s: Any): Any =
+    DistinctNgramCountExpr.count(
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.DistinctNgramCountExpr.count($c, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DistinctNgramCountExpr =
+    copy(child = newChild)
+}
+
+object DistinctNgramCountExpr {
+
+  def count(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            k: Int): Long = {
+    val n = arr.numElements()
+    if (n < k) return 0L
+    val m = n - k + 1
+    // per-token 64-bit FNV-1a over the raw UTF8 bytes; a separator term
+    // in the window combine keeps ("ab","c") and ("a","bc") apart even
+    // though FNV itself is byte-stream-based
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val nb = s.numBytes()
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < nb) {
+        h ^= (s.getByte(j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      th(i) = h
+      i += 1
+    }
+    // open-addressed set sized to the window count (load factor <= 0.5);
+    // 0 marks an empty slot, so 0-valued hashes are nudged
+    var cap = java.lang.Integer.highestOneBit(m * 4 - 1) << 1
+    if (cap < 8) cap = 8
+    val set = new Array[Long](cap)
+    val mask = cap - 1
+    var distinct = 0L
+    i = 0
+    while (i < m) {
+      var w = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < k) {
+        w = w * 0xff51afd7ed558ccdL + th(i + j)
+        j += 1
+      }
+      if (w == 0L) w = 1L
+      var pos = (w ^ (w >>> 33)).toInt & mask
+      var seen = false
+      while (!seen && set(pos) != 0L) {
+        if (set(pos) == w) seen = true
+        else pos = (pos + 1) & mask
+      }
+      if (!seen) { set(pos) = w; distinct += 1L }
+      i += 1
+    }
+    distinct
+  }
+
+  /** Column-API entry point. */
+  def column(c: Column, k: Int): Column =
+    GraftSqlBridge.column(DistinctNgramCountExpr(GraftSqlBridge.expression(c), k))
+}

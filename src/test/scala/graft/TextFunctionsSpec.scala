@@ -150,6 +150,54 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getString(2) == "visit <URL> now or mail <EMAIL>")
   }
 
+  test("distinctNgramCount == size(array_distinct(ngrams)) — corpus and edges") {
+    // real corpus parity (every doc at sf0.001), both k values q37 uses
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(split(col("text"), " ").as("t"))
+    for (k <- Seq(2, 3)) {
+      val mismatch = corpus.filter(
+        distinctNgramCount(col("t"), k) =!=
+          size(array_distinct(ngrams(col("t"), k))).cast("long")).count()
+      assert(mismatch == 0, s"k=$k")
+    }
+    // edges: heavy within-doc repetition, doc shorter than k, single
+    // window, and the ("ab","c") vs ("a","bc") separator trap
+    val edges = Seq(
+      Seq("r", "r", "r", "r", "r"),
+      Seq("a"),
+      Seq("a", "b"),
+      Seq("ab", "c", "x", "a", "bc"),
+      Seq[String]()).toDF("t")
+    for (k <- Seq(2, 3)) {
+      val rows = edges.select(
+        distinctNgramCount(col("t"), k).as("fast"),
+        size(array_distinct(ngrams(col("t"), k))).cast("long").as("slow"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"k=$k $r"))
+    }
+  }
+
+  test("native char-class counts == regexp_replace composed form") {
+    val composed = (t: org.apache.spark.sql.Column, clazz: String) =>
+      (length(t) - length(regexp_replace(t, clazz, ""))).cast("long")
+    // real corpus (every doc at sf0.001) + edges incl. unicode,
+    // vertical tab (a SYMBOL under SymbolClass — Ws has no \x0B),
+    // empty, whitespace-only
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"))
+    val edges = Seq("", " \t\n\f\r", "", "héllo wörld",
+      "emoji 😀 end", "a1! B2? ~`^", "ascii only text")
+      .toDF("text")
+    for (df <- Seq(corpus, edges)) {
+      val bad = df.filter(
+        charClassCount(col("text"), "[A-Za-z]") =!=
+          composed(col("text"), "[A-Za-z]") ||
+        charClassCount(col("text"), SymbolClass) =!=
+          composed(col("text"), SymbolClass)).count()
+      assert(bad == 0)
+    }
+  }
+
   test("text queries stay fully codegen'd (no UDFs in the plan)") {
     val plan = graft.queries.TextQueries.q24Quality(spark, sf)
       .queryExecution.executedPlan.toString
