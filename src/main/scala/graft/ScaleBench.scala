@@ -61,6 +61,32 @@ object ScaleBench {
     copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(out)
   }
 
+  /** The replicated corpus keeps every token's RELATIVE document
+    * frequency constant — per-token skew never grows with the factor,
+    * so the q88/q70/q107 de-skew claims (hot tokens split across range
+    * partitions; censuses map-side combined) were reasoned, never
+    * measured. This axis manufactures the missing regime: on top of the
+    * N×-replication every doc gains a ladder of tokens — `zzz_hot` in
+    * 100% of docs, one of 100 `zzz_mNN` mids (1% each), one of 10k
+    * `zzz_rNNNN` rares (0.01% each) — so the hottest posting list grows
+    * linearly with the factor (600k docs at 100×) while the tail stays
+    * tail. A token-keyed plan that funnels a hot token through one task
+    * goes super-linear HERE even though the uniform corpus hides it;
+    * the measured column must stay linear. */
+  def synthesizeZipf(spark: SparkSession, baseDir: String, factor: Int,
+      out: String): Unit = {
+    val base = Tables(spark, baseDir).documents
+    val ladder = concat(col("text"),
+      lit(" zzz_hot zzz_m"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+      lit(" zzz_r"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val copies = (0 until factor).map { i =>
+      base.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        ladder.as("text"), col("lang"), col("source"),
+        (col("n_chars") + 22).as("n_chars"))
+    }
+    copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(out)
+  }
+
   def synthesizeEmb(spark: SparkSession, baseDir: String, factor: Int, out: String): Unit = {
     val base = Tables(spark, baseDir).embeddings
     val copies = (0 until factor).map { i =>
@@ -130,7 +156,46 @@ object ScaleBench {
         synthesize(spark, baseDir, factor, s"$dir/documents.parquet")
       if (!cached(s"$dir/events.parquet"))
         synthesizeEvents(spark, baseDir, factor, s"$dir/events.parquet")
+      val zdir = s"/tmp/graft_scale/${baseKey}_v${SynthVersion}_zipf_x$factor"
+      if (!cached(s"$zdir/documents.parquet"))
+        synthesizeZipf(spark, baseDir, factor, s"$zdir/documents.parquet")
       val ops: Seq[(String, () => DataFrame)] = Seq(
+        // ---- Zipf axis (see synthesizeZipf): per-token skew GROWS
+        // with the factor — the regime the replicated corpus cannot
+        // produce. zzz_hot posts in EVERY doc, so these three rows are
+        // the measured evidence that the token-keyed plans stay linear
+        // when one token goes corpus-hot.
+        // df census (q88's shape): the census groupBy must map-side
+        // combine the hot token and the vocab join must not funnel its
+        // postings through one task
+        "zipf_df_census" -> (() => TextQueries.q88InvertedIndex(spark, zdir)),
+        // control: the same plan on the UNIFORM replicated corpus —
+        // separates hot-token effects from plain output-volume cost
+        "ctrl_df_census" -> (() => TextQueries.q88InvertedIndex(spark, dir)),
+        // BM25 (q70's shape): df stats + per-doc scoring — the hot
+        // token contributes one census row, not one hot partition
+        "zipf_bm25" -> (() => TextQueries.q70Bm25TopK(spark, zdir)),
+        // frequent pairs (q107's shape): all three ladder tokens are
+        // above support in every doc, so the pair fanout includes the
+        // hot×mid×rare cross; support scales with the factor, runtime
+        // must track the token stream
+        "zipf_frequent_pairs" -> (() => {
+          val minSup = 100 * factor
+          val tok = Tables(spark, zdir).documents
+            .select(col("doc_id"), explode(array_distinct(
+              graft.functions.TextFunctions.whitespaceTokens(col("text"))))
+              .as("token"))
+          val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= minSup).select("token")
+          val ft = tok.join(broadcast(freq), "token")
+          ft.select(col("doc_id"), col("token").as("tok_a"))
+            .join(ft.select(col("doc_id"), col("token").as("tok_b")),
+              Seq("doc_id"))
+            .filter(col("tok_a") < col("tok_b"))
+            .groupBy("tok_a", "tok_b")
+            .agg(count(lit(1)).as("support"))
+            .filter(col("support") >= minSup)
+        }),
         // per-user window family (q121/q131/q134 shapes) on a user
         // population that grows with the factor while per-user history
         // stays constant — the claim: ONE user-keyed exchange each,

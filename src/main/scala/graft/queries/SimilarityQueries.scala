@@ -171,9 +171,22 @@ object SimilarityQueries {
     * cosines. */
   val Q42RecallFloor = 0.2
 
+  /** Query-set size of the in-query ANN recall gates (q42/q43). Cost
+    * envelope of the brute-force yardstick those gates run: ONE
+    * broadcast pass over the corpus computing AnnGateQueries·|corpus|
+    * dot products plus a per-query top-k partial aggregate — LINEAR in
+    * the corpus with a PINNED constant factor, the same order as the
+    * retrieval it certifies. 100× the corpus costs 100× the gate,
+    * exactly like the query itself; the quadratic regime would need
+    * |Q| to grow with the corpus, which this constant forbids (it is a
+    * fixed id sample, never a corpus fraction). SimilaritySpec pins the
+    * gate's exact side to a pushed `vec_id < AnnGateQueries` scan
+    * filter. */
+  val AnnGateQueries = 20
+
   def q42KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val q = e.filter(col("vec_id") < 20)
+    val q = e.filter(col("vec_id") < AnnGateQueries)
     val lsh = Similarity.signLshKnn(e, q, k = 5, bits = 4, tables = 8)
     val exact = Similarity.bruteForceKnn(e, q, 5)
       .select(col("query_id"), col("neighbor_id"))
@@ -236,7 +249,7 @@ object SimilarityQueries {
        |    list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
        |      / (q.nrm * c.nrm) AS cos_sim
        |  FROM n q JOIN n c ON c.vec_id != q.vec_id AND $anyTable
-       |  WHERE q.vec_id < 20)
+       |  WHERE q.vec_id < $AnnGateQueries)
        |SELECT query_id, rank, neighbor_id, cos_sim FROM (
        |  SELECT query_id, neighbor_id, cos_sim,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -291,7 +304,7 @@ object SimilarityQueries {
 
   def q43KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val q = e.filter(col("vec_id") < 20)
+    val q = e.filter(col("vec_id") < AnnGateQueries) // gate cost envelope: see AnnGateQueries
     val ivf = Similarity.ivfKnn(e, q, k = 5, numCells = 8, nprobe = 2,
       maxIter = 5)
     val exact = Similarity.bruteForceKnn(e, q, 5)

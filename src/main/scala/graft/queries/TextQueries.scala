@@ -1323,32 +1323,44 @@ object TextQueries {
     //          iterating only SET bits (numberOfTrailingZeros — per-row
     //          work is O(popcount²), not O(s²)), cutting the
     //          ss-explode + second aggregation tier's two extra jobs;
-    //   ≤ 63 → distinct masks are bounded only by the hash count:
-    //          expand to pairs IN-PLAN over the census, then collect
-    //          the ≤ |sources|²-row pair census;
-    //   > 63 → per-hash sorted source SETS (q97SetExplode below).
+    //   ≤ 126 → distinct mask pairs are bounded only by the hash
+    //          count: expand to pairs IN-PLAN over the census, then
+    //          collect the ≤ |sources|²-row pair census. TWO packed
+    //          longs, 63 payload bits each (the sign bit never carries
+    //          a source, so `>> i` then `% 2` stays sign-safe) — real
+    //          crawl corpora routinely exceed 63 source labels, and
+    //          the set fallback costs an object-heavy collect_set;
+    //   > 126 → per-hash sorted source SETS (q97SetExplode below).
     val d0 = docs(spark, dir)
     val names = d0.select("source").distinct().collect()
       .map(_.getString(0)).sorted
-    if (names.length > 63) return q97SetExplode(spark, dir)
-    val bitMap = map(names.toIndexedSeq.zipWithIndex.flatMap {
-      case (s, i) => Seq(lit(s), lit(1L << i)) }: _*)
+    if (names.length > 126) return q97SetExplode(spark, dir)
+    // word(i) = i / 63, bit(i) = i % 63: each source sets one bit in
+    // exactly one word; its entry in the other word is 0L (the bit_or
+    // identity), so the per-hash collapse stays two primitive columns
+    def wordMap(w: Int) = map(names.toIndexedSeq.zipWithIndex.flatMap {
+      case (s, i) =>
+        Seq(lit(s), lit(if (i / 63 == w) 1L << (i % 63) else 0L)) }: _*)
     val maskCensus = d0
       // native shingle-hash kernel — see q95. (An in-row array_distinct
       // pre-dedup was measured SLOWER here — 0.51 vs 0.37 s census —
       // because shingles are near-unique within a doc, so the dedup
       // saves no rows and pays per-row allocation.)
-      .select(element_at(bitMap, col("source")).as("m"),
+      .select(element_at(wordMap(0), col("source")).as("m0"),
+        element_at(wordMap(1), col("source")).as("m1"),
         explode(shingleHashes60(toks, ShingleDupK)).as("h"))
-      .groupBy("h").agg(bit_or(col("m")).as("mask"))
-      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      .groupBy("h").agg(bit_or(col("m0")).as("mask0"),
+        bit_or(col("m1")).as("mask1"))
+      .groupBy("mask0", "mask1").agg(count(lit(1)).as("cnt"))
     val s = names.length
     import spark.implicits._
     val pairRows: IndexedSeq[(String, String, Long, Long, Long)] =
       if (s <= 20) {
         val sizes = Array.fill(s)(0L)
         val shared = Array.ofDim[Long](s, s)
-        maskCensus.as[(Long, Long)].collect().foreach { case (mask, cnt) =>
+        // s ≤ 20 < 63 ⟹ mask1 ≡ 0: the driver tier keys on mask0 alone
+        maskCensus.select("mask0", "cnt").as[(Long, Long)].collect()
+          .foreach { case (mask, cnt) =>
           var m = mask
           while (m != 0L) {
             val i = java.lang.Long.numberOfTrailingZeros(m)
@@ -1369,7 +1381,8 @@ object TextQueries {
         val agg = maskCensus
           .withColumn("ss", expr(
             s"""filter(transform(sequence(0, ${s - 1}),
-               |  i -> if((mask >> i) % 2 != 0, element_at($namesSql, i + 1),
+               |  i -> if((if(i < 63, mask0 >> i, mask1 >> (i - 63))) % 2 != 0,
+               |          element_at($namesSql, i + 1),
                |          CAST(NULL AS STRING))), x -> x IS NOT NULL)""".stripMargin))
           // ordered pairs from the sorted name array: i < j ⟹ ss[i] < ss[j]
           // (guard short sets — sequence(2, 1) would COUNT DOWN)
@@ -1407,10 +1420,10 @@ object TextQueries {
       .orderBy("source_a", "source_b")
   }
 
-  /** General-cardinality fallback (> 63 sources): per-hash sorted
+  /** General-cardinality fallback (> 126 sources): per-hash sorted
     * distinct source SETS via collect_set on the h cluster — the
     * round-9 shape, kept for corpora whose provenance labels overflow
-    * a long's bits. */
+    * the two packed words' 126 payload bits. */
   private def q97SetExplode(spark: SparkSession, dir: String): DataFrame = {
     val agg = docs(spark, dir)
       .select(col("source"), toks.as("l"))

@@ -226,4 +226,39 @@ class CorpusStatsSpec extends SparkSpec {
     // non-empty → one pair, jaccard 1/(3+1-1) = 0.3333.
     assert(got == Seq(("s1", "s2", 3L, 1L, 1L, 0.3333)))
   }
+
+  // `s` sources, one doc each: 8 shared tokens then 8 unique ones, so
+  // every doc owns 9 distinct 8-shingles (the shared window + 8 windows
+  // crossing into its unique tail) and every source pair shares exactly
+  // the ONE common shingle → C(s,2) pairs, n_a = n_b = 9, n_shared = 1,
+  // jaccard 1/(9+9−1) = 0.0588 (4dp).
+  private def wideSourceDir(s: Int): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft-q97-wide-$s").toString
+    (0 until s).map { i =>
+      val uniq = (1 to 8).map(t => s"u${i}_$t").mkString(" ")
+      (i.toLong, s"c1 c2 c3 c4 c5 c6 c7 c8 $uniq", "en", f"s$i%03d", 40L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def checkWide(s: Int): Unit = {
+    val got = TextQueries.q97SourceOverlap(spark, wideSourceDir(s))
+      .select("source_a", "source_b", "n_a", "n_b", "n_shared", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.size == s * (s - 1) / 2, s"pair count at s=$s")
+    assert(got == got.sortBy(r => (r._1, r._2)), s"ordering at s=$s")
+    got.foreach { r =>
+      assert((r._3, r._4, r._5, r._6) == ((9L, 9L, 1L, 0.0588)), s"$r")
+    }
+  }
+
+  test("q97: the one-word in-plan tier (21..63 sources) matches pair arithmetic") {
+    checkWide(30)
+  }
+
+  test("q97: the two-word bitmask tier (64..126 sources) matches pair arithmetic") {
+    checkWide(70)
+  }
 }

@@ -237,4 +237,21 @@ class SimilaritySpec extends SparkSpec {
     // tau=0.30 is below this corpus's max cosine: decision is non-trivial
     assert(dropped.count() > 0)
   }
+
+  test("ANN recall gates read a pinned-constant query set (cost envelope)") {
+    // the gate's brute-force yardstick must stay LINEAR in the corpus:
+    // its query side is a fixed AnnGateQueries-id sample whose filter
+    // reaches the parquet scan as a pushed predicate — never a corpus
+    // fraction. If this plan stops carrying the pushed vec_id bound,
+    // someone made the gate's cost grow with the data.
+    val gate = graft.queries.SimilarityQueries.AnnGateQueries
+    assert(gate <= 20, "gate query set must stay a small pinned constant")
+    for (fn <- Seq(
+        graft.queries.SimilarityQueries.q42KnnLsh _,
+        graft.queries.SimilarityQueries.q43KnnIvf _)) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains(s"LessThan(vec_id,$gate)"),
+        s"pushed gate filter missing:\n${plan.take(2000)}")
+    }
+  }
 }
