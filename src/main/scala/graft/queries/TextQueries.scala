@@ -966,13 +966,14 @@ object TextQueries {
     // (one unsplittable task buffering every posting of the token).
     // Document frequency comes from a second, cheap scan — per-doc
     // distinct tokens → map-side-combined groupBy(token) count. The
-    // census is materialized once (localCheckpoint), its row count is
-    // then a free metadata read, and the broadcast hint is GATED on it:
-    // ≤ 4M vocab rows (~160 MB of (token, long) pairs, inside Spark's
-    // 8 GB/512M-row broadcast hard limits with headroom) → broadcast
-    // onto the postings; a larger vocabulary takes the plain join and
-    // lets the planner/AQE pick (shuffle join, skew-splittable) instead
-    // of forcing a driver-OOM-sized broadcast.
+    // join strategy is AQE's call from the census shuffle's MEASURED
+    // runtime size: a vocabulary-sized census broadcasts (well under
+    // the 10 MB conversion threshold at any SF this repo runs), one
+    // too big to broadcast keeps a skew-splittable shuffle join — no
+    // forced hint, no driver-side count gate. (Round-11 first tried a
+    // localCheckpoint + count() gate around an explicit hint; the
+    // materialization + probe job cost ~0.2 s warm and duplicated a
+    // decision AQE already makes from exact sizes.)
     val grouped = docs(spark, dir)
       .select(col("doc_id"), toks.as("l"))
       .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "token")))
@@ -985,10 +986,7 @@ object TextQueries {
     val dfCensus = docs(spark, dir)
       .select(explode(array_distinct(toks)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
-      .localCheckpoint()
-    val census = if (dfCensus.count() <= 4000000L) broadcast(dfCensus)
-      else dfCensus
-    grouped.join(census, Seq("token"))
+    grouped.join(dfCensus, Seq("token"))
       .select("token", "doc_id", "tf", "positions", "df")
       .orderBy("token", "doc_id")
   }
