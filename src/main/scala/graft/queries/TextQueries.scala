@@ -1747,26 +1747,32 @@ object TextQueries {
     * (reported as -1). Rank arithmetic: both rankings are row_numbers
     * over bit-identical scores with doc-id tiebreak; each 1/(60+r) is
     * one double division, summed in a fixed two-term order. Scale
-    * shape: both rankers are rank windows over already-reduced score
-    * relations; the fusion join is doc-keyed. */
+    * shape (round-11): BOTH rankings are corpus-proportional (every
+    * embedding carries a cosine; every term-matching doc carries a
+    * BM25), so each rank is a [[graft.operators.GlobalRank]]
+    * distributed row_number — no single-partition window buffers a
+    * ranking relation (the q112/q119 migration applied here too); the
+    * scored inputs are localCheckpoint'ed once so the rank's sample/
+    * census/rank passes re-read a narrow materialized relation. The
+    * fusion join is doc-keyed. */
   val RrfK = 60
 
   def q110HybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lex = bm25Frame(spark, dir)
-      .withColumn("lex_rank", row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+    val lex = graft.operators.GlobalRank.withRowNumber(
+        bm25Frame(spark, dir).select("doc_id", "bm25").localCheckpoint(),
+        Seq(col("bm25").desc, col("doc_id").asc), "lex_rank")
       .select(col("doc_id"), col("lex_rank"))
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", Similarity.l2Norm(col("emb")))
     val q0 = e.filter(col("vec_id") === 0)
       .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    val sem = e.crossJoin(broadcast(q0))
+    val semScored = e.crossJoin(broadcast(q0))
       .withColumn("cos_sim",
         Similarity.dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-      .withColumn("sem_rank", row_number().over(
-        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .select("vec_id", "cos_sim").localCheckpoint()
+    val sem = graft.operators.GlobalRank.withRowNumber(semScored,
+        Seq(col("cos_sim").desc, col("vec_id").asc), "sem_rank")
       .select(col("vec_id").as("doc_id"), col("sem_rank"))
     lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(

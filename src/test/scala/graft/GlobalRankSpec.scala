@@ -112,11 +112,12 @@ class GlobalRankSpec extends SparkSpec {
     assert(GlobalRank.topKBoundary(df, 301).isEmpty)
   }
 
-  test("q146/q152/q88/q112/q119 plan no Window at all (global ranks and the skew-prone token window left the plan)") {
+  test("q146/q152/q88/q110/q112/q119 plan no Window at all (global ranks and the skew-prone token window left the plan)") {
     for ((name, fn) <- Seq(
         "q146" -> graft.queries.TextQueries.q146DsirResample _,
         "q152" -> graft.queries.TextQueries.q152PerplexityBuckets _,
         "q88" -> graft.queries.TextQueries.q88InvertedIndex _,
+        "q110" -> graft.queries.TextQueries.q110HybridRrf _,
         "q112" -> graft.queries.Relational.q112RfmSegments _,
         "q119" -> graft.queries.Relational.q119MadOutliers _)) {
       val plan = fn(spark, sf).queryExecution.executedPlan
