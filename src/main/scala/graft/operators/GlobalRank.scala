@@ -265,6 +265,50 @@ object GlobalRank {
     (bucketCols.foldLeft(ranked)(_ drop _), total)
   }
 
+  /** Exact `row_number() OVER (PARTITION BY groupCols ORDER BY
+    * sortExprs)` for LOW-CARDINALITY groups — the skew regime where a
+    * plain per-group window is a scale-killer (five market segments ⟹
+    * one task buffering a fifth of all customers). Rank globally over
+    * (groupCols asc, sortExprs) with [[withRowNumber]]; groups are
+    * contiguous under that order, so the group rank is the global rank
+    * minus the group's offset — one map-side-combined group census,
+    * collected IN SPARK'S OWN SORT ORDER (orderBy before collect — the
+    * driver never compares keys, so UTF8-binary vs UTF-16 collation
+    * divergence cannot misassign offsets) and broadcast back as a
+    * ≤|groups|-row join that also carries each group's size in
+    * `countOut` (when non-empty). High-cardinality group keys (users,
+    * documents) should KEEP the plain window — their partitions are
+    * bounded; this device is for the handful-of-groups censuses. */
+  def withGroupRowNumber(df: DataFrame, groupCols: Seq[String],
+      sortExprs: Seq[Column], out: String, countOut: String = "",
+      numPartitions: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "withGroupRowNumber: no group columns")
+    val keys = groupCols.map(col(_).asc) ++ sortExprs
+    val ranked = withRowNumber(df, keys, out, numPartitions)
+    val censusRows = df.groupBy(groupCols.map(col): _*).count()
+      .orderBy(groupCols.map(col(_).asc): _*)
+      .collect()
+    var acc = 0L
+    val offRows = censusRows.map { r =>
+      val c = r.getLong(groupCols.size)
+      val o = acc; acc += c
+      Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(o, c))
+    }
+    val spark = df.sparkSession
+    val censusSchema = org.apache.spark.sql.types.StructType(
+      df.select(groupCols.map(col): _*).schema.fields.toSeq ++ Seq(
+        org.apache.spark.sql.types.StructField("_gr_goff",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_gr_gcnt",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), censusSchema)
+    val joined = ranked.join(broadcast(offDf), groupCols)
+      .withColumn(out, col(out) - col("_gr_goff"))
+    (if (countOut.nonEmpty) joined.withColumn(countOut, col("_gr_gcnt"))
+     else joined).drop("_gr_goff", "_gr_gcnt")
+  }
+
   /** The k-th largest (key, tie) pair under (key DESC, tie ASC) — the
     * exact boundary of the global top-k set. Returns None when the
     * relation has fewer than k rows (then everything is in the top k).

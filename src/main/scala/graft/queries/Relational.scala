@@ -607,19 +607,24 @@ object Relational {
     * ⌈p·n⌉ in (price asc, orderkey asc) order. No percentile built-in
     * is used on EITHER side — Spark's and DuckDB's disc/cont defaults
     * differ, so the rank arithmetic IS the portable definition. Scale
-    * shape: one rank window per group partition and a broadcast
-    * (group × 3)-row target frame; the percentile never sorts globally,
-    * only within group partitions. */
+    * shape (round-11): the group key has FIVE values, so a per-group
+    * window partition would buffer a fifth of all orders in one task —
+    * the rank is [[graft.operators.GlobalRank.withGroupRowNumber]]
+    * instead (distributed global rank minus broadcast group offsets);
+    * the broadcast (group × 3)-row target frame is unchanged. The
+    * narrow projection is localCheckpoint'ed once for the rank's
+    * sample/census passes. */
   def q106PercentileLadder(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      .localCheckpoint()
     val targets = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       .select(col("o_orderpriority"), col("n"),
         explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
       .withColumn("target", ceil(col("p") * col("n")).cast("long"))
-    o.withColumn("rn", row_number().over(w).cast("long"))
+    graft.operators.GlobalRank.withGroupRowNumber(o,
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc), "rn")
       .join(broadcast(targets), "o_orderpriority")
       .filter(col("rn") === col("target"))
       .select(col("o_orderpriority"), col("p"),
@@ -1740,16 +1745,22 @@ object Relational {
     * a conditional min — so the bounds are deterministic and
     * cross-engine exact where interpolated quantiles are not (Spark and
     * DuckDB round interpolation differently; ranks they agree on).
-    * One window shuffle on the group key computes n and rank; the
-    * 5-row bounds frame broadcasts back. At 100 TB swap the exact rank
-    * for the histogram-quantile sketch (q66) — same query shape, the
-    * bounds frame just comes from the sketch. */
+    * Scale shape (round-11): the group key has FIVE values, so the old
+    * per-segment window buffered a fifth of all customers in one task;
+    * rank and n now come from
+    * [[graft.operators.GlobalRank.withGroupRowNumber]] (distributed
+    * global rank minus broadcast group offsets, group sizes on the
+    * same ≤5-row broadcast). The 5-row bounds frame broadcasts back as
+    * before. This IS the formerly-declared 100 TB escape, in exact
+    * form — the q66 sketch substitute would break the oracle's
+    * bit-exact bounds. */
   def q83RankOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    val ranked = Tables(spark, dir).customer
-      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+    val ranked = graft.operators.GlobalRank.withGroupRowNumber(
+      Tables(spark, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .localCheckpoint(),
+      Seq("c_mktsegment"),
+      Seq(col("c_acctbal").asc, col("c_custkey").asc), "rn", countOut = "n")
     val bounds = ranked
       .groupBy("c_mktsegment")
       .agg(

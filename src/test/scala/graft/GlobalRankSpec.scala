@@ -103,6 +103,25 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("withGroupRowNumber == row_number() over a per-group window, n == group size") {
+    // few groups, many rows per group — the skew regime the device is
+    // for; desc sort keys and the countOut column both exercised
+    val df = randomScores(4000, 17)
+      .withColumn("grp", concat(lit("g"), (col("id") % 5).cast("string")))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("key").desc, col("id"))
+    val expected = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("grp")).cast("long"))
+      .orderBy("id").collect()
+    val got = GlobalRank.withGroupRowNumber(df, Seq("grp"),
+        Seq(col("key").desc, col("id")), "rk", countOut = "n")
+      .select("key", "id", "grp", "rk", "n")
+      .orderBy("id").collect()
+    assert(got.sameElements(expected))
+  }
+
   test("topKBoundary is the k-th (key desc, id asc) pair exactly") {
     val df = randomScores(300, 7).repartition(5)
     val sorted = df.orderBy(col("key").desc, col("id"))
@@ -112,14 +131,16 @@ class GlobalRankSpec extends SparkSpec {
     assert(GlobalRank.topKBoundary(df, 301).isEmpty)
   }
 
-  test("q146/q152/q88/q110/q112/q119 plan no Window at all (global ranks and the skew-prone token window left the plan)") {
+  test("q146/q152/q88/q110/q112/q119/q83/q106 plan no Window at all (global ranks and the skew-prone token window left the plan)") {
     for ((name, fn) <- Seq(
         "q146" -> graft.queries.TextQueries.q146DsirResample _,
         "q152" -> graft.queries.TextQueries.q152PerplexityBuckets _,
         "q88" -> graft.queries.TextQueries.q88InvertedIndex _,
         "q110" -> graft.queries.TextQueries.q110HybridRrf _,
         "q112" -> graft.queries.Relational.q112RfmSegments _,
-        "q119" -> graft.queries.Relational.q119MadOutliers _)) {
+        "q119" -> graft.queries.Relational.q119MadOutliers _,
+        "q83" -> graft.queries.Relational.q83RankOutliers _,
+        "q106" -> graft.queries.Relational.q106PercentileLadder _)) {
       val plan = fn(spark, sf).queryExecution.executedPlan
       val windows = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
