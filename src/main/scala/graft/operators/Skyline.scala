@@ -35,6 +35,8 @@ object Skyline {
       .agg(max(col(y)).as("__best_y"))
       .withColumn("__bin", expr(s"$x DIV $binWidth"))
     val perBin = perX.groupBy("__bin").agg(max("__best_y").as("__bin_best"))
+    // global window is SAFE here: perBin is the ≤(x-range/binWidth)-row
+    // bin census, a bounded artifact, never the input relation
     val prefix = perBin.withColumn("__cheaper_bins_best",
       max("__bin_best").over(Window.orderBy("__bin")
         .rowsBetween(Window.unboundedPreceding, -1)))

@@ -355,6 +355,8 @@ object StatsQueries {
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val ranked = freq
       .orderBy(desc("c"), col("tok")).limit(ZipfTopK)
+      // global window is SAFE here: it ranks the post-limit ≤ZipfTopK
+      // rows (a TakeOrdered result), never the token census
       .withColumn("r",
         row_number().over(Window.orderBy(desc("c"), col("tok"))).cast("long"))
     val folded = ranked
@@ -444,6 +446,8 @@ object StatsQueries {
     val allDays = days.select("day").distinct()
     allDays.join(newPerDay, Seq("day"), "left")
       .na.fill(0L, Seq("n_new_users"))
+      // global window is SAFE here: the frame is the ≤|days|-row daily
+      // rollup (calendar-bounded), never the event stream
       .withColumn("cum_users", sum("n_new_users").over(Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy("day")
@@ -514,7 +518,13 @@ object StatsQueries {
     * skew_ratio (max over mean) is large is the one that needs salting
     * (q126) or AQE skew splitting. Everything is a map-side-combined
     * count plus rank arithmetic on the already-aggregated per-key frame;
-    * the only doubles are two rounded ratios of exact integers. */
+    * the only doubles are two rounded ratios of exact integers. Scale
+    * shape (round-11): the per-key frame is |distinct keys|-sized —
+    * corpus-proportional — and `relation` has THREE values, so the old
+    * per-relation window funneled a third of it through one task; the
+    * p99 rank is [[graft.operators.GlobalRank.withGroupRowNumber]]
+    * (distributed rank − broadcast group offsets, nk on the same
+    * 3-row broadcast). */
   def q129KeySkew(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     def counts(df: DataFrame, keyCol: String, name: String): DataFrame =
@@ -523,11 +533,12 @@ object StatsQueries {
     val all = counts(t.events, "user_id", "events.user_id")
       .unionAll(counts(t.lineitem, "l_suppkey", "lineitem.l_suppkey"))
       .unionAll(counts(t.orders, "o_custkey", "orders.o_custkey"))
-    val ranked = all
-      .withColumn("rn", row_number().over(Window.partitionBy("relation")
-        .orderBy(col("c").asc, col("k").asc)).cast("long"))
-      .withColumn("nk", count(lit(1)).over(Window.partitionBy("relation"))
-        .cast("long"))
+      .localCheckpoint() // the rank's sample/census and the rollup
+                         // below re-read it; the union of three
+                         // aggregates is the expensive upstream
+    val ranked = graft.operators.GlobalRank.withGroupRowNumber(all,
+      Seq("relation"), Seq(col("c").asc, col("k").asc), "rn",
+      countOut = "nk")
     val p99 = ranked
       .filter(col("rn") === expr("(99 * nk + 99) DIV 100"))
       .select(col("relation"), col("c").as("p99_key_rows"))
@@ -925,6 +936,8 @@ object StatsQueries {
         .as("age_days"))
       .agg(count(lit(1)).as("n_purchases"), sum("cents").as("spend_cents"))
     spend
+      // per-cohort window is SAFE: the frame is the (cohort_day,
+      // age_days) rollup — ≤ days² rows, calendar-bounded
       .withColumn("cum_spend_cents", sum("spend_cents").over(
         Window.partitionBy("cohort_day").orderBy("age_days")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1005,6 +1018,8 @@ object StatsQueries {
       .select(col("event_type"), expr("ts_ns DIV 86400000000000").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
       .withColumn("dow", expr("(day + 4) % 7"))
+    // per-(type, dow) window is SAFE: the frame is the daily rollup
+    // (types × days rows, calendar-bounded), partitions ≤ days/7 rows
     val w = Window.partitionBy("event_type", "dow")
       .orderBy(col("c").asc, col("day").asc)
     val med = daily

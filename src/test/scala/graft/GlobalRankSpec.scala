@@ -140,7 +140,8 @@ class GlobalRankSpec extends SparkSpec {
         "q112" -> graft.queries.Relational.q112RfmSegments _,
         "q119" -> graft.queries.Relational.q119MadOutliers _,
         "q83" -> graft.queries.Relational.q83RankOutliers _,
-        "q106" -> graft.queries.Relational.q106PercentileLadder _)) {
+        "q106" -> graft.queries.Relational.q106PercentileLadder _,
+        "q129" -> graft.queries.StatsQueries.q129KeySkew _)) {
       val plan = fn(spark, sf).queryExecution.executedPlan
       val windows = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
