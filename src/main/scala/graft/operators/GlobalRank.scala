@@ -191,15 +191,16 @@ object GlobalRank {
       numPartitions: Int = 0): DataFrame =
     withRowNumbersCounted(df, specs, numPartitions)._1
 
-  /** Rows-per-task ceiling for the adaptive partition count: a 2M-row
-    * task sort is a well-bounded unit of work (tens of MB of narrow
-    * rows, well under an executor's sort buffer), and anything smaller
-    * would spend more on task scheduling than on sorting — measured
-    * locally, 32 one-task stages on a 15k-row relation cost ~1.3 s of
-    * pure scheduling. Above conf.numShufflePartitions tasks the count
-    * clamps to the operator-sized parallelism, exactly like any other
-    * exchange in the session. */
-  private val RowsPerRankTask = 1L << 21
+  /** Rows-per-task target for the adaptive partition count. Two
+    * measured failure modes bound it: 32 one-task stages on a 15k-row
+    * relation cost ~1.3 s of pure scheduling (so small relations must
+    * collapse to one task), while ONE task sorting a 500k-row relation
+    * serialized a 30 s ScaleBench run on one core (so mid-size
+    * relations must fan out). 64k rows/task keeps a 15k-row aggregate
+    * in one task, gives a 500k-row frame 8 parallel sorts, and clamps
+    * to conf.numShufflePartitions — the operator-sized parallelism —
+    * long before corpus scale. */
+  private val RowsPerRankTask = 1L << 16
 
   /** [[withRowNumbers]] + the exact row count from the shared census. */
   def withRowNumbersCounted(df: DataFrame, specs: Seq[(String, Seq[Column])],
