@@ -82,7 +82,10 @@ object ScaleBench {
     val copies = (0 until factor).map { i =>
       base.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
         ladder.as("text"), col("lang"), col("source"),
-        (col("n_chars") + 22).as("n_chars"))
+        // ladder appends " zzz_hot zzz_mNN zzz_rNNNN" = 26 chars; keep
+        // n_chars == length(text) so n_chars-derived queries
+        // (len_bucket, length-weighted sampling) see honest metadata
+        (col("n_chars") + 26).as("n_chars"))
     }
     copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(out)
   }

@@ -85,9 +85,15 @@ object GlobalRank {
     * data-path rows that ever leave Tungsten here). The pass sees every
     * row anyway, so it also returns the EXACT total count — callers use
     * it to size the bucket count and skip the census entirely when one
-    * task can rank the whole relation. */
+    * task can rank the whole relation. Each sampled tuple carries a
+    * weight n_i/s_i (partition row count over rows kept), the
+    * sample-and-reweight RangePartitioner's sketch uses: a fixed-size
+    * reservoir from a 10M-row partition stands for more rows than one
+    * from a 10k-row partition, and unweighted merging would bias the
+    * quantiles toward the small partitions (ranks stay exact either
+    * way — the boundaries only steer bucket BALANCE). */
   private def sampleTuples(proj: DataFrame, width: Int,
-      p: Int): (Seq[Seq[Any]], Long) = {
+      p: Int): (Seq[(Seq[Any], Double)], Long) = {
     val rdd = proj.rdd
     val parts = math.max(rdd.getNumPartitions, 1)
     val perPart = math.max(64, (p * 16 + parts - 1) / parts)
@@ -107,25 +113,32 @@ object GlobalRank {
       Iterator.single(
         (n, buf.take(math.min(n, perPart.toLong).toInt).toSeq))
     }.collect()
-    (perPartition.toSeq.flatMap(_._2).map(r => Seq.tabulate(width)(r.get)),
-      perPartition.map(_._1).sum)
+    val weighted = perPartition.toSeq.flatMap { case (n, rows) =>
+      val w = if (rows.isEmpty) 0.0 else n.toDouble / rows.size
+      rows.map(r => (Seq.tabulate(width)(r.get), w))
+    }
+    (weighted, perPartition.map(_._1).sum)
   }
 
-  /** ≤ p−1 strictly increasing split tuples at even sample quantiles. */
-  private def pickBoundaries(sample: Seq[Seq[Any]], ord: Ordering[Seq[Any]],
-      p: Int): Seq[Seq[Any]] = {
-    val sorted = sample.sorted(ord)
-    val n = sorted.size
-    if (n == 0) Seq.empty
-    else {
-      val picks = (1 until p)
-        .map(i => sorted(math.min((i.toLong * n / p).toInt, n - 1)))
-      val out = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
-      picks.foreach { t =>
+  /** ≤ p−1 strictly increasing split tuples at even WEIGHTED sample
+    * quantiles (weights from [[sampleTuples]]'s per-partition
+    * reweighting). */
+  private def pickBoundaries(sample: Seq[(Seq[Any], Double)],
+      ord: Ordering[Seq[Any]], p: Int): Seq[Seq[Any]] = {
+    val sorted = sample.sortBy(_._1)(ord)
+    if (sorted.isEmpty) return Seq.empty
+    val total = sorted.iterator.map(_._2).sum
+    val out = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    var cum = 0.0
+    var target = 1
+    sorted.foreach { case (t, w) =>
+      cum += w
+      while (target < p && cum >= target * total / p) {
         if (out.isEmpty || ord.compare(out.last, t) < 0) out += t
+        target += 1
       }
-      out.toSeq
     }
+    out.toSeq
   }
 
   /** bucket = #boundaries strictly below this row's key tuple — a
@@ -223,7 +236,8 @@ object GlobalRank {
       else math.max(1L, math.min(conf.toLong,
         (total + RowsPerRankTask - 1) / RowsPerRankTask)).toInt
     val boundariesPerSpec: Seq[Seq[Seq[Any]]] = specs.indices.map { i =>
-      pickBoundaries(sample.map(_.slice(slices(i), slices(i + 1))),
+      pickBoundaries(
+        sample.map { case (t, w) => (t.slice(slices(i), slices(i + 1)), w) },
         tupleOrdering(allKeys(i).map(_.asc)), p)
     }
     val bucketCols = specs.indices.map(i => s"_gr_bucket_$i")
@@ -279,7 +293,15 @@ object GlobalRank {
     * ≤|groups|-row join that also carries each group's size in
     * `countOut` (when non-empty). High-cardinality group keys (users,
     * documents) should KEEP the plain window — their partitions are
-    * bounded; this device is for the handful-of-groups censuses. */
+    * bounded; this device is for the handful-of-groups censuses, and
+    * it REFUSES more than [[GroupCensusCap]] distinct groups (the
+    * census is a driver collect: a user_id-grade key here would be a
+    * driver OOM, so the misuse fails loud instead). The guard itself
+    * is collect-bounded — the census is fetched through a
+    * `limit(cap + 1)` (TakeOrderedAndProject), so even the failing
+    * path ships at most cap + 1 rows to the driver. */
+  val GroupCensusCap = 1000
+
   def withGroupRowNumber(df: DataFrame, groupCols: Seq[String],
       sortExprs: Seq[Column], out: String, countOut: String = "",
       numPartitions: Int = 0): DataFrame = {
@@ -288,7 +310,13 @@ object GlobalRank {
     val ranked = withRowNumber(df, keys, out, numPartitions)
     val censusRows = df.groupBy(groupCols.map(col): _*).count()
       .orderBy(groupCols.map(col(_).asc): _*)
+      .limit(GroupCensusCap + 1)
       .collect()
+    require(censusRows.length <= GroupCensusCap,
+      s"withGroupRowNumber: over $GroupCensusCap distinct groups on " +
+        s"(${groupCols.mkString(", ")}) — this device is for " +
+        "handful-of-groups regimes; use a plain per-group window for " +
+        "high-cardinality keys (their partitions are bounded)")
     var acc = 0L
     val offRows = censusRows.map { r =>
       val c = r.getLong(groupCols.size)

@@ -315,8 +315,14 @@ object DistinctNgramCountExpr {
       i += 1
     }
     // open-addressed set sized to the window count (load factor <= 0.5);
-    // 0 marks an empty slot, so 0-valued hashes are nudged
-    var cap = java.lang.Integer.highestOneBit(m * 4 - 1) << 1
+    // 0 marks an empty slot, so 0-valued hashes are nudged. Long
+    // arithmetic + an explicit ceiling: the former Int formula
+    // overflowed at m >= 2^29 windows, clamping cap to 8 and spinning
+    // the probe loop forever — fail fast instead (a single document
+    // with 2^28 token windows is already pathological input).
+    require(m < (1 << 28),
+      s"distinct_ngram_count: $m windows in one document exceeds 2^28")
+    var cap = (java.lang.Long.highestOneBit(m.toLong * 4 - 1) << 1).toInt
     if (cap < 8) cap = 8
     val set = new Array[Long](cap)
     val mask = cap - 1

@@ -1023,9 +1023,12 @@ object Relational {
       val (ranked, n) = graft.operators.GlobalRank.withRowNumberCounted(
         df.select(col(c), col(id)), Seq(col(c).asc, col(id).asc), "rn")
       // collect, not head: take(1)'s incremental partial jobs would
-      // re-run the rank exchange once per attempt
+      // re-run the rank exchange once per attempt. Empty relation →
+      // the rank filter matches nothing; 0 is a safe sentinel there
+      // (every downstream frame is already empty, so the final result
+      // stays an empty frame instead of an ArrayIndexOutOfBounds)
       ranked.filter(col("rn") === lit((n + 1) / 2))
-        .select(col(c)).collect()(0).getLong(0)
+        .select(col(c)).collect().headOption.fold(0L)(_.getLong(0))
     }
     // both medians are single scalars — land them as literals so the
     // second pass (and the final filter) never re-evaluates the first

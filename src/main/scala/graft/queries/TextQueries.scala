@@ -941,17 +941,17 @@ object TextQueries {
 
   // ---------------------------------------------------------------- q88
   /** Positional inverted index build: the retrieval-side artifact every
-    * search/decontamination pipeline materializes. One narrow
-    * posexplode (token, 0-based position), one shuffle on (token,
-    * doc_id) for tf + the position list, and document frequency as a
-    * separate aggregate joined back on token — NOT a window over token:
-    * a window partition buffers every posting of a hot term (with its
-    * positions payload) in one task, exactly the stop-word skew a
-    * 100 TB index build dies on, while the groupBy+join form shuffles
-    * the same key with map-side-combined counts and no single-task
-    * buffering. Positions sort as INTEGERS before rendering to the
-    * comma string (lexicographic "10"<"2" would diverge between
-    * engines). */
+    * search/decontamination pipeline materializes. Postings (tf + the
+    * 0-based position list, ascending by construction) fold per
+    * document inside the projection ([[graft.plans.PostingsExpr]] —
+    * they never cross a row boundary), and document frequency is a
+    * separate aggregate joined back on token — NOT a window over
+    * token: a window partition buffers every posting of a hot term
+    * (with its positions payload) in one task, exactly the stop-word
+    * skew a 100 TB index build dies on, while the kernel+join form
+    * ships map-side-combined counts and compact posting rows with no
+    * single-task buffering. Positions render as INTEGERS in document
+    * order (lexicographic "10"<"2" would diverge between engines). */
   def q88InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
     // Round-10 shape: ONE corpus-sized exchange, and it is a RANGE
     // exchange on (token, doc_id) — the output's own total order — so
@@ -964,29 +964,48 @@ object TextQueries {
     // doc_id — strictly better than hash-by-token (a stopword's
     // postings land in many ranges) and than the round-9 count-window
     // (one unsplittable task buffering every posting of the token).
-    // Document frequency comes from a second, cheap scan — per-doc
-    // distinct tokens → map-side-combined groupBy(token) count. The
-    // join strategy is AQE's call from the census shuffle's MEASURED
-    // runtime size: a vocabulary-sized census broadcasts (well under
-    // the 10 MB conversion threshold at any SF this repo runs), one
-    // too big to broadcast keeps a skew-splittable shuffle join — no
-    // forced hint, no driver-side count gate. (Round-11 first tried a
-    // localCheckpoint + count() gate around an explicit hint; the
-    // materialization + probe job cost ~0.2 s warm and duplicated a
-    // decision AQE already makes from exact sizes.)
-    val grouped = docs(spark, dir)
-      .select(col("doc_id"), toks.as("l"))
-      .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "token")))
+    // Round-12 shape: tf and the position list never cross a row
+    // boundary — they are functions of ONE document — so the
+    // posexplode → repartitionByRange → groupBy(token, doc_id) rollup
+    // (a corpus-wide exchange of one row per token OCCURRENCE plus an
+    // ObjectHashAggregate for collect_list) is replaced by
+    // [[graft.plans.PostingsExpr]], a one-pass per-doc kernel inside
+    // the projection. The only corpus-wide exchange left is the
+    // output's own ORDER BY, shipping one compact row per (doc,
+    // distinct token). Measured warm at sf0.1 (min of 8 in-JVM):
+    // (interleaved duel, 7 reps, med/min): rollup form 0.71/0.61,
+    // kernel + early range exchange 0.59/0.54 (this plan), kernel +
+    // pinned-8-partition exchange 0.54/0.52 (rejected: pinning the
+    // count is wrong at cluster scale and AQE coalesces the unpinned
+    // form to the same place), kernel + localCheckpoint 0.70/0.62 and
+    // the round-11 verdict's single-scan rollup-checkpoint variants
+    // 0.93–1.03 (rejected: the checkpoint serializes the job waves).
+    // The range exchange sits BEFORE the join so the final orderBy is
+    // a LOCAL sort; leaving it to orderBy itself re-evaluated the
+    // whole join in the range-sampling pass (+0.45 s measured).
+    // Document frequency stays a separate cheap scan — per-doc
+    // distinct tokens → map-side-combined groupBy(token) count — that
+    // runs CONCURRENTLY with the kernel branch (two parquet scans of
+    // one column overlap; a shared-scan variant would re-run the
+    // kernel for the census branch since pruning cannot reach inside
+    // the struct). The join strategy is AQE's call from the census
+    // shuffle's MEASURED runtime size: a vocabulary-sized census
+    // broadcasts, one too big keeps a skew-splittable shuffle join —
+    // no forced hint, no driver-side count gate.
+    val postings = docs(spark, dir)
+      .select(col("doc_id"), graft.plans.PostingsExpr.column(toks).as("ps"))
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("p.token").as("token"), col("doc_id"),
+        col("p.tf").as("tf"), col("p.positions").as("positions"))
+      // the output's own total order, as a shuffle AQE is free to
+      // size (no pinned partition count); hot tokens split across
+      // ranges by doc_id — strictly better skew behavior than
+      // hash-by-token, measured linear on the Zipf axis
       .repartitionByRange(col("token"), col("doc_id"))
-      .groupBy("token", "doc_id")
-      .agg(count(lit(1)).as("tf"),
-        array_join(
-          transform(sort_array(collect_list(col("pos"))), _.cast("string")),
-          ",").as("positions"))
     val dfCensus = docs(spark, dir)
       .select(explode(array_distinct(toks)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
-    grouped.join(dfCensus, Seq("token"))
+    postings.join(dfCensus, Seq("token"))
       .select("token", "doc_id", "tf", "positions", "df")
       .orderBy("token", "doc_id")
   }

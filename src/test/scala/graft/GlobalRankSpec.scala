@@ -122,6 +122,49 @@ class GlobalRankSpec extends SparkSpec {
     assert(got.sameElements(expected))
   }
 
+  test("withGroupRowNumber refuses a high-cardinality group key loudly") {
+    // the group census is a driver collect — a user_id-grade key here
+    // would be a driver OOM at corpus scale, so the device must fail
+    // fast instead. The guard fetches through limit(cap + 1), so even
+    // this failing path ships a bounded row count to the driver.
+    val df = (1 to GlobalRank.GroupCensusCap + 1).toDF("uid")
+      .withColumn("key", col("uid") * 3 % 17)
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.withGroupRowNumber(
+        df, Seq("uid"), Seq(col("key")), "rk").collect()
+    }
+    assert(e.getMessage.contains("distinct groups"))
+    assert(e.getMessage.contains("plain per-group window"))
+  }
+
+  test("chained multi-rank frame is stable across re-evaluation (two actions, identical ranks)") {
+    // The rank projection reads monotonically_increasing_id over the
+    // spec-i sorted partition while spec i+1 re-exchanges the frame;
+    // correctness rests on Catalyst never reordering that
+    // nondeterministic projection across the next exchange, and on the
+    // post-shuffle sort being TOTAL (tiebreak included) so arrival
+    // order can't leak into the id. Pin the contract against future
+    // Spark upgrades: chain three ranks with explicit multi-bucket
+    // partitioning, run the SAME frame through two separate actions,
+    // and require bit-identical ranks.
+    val df = randomScores(20000, 41)
+      .withColumn("key2", (col("id") * 6007L) % 251L)
+    val ranked = GlobalRank.withRowNumbers(df, Seq(
+        "a" -> Seq(col("key"), col("id")),
+        "b" -> Seq(col("key").desc, col("id")),
+        "c" -> Seq(col("key2"), col("id").desc)),
+      numPartitions = 7)
+      .select("id", "a", "b", "c")
+    val first = ranked.orderBy("id").collect()
+    val second = ranked.orderBy("id").collect()
+    assert(first.sameElements(second))
+    // and each rank column is an exact permutation of 1..n
+    for (c <- Seq("a", "b", "c")) {
+      val v = first.map(_.getAs[Long](c)).sorted
+      assert(v.head == 1L && v.last == 20000L && v.distinct.length == 20000)
+    }
+  }
+
   test("topKBoundary is the k-th (key desc, id asc) pair exactly") {
     val df = randomScores(300, 7).repartition(5)
     val sorted = df.orderBy(col("key").desc, col("id"))

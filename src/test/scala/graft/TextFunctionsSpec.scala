@@ -177,6 +177,35 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("doc_postings == posexplode+groupBy rollup — corpus and edges") {
+    // q88's per-doc kernel against the shuffle-based rollup it
+    // replaced: same (doc, token, tf, positions) multiset, positions
+    // ascending comma-rendered integers
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+    val edges = Seq(
+      (1L, Seq("r", "r", "r")),
+      (2L, Seq("a")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("b", "a", "b", "a", "b")),
+      (5L, Seq("x", "", "x", ""))).toDF("doc_id", "l")
+    for (df <- Seq(corpus, edges)) {
+      val fast = df.select(col("doc_id"),
+          explode(graft.plans.PostingsExpr.column(col("l"))).as("p"))
+        .select(col("doc_id"), col("p.token").as("token"),
+          col("p.tf").as("tf"), col("p.positions").as("positions"))
+      val slow = df
+        .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "token")))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"),
+          array_join(transform(sort_array(collect_list(col("pos"))),
+            _.cast("string")), ",").as("positions"))
+        .select("doc_id", "token", "tf", "positions")
+      assert(fast.exceptAll(slow).count() == 0 &&
+        slow.exceptAll(fast).count() == 0)
+    }
+  }
+
   test("native char-class counts == regexp_replace composed form") {
     val composed = (t: org.apache.spark.sql.Column, clazz: String) =>
       (length(t) - length(regexp_replace(t, clazz, ""))).cast("long")
