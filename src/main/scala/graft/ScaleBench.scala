@@ -23,7 +23,7 @@ object ScaleBench {
     * whenever synthesize/synthesizeEmb's output (schema, offsets, row
     * content) changes, so a corpus written by older code is never
     * silently reused for the published scaling table. */
-  val SynthVersion = 2
+  val SynthVersion = 3 // v3: zipf ladder n_chars +26 (was a drifted +22)
 
   def synthesize(spark: SparkSession, baseDir: String, factor: Int, out: String): Unit = {
     val base = Tables(spark, baseDir).documents

@@ -160,6 +160,30 @@ def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
         if s:
             print(f"pairing[{label}]: {s['n_paired']} queries, total ratio "
                   f"{s['total_ratio']}, >2x nontrivial: {s['over_2x_nontrivial']}")
+    # floor-decomposition skeleton for the warm residue: one pre-filled
+    # table row per over-2x nontrivial entry, written next to the
+    # pairing artifact so certification and decomposition ship from ONE
+    # command (the accepted device for residue queries; see
+    # ARCHITECTURE.md "floor decomposition"). Session constants of
+    # record: empty job 0.05s, one 32-task exchange ~0.35s, parquet
+    # scan 0.14s.
+    warm_summary = out["summary"]["warm"]
+    if warm_summary:
+        skel = os.path.join(os.path.dirname(os.path.abspath(pairing_path)),
+                            "floor_skeleton.md")
+        with open(skel, "w") as fh:
+            fh.write("### Warm residue floor decomposition (skeleton)\n\n")
+            fh.write("| query | warm s | duck s | ratio | plan stages "
+                     "(fill: scans + exchanges + joins) | floor sum |\n")
+            fh.write("|---|---|---|---|---|---|\n")
+            for n in warm_summary["over_2x_nontrivial"]:
+                r = paired[n]
+                fh.write(f"| {n} | {r.get('spark_warm_sec')} | "
+                         f"{r['duck_sec']} | {r.get('warm_ratio')} | "
+                         f"TODO | TODO |\n")
+            if not warm_summary["over_2x_nontrivial"]:
+                fh.write("| (none - warm residue empty) | | | | | |\n")
+        print(f"floor skeleton: {skel}")
 
 
 def main(argv):
