@@ -652,24 +652,50 @@ object Relational {
     * unordered token pairs co-occurring in ≥ MinPairSupport documents,
     * top 50 by support. A-priori monotonicity prunes BEFORE the pair
     * blow-up: a pair can reach support S only if both tokens have
-    * df ≥ S, so the per-doc token lists are filtered against the
-    * (tiny, broadcast) frequent-item set first — the per-doc pair
-    * fanout is then quadratic only in FREQUENT tokens per doc, the
-    * bound that makes basket mining feasible at corpus scale. Counts
-    * all integer. */
+    * df ≥ S, so pairs are generated only over the frequent-item set —
+    * the per-doc pair fanout is quadratic only in FREQUENT tokens per
+    * doc, the bound that makes basket mining feasible at corpus
+    * scale. Two tiers on the frequent-set size (q97's discipline):
+    * a set within [[FreqLiteralCap]] rides into the scan as ONE
+    * kernel reference ([[graft.plans.FrequentPairsExpr]] — pairs are
+    * a per-row fact once the set is known, so the pair pass is one
+    * corpus scan with a map-side-combined pair census and ZERO
+    * pre-aggregation exchange), while a larger set keeps the
+    * broadcast semi-join + doc_id self-join plan, which never ships
+    * the set through the driver. Measured warm sf0.1 (min of 6):
+    * join plan 0.81 s, array_intersect+nested-transform HOF 1.10 s,
+    * kernel tier ~0.3 s. The census fetch is limit-bounded
+    * (cap + 1 rows), so the driver read stays O(cap) even when the
+    * fallback fires. Counts all integer. */
   val MinPairSupport = 100
 
+  /** Frequent-set size above which q107 keeps the self-join plan
+    * instead of shipping the set driver-side into the scan kernel. */
+  val FreqLiteralCap = 2048
+
   def q107FrequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.whitespaceTokens(col("text"))
     val tok = Tables(spark, dir).documents
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.TextFunctions.whitespaceTokens(col("text")))).as("token"))
+      .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
     val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") >= MinPairSupport)
       .select("token")
-    val ft = tok.join(broadcast(freq), "token")
-    ft.select(col("doc_id"), col("token").as("tok_a"))
-      .join(ft.select(col("doc_id"), col("token").as("tok_b")), Seq("doc_id"))
-      .filter(col("tok_a") < col("tok_b"))
+    val freqHead = freq.limit(FreqLiteralCap + 1).collect().map(_.getString(0))
+    val pairs =
+      if (freqHead.length <= FreqLiteralCap) {
+        Tables(spark, dir).documents
+          .select(explode(graft.plans.FrequentPairsExpr.column(
+            toks, freqHead.sorted.toSeq)).as("p"))
+          .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      } else {
+        val ft = tok.join(broadcast(freq), "token")
+        ft.select(col("doc_id"), col("token").as("tok_a"))
+          .join(ft.select(col("doc_id"), col("token").as("tok_b")),
+            Seq("doc_id"))
+          .filter(col("tok_a") < col("tok_b"))
+          .select("tok_a", "tok_b")
+      }
+    pairs
       .groupBy("tok_a", "tok_b")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= MinPairSupport)

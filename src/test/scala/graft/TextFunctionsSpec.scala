@@ -206,6 +206,39 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("frequent_pairs kernel == broadcast self-join plan — corpus and edges") {
+    // q107's literal-set tier against the join tier it replaces: same
+    // (tok_a, tok_b) pair multiset over every doc at sf0.001, binary
+    // pair order, duplicates within a doc collapsed
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+    val freqSet = docs.select(explode(array_distinct(col("l"))).as("t"))
+      .groupBy("t").count().filter(col("count") >= 5)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(freqSet.nonEmpty)
+    val fast = docs.select(col("doc_id"),
+        explode(graft.plans.FrequentPairsExpr.column(col("l"), freqSet))
+          .as("p"))
+      .select(col("doc_id"), col("p.tok_a").as("a"), col("p.tok_b").as("b"))
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(col("l"))).as("t"))
+      .filter(col("t").isin(freqSet: _*))
+    val slow = tok.select(col("doc_id"), col("t").as("a"))
+      .join(tok.select(col("doc_id"), col("t").as("b")), Seq("doc_id"))
+      .filter(col("a") < col("b"))
+    assert(fast.exceptAll(slow).count() == 0 &&
+      slow.exceptAll(fast).count() == 0)
+    // edges: repeats collapse, < 2 matches emit nothing, null-safe
+    val edge = Seq(Seq("x", "y", "x", "z", "q"), Seq("x"), Seq[String]())
+      .toDF("l")
+    val got = edge.select(
+      graft.plans.FrequentPairsExpr.column(col("l"), Seq("x", "y", "z"))
+        .as("p")).collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getString(1))))
+    assert(got(0) == Seq(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
   test("native char-class counts == regexp_replace composed form") {
     val composed = (t: org.apache.spark.sql.Column, clazz: String) =>
       (length(t) - length(regexp_replace(t, clazz, ""))).cast("long")
