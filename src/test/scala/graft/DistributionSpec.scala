@@ -24,10 +24,25 @@ class DistributionSpec extends SparkSpec {
   private val LoNeg = 0.30
   private val HiNeg = 0.70
 
+  // Round-12 drift pins: every scripted pipeline's neg fraction on the
+  // committed seeded corpus, measured at HEAD and banded ±2pp — the
+  // per-fitter tripwire the broad reference band above can't provide.
+  // These pin THIS repo's deterministic behavior (seeded splits, seeded
+  // fits) for cross-Spark-version drift, NOT the reference's absolute
+  // splits: those were observed on the 25k movie corpus and do not
+  // transfer to a different corpus; the reference range is asserted as
+  // the outer sanity bracket, the pins as the regression guard. A
+  // legitimate behavior change (new Spark version, conscious pipeline
+  // edit) re-measures and re-commits the pins, GoldenSpec-style.
+  private val PinnedNegFrac = Map(
+    "reglogit" -> 0.4875, "script1" -> 0.4725, "script2" -> 0.4725,
+    "script3" -> 0.4775, "script4" -> 0.4825, "script5" -> 0.4850)
+  private val PinTolerance = 0.02
+
   private lazy val corpus = FixtureGen.syntheticCorpus(spark)
 
   FixtureGen.goldenFitters.foreach { case (name, fit) =>
-    test(s"$name label split on a balanced 2k-doc corpus stays within the reference band") {
+    test(s"$name label split on a balanced 2k-doc corpus stays within the reference band and its ±2pp pin") {
       val (train, test) = corpus
       val scored = fit(train)(test).select(col("prediction").cast("double"))
       val counts = scored.groupBy("prediction").count()
@@ -38,6 +53,12 @@ class DistributionSpec extends SparkSpec {
       assert(negFrac >= LoNeg && negFrac <= HiNeg,
         s"$name neg fraction $negFrac outside [$LoNeg, $HiNeg] " +
           s"(reference range 0.393-0.509 on the 25k corpus)")
+      val pin = PinnedNegFrac(name)
+      assert(math.abs(negFrac - pin) <= PinTolerance,
+        s"$name neg fraction $negFrac drifted past ±$PinTolerance from " +
+          s"its committed pin $pin — if the change is conscious " +
+          "(Spark upgrade, pipeline edit), re-measure and re-commit " +
+          "the pin")
     }
   }
 }
