@@ -1,10 +1,14 @@
 #!/bin/bash
-# PAIRING_r12 protocol: min-of-4 cold + 2 warm in-JVM sweeps at sf0.1,
-# DUCK_RUNS=3, all hash-checked queries. Idempotent: skips sweeps whose
-# output json already exists.
+# Pairing protocol (PAIRING_r{N}.json): min-of-4 cold + 2 warm in-JVM
+# sweeps at sf0.1, DUCK_RUNS=3, all hash-checked queries. Round number
+# is the first arg (default 12); output json + floor skeleton land in
+# the repo root. Idempotent per round dir: sweeps whose output json
+# already exists are skipped — wipe /tmp/pairing_r$R to re-certify a
+# new HEAD within the same round.
 set -e
 cd /root/repo
-OUT=/tmp/pairing_r12
+R=${1:-12}
+OUT=/tmp/pairing_r$R
 mkdir -p $OUT
 if [ ! -f $OUT/verify/oracle_sql.json ]; then
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT/verify zzz_no_query" > $OUT/verify.log 2>&1
@@ -27,7 +31,7 @@ for i in 1 2; do
 done
 echo "=== duckdb $(date +%T)"
 DUCK_RUNS=3 python3 tools/duck_bench.py /root/testdata/sf0.1 $OUT/verify \
-  --pair /root/repo/PAIRING_r12.json \
+  --pair /root/repo/PAIRING_r$R.json \
   $OUT/cold1.json $OUT/cold2.json $OUT/cold3.json $OUT/cold4.json \
   $OUT/warm1.json $OUT/warm2.json
 echo "=== done $(date +%T)"
