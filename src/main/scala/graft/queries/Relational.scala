@@ -673,16 +673,24 @@ object Relational {
     * instead of shipping the set driver-side into the scan kernel. */
   val FreqLiteralCap = 2048
 
-  def q107FrequentPairs(spark: SparkSession, dir: String): DataFrame = {
+  def q107FrequentPairs(spark: SparkSession, dir: String): DataFrame =
+    frequentPairsTiered(spark, dir, FreqLiteralCap)
+
+  /** [[q107FrequentPairs]] with the tier cap injectable, so the spec
+    * can force the join tier on a corpus whose frequent set would
+    * otherwise ride the kernel (both tiers must mine identical
+    * pairs). */
+  private[graft] def frequentPairsTiered(spark: SparkSession, dir: String,
+      cap: Int): DataFrame = {
     val toks = graft.functions.TextFunctions.whitespaceTokens(col("text"))
     val tok = Tables(spark, dir).documents
       .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
     val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") >= MinPairSupport)
       .select("token")
-    val freqHead = freq.limit(FreqLiteralCap + 1).collect().map(_.getString(0))
+    val freqHead = freq.limit(cap + 1).collect().map(_.getString(0))
     val pairs =
-      if (freqHead.length <= FreqLiteralCap) {
+      if (freqHead.length <= cap) {
         Tables(spark, dir).documents
           .select(explode(graft.plans.FrequentPairsExpr.column(
             toks, freqHead.sorted.toSeq)).as("p"))

@@ -212,4 +212,17 @@ class RelationalSpec extends SparkSpec {
       .filter(col("mx") =!= col("k"))
     assert(bad.count() == 0)
   }
+
+  test("q107 tiers mine identical pairs (kernel vs forced join fallback)") {
+    // sf0.01 is the smallest corpus where pairs actually clear the
+    // support floor (the oracle's 50 rows); cap = 0 forces the
+    // above-cap broadcast self-join tier that the normal catalog run
+    // never exercises now that the kernel tier covers the test SFs
+    val kernel = graft.queries.Relational
+      .q107FrequentPairs(spark, "/root/testdata/sf0.01").collect()
+    val fallback = graft.queries.Relational
+      .frequentPairsTiered(spark, "/root/testdata/sf0.01", 0).collect()
+    assert(kernel.nonEmpty)
+    assert(kernel.sameElements(fallback))
+  }
 }
