@@ -239,6 +239,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1).isEmpty && got(2).isEmpty)
   }
 
+  test("postings and frequent-pairs kernels: interpreted path agrees with codegen") {
+    val df = Seq(
+      (1L, Seq("b", "a", "b", "a", "b")),
+      (2L, Seq("x", "y", "x")),
+      (3L, Seq("a")),
+      (4L, Seq.empty[String])).toDF("doc_id", "l")
+    def run(): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = (
+      df.select(col("doc_id"),
+          explode(graft.plans.PostingsExpr.column(col("l"))).as("p"))
+        .select(col("doc_id"), col("p.token"), col("p.tf"),
+          col("p.positions")).collect().toSeq,
+      df.select(col("doc_id"),
+          explode(graft.plans.FrequentPairsExpr.column(col("l"),
+            Seq("a", "b", "x", "y"))).as("p"))
+        .select(col("doc_id"), col("p.tok_a"), col("p.tok_b"))
+        .collect().toSeq)
+    val codegen = run()
+    val keys = Seq("spark.sql.codegen.wholeStage",
+      "spark.sql.codegen.factoryMode")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "false")
+    spark.conf.set(keys(1), "NO_CODEGEN")
+    try assert(run() == codegen)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native char-class counts == regexp_replace composed form") {
     val composed = (t: org.apache.spark.sql.Column, clazz: String) =>
       (length(t) - length(regexp_replace(t, clazz, ""))).cast("long")
