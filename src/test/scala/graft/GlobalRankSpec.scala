@@ -165,6 +165,30 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("boundary sampling balances buckets on skew-sized input partitions") {
+    // one 200k-row partition + fifteen 100-row partitions: the regime
+    // the round-12 sample-and-reweight fix exists for. The unweighted
+    // merge gave every partition's fixed-size reservoir equal say, so
+    // the fifteen tiny partitions' key range captured most quantile
+    // boundaries and ~all 200k big-partition rows landed in ONE rank
+    // bucket; with n/s weights the measured spread is 13.8k-34.2k
+    // around the 25.2k mean (seeded reservoir — deterministic).
+    // Ranks stay exact either way; this pins the BALANCE.
+    val big = spark.sparkContext.parallelize(Seq(0), 1)
+      .flatMap(_ => (0L until 200000L).iterator)
+    val small = spark.sparkContext.parallelize(1 to 15, 15)
+      .flatMap(i => (0 until 100).map(j => 10000000L + i * 1000L + j).iterator)
+    val df = big.union(small).toDF("id")
+    val ranked = GlobalRank.withRowNumber(
+      df, Seq(col("id").asc), "rk", numPartitions = 8)
+    val sizes = ranked.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(_.getLong(1))
+    val mean = 201500.0 / 8
+    assert(sizes.length == 8, s"expected 8 occupied buckets: ${sizes.toSeq}")
+    assert(sizes.max <= 2 * mean,
+      s"bucket sizes ${sizes.toSeq} — max exceeds 2x the ${mean.toInt} mean")
+  }
+
   test("topKBoundary is the k-th (key desc, id asc) pair exactly") {
     val df = randomScores(300, 7).repartition(5)
     val sorted = df.orderBy(col("key").desc, col("id"))
