@@ -198,6 +198,37 @@ class GlobalRankSpec extends SparkSpec {
     assert(GlobalRank.topKBoundary(df, 301).isEmpty)
   }
 
+  test("q88/q107 round-12 replans hold structurally: no ObjectHashAggregate, no self-join, bounded exchanges") {
+    // q88: the collect_list rollup left the plan — postings fold
+    // per-doc in PostingsExpr, so no ObjectHashAggregate (collect_list
+    // exits whole-stage codegen) and at most two shuffle exchanges
+    // remain (the output's range order + the df census)
+    val q88 = graft.queries.TextQueries.q88InvertedIndex(spark, sf)
+      .queryExecution.executedPlan
+    val q88Str = q88.toString
+    assert(!q88Str.contains("ObjectHashAggregate"),
+      "q88 regressed to a collect_list-style aggregate")
+    val q88Shuffles = q88.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(q88Shuffles.size <= 2,
+      s"q88 plans ${q88Shuffles.size} shuffles (expected <= 2)")
+    // q107 kernel tier: pairs are generated in the scan, so the only
+    // shuffle is the pair-census aggregate — no doc_id self-join
+    // (SortMergeJoin/ShuffledHashJoin) anywhere in the plan
+    val q107 = graft.queries.Relational.q107FrequentPairs(spark, sf)
+      .queryExecution.executedPlan
+    val q107Str = q107.toString
+    assert(!q107Str.contains("SortMergeJoin") &&
+      !q107Str.contains("ShuffledHashJoin"),
+      "q107 kernel tier regressed to the self-join plan")
+    val q107Shuffles = q107.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(q107Shuffles.size <= 1,
+      s"q107 kernel tier plans ${q107Shuffles.size} shuffles (expected <= 1)")
+  }
+
   test("q146/q152/q88/q110/q112/q119/q83/q106 plan no Window at all (global ranks and the skew-prone token window left the plan)") {
     for ((name, fn) <- Seq(
         "q146" -> graft.queries.TextQueries.q146DsirResample _,
