@@ -239,6 +239,51 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1).isEmpty && got(2).isEmpty)
   }
 
+  test("postings and frequent-pairs kernels: randomized driver-side recompute (unicode, repeats, empties)") {
+    // independent of the SQL-parity oracles: 300 seeded random docs
+    // over a unicode-heavy alphabet, kernel outputs recomputed in
+    // plain Scala on the driver and compared doc by doc
+    val alphabet = Vector("a", "b", "héllo", "wörld", "漢字", "x1", "",
+      "zzz", "emoji😀", "Ab")
+    val rnd = new scala.util.Random(97)
+    val docs = (0 until 300).map { i =>
+      (i.toLong, Vector.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.size))))
+    }
+    val df = docs.toDF("doc_id", "l")
+    val freqSet = Seq("a", "héllo", "漢字", "", "zzz")
+    val gotPost = df.select(col("doc_id"),
+        explode(graft.plans.PostingsExpr.column(col("l"))).as("p"))
+      .select(col("doc_id"), col("p.token"), col("p.tf"), col("p.positions"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r =>
+        (r.getString(1), r.getLong(2), r.getString(3))).toSet).toMap
+    val gotPairs = df.select(col("doc_id"),
+        explode(graft.plans.FrequentPairsExpr.column(col("l"), freqSet)).as("p"))
+      .select(col("doc_id"), col("p.tok_a"), col("p.tok_b"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getString(2))).toSet).toMap
+    docs.foreach { case (id, toks) =>
+      val expPost = toks.zipWithIndex.groupBy(_._1).map { case (t, occ) =>
+        (t, occ.size.toLong, occ.map(_._2).mkString(","))
+      }.toSet
+      assert(gotPost.getOrElse(id, Set.empty) == expPost, s"doc $id postings")
+      // UTF8 binary order == codepoint order only for these BMP
+      // strings compared via compareTo on UTF-8 bytes; recompute with
+      // the same byte-wise comparison the kernel uses
+      val ord = Ordering.comparatorToOrdering(
+        java.util.Comparator.comparing[String, Array[Byte]](
+          (s: String) => s.getBytes("UTF-8"),
+          java.util.Arrays.compareUnsigned(_, _)))
+      val matched = toks.distinct.filter(freqSet.contains).sorted(ord)
+      val expPairs = (for {
+        i <- matched.indices; j <- (i + 1) until matched.size
+      } yield (matched(i), matched(j))).toSet
+      assert(gotPairs.getOrElse(id, Set.empty) == expPairs, s"doc $id pairs")
+    }
+  }
+
   test("postings and frequent-pairs kernels: interpreted path agrees with codegen") {
     val df = Seq(
       (1L, Seq("b", "a", "b", "a", "b")),
