@@ -122,20 +122,29 @@ object GlobalRank {
 
   /** ≤ p−1 strictly increasing split tuples at even WEIGHTED sample
     * quantiles (weights from [[sampleTuples]]'s per-partition
-    * reweighting). */
+    * reweighting). Duplicate-key handling mirrors Spark's
+    * `RangePartitioner.determineBounds` (Partitioner.scala): a quantile
+    * target is only CONSUMED when a boundary is actually emitted, so a
+    * heavily duplicated key holds the target until the next distinct
+    * tuple instead of silently dropping boundaries — heavy keys then
+    * cost one wide bucket, not a cascade of merged ones (balance only;
+    * ranks are exact regardless of boundary placement). */
   private def pickBoundaries(sample: Seq[(Seq[Any], Double)],
       ord: Ordering[Seq[Any]], p: Int): Seq[Seq[Any]] = {
     val sorted = sample.sortBy(_._1)(ord)
     if (sorted.isEmpty) return Seq.empty
     val total = sorted.iterator.map(_._2).sum
+    val step = total / p
     val out = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     var cum = 0.0
-    var target = 1
-    sorted.foreach { case (t, w) =>
+    var target = step
+    val it = sorted.iterator
+    while (it.hasNext && out.size < p - 1) {
+      val (t, w) = it.next()
       cum += w
-      while (target < p && cum >= target * total / p) {
-        if (out.isEmpty || ord.compare(out.last, t) < 0) out += t
-        target += 1
+      if (cum >= target && (out.isEmpty || ord.compare(out.last, t) < 0)) {
+        out += t
+        target += step
       }
     }
     out.toSeq

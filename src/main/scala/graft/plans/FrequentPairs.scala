@@ -31,10 +31,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF8String binary compare — the same `<` Spark and DuckDB apply to
   * strings under UTF8_BINARY collation. Output pairs are emitted in
   * sorted-token order per doc; every caller re-aggregates anyway.
-  * Null contract: null array → null; null elements unsupported
-  * (inputs are `split` outputs). */
+  * Null contract: null array → null; null ELEMENTS raise a
+  * descriptive IllegalArgumentException (inputs are `split` outputs,
+  * which never contain nulls — same contract as doc_postings).
+  *
+  * Worst-case row size: a document containing k of the set's tokens
+  * emits k·(k−1)/2 structs — quadratic in MATCHED tokens per row by
+  * A-priori's own design. [[FrequentPairsExpr.MaxTokens]] bounds the
+  * set at construction (a `require`, not a silent truncation), so one
+  * output row is at most MaxTokens·(MaxTokens−1)/2 structs; q107's
+  * caller tier caps far lower (FreqLiteralCap = 2048 → ≤ ~2M structs
+  * ≈ tens of MB for one pathological row, which the census aggregate
+  * consumes streaming, never buffering the array). */
 case class FrequentPairsExpr(child: Expression, tokens: Seq[String])
   extends UnaryExpression {
+
+  require(tokens.size <= FrequentPairsExpr.MaxTokens,
+    s"frequent_pairs: set size ${tokens.size} exceeds MaxTokens " +
+      s"${FrequentPairsExpr.MaxTokens} — a driver-collected set this " +
+      "large should not ride into the scan as a literal; use the " +
+      "broadcast self-join tier instead (see q107FrequentPairs)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -65,6 +81,12 @@ case class FrequentPairsExpr(child: Expression, tokens: Seq[String])
 }
 
 object FrequentPairsExpr {
+
+  /** Hard cap on the literal set size, enforced at construction.
+    * 65536 is far above any sane kernel-tier cap (q107 uses 2048) but
+    * still bounds the worst-case per-row output at ~2^31 structs and
+    * keeps the codegen reference object's footprint sane. */
+  val MaxTokens: Int = 1 << 16
 
   val OutType: DataType = ArrayType(StructType(Seq(
     StructField("tok_a", StringType, nullable = false),
@@ -99,6 +121,9 @@ final class FrequentPairsKernel(tokens: Array[String])
     var i = 0
     while (i < n) {
       val t = arr.getUTF8String(i)
+      if (t == null) throw new IllegalArgumentException(
+        s"frequent_pairs: null array element at index $i — null tokens " +
+          "are unsupported (inputs are expected to be split outputs)")
       if (set.contains(t) && !matched.contains(t)) matched.add(t.clone())
       i += 1
     }

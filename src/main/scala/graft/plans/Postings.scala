@@ -30,8 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Determinism: token equality is UTF8 binary equality (groupBy's own
   * semantics); struct order is first occurrence in the document, and
   * every caller re-orders globally anyway. Null contract: null array →
-  * null (UnaryExpression default); null elements unsupported (inputs
-  * are `split` outputs), same as distinct_ngram_count. */
+  * null (UnaryExpression default); null ELEMENTS raise a descriptive
+  * IllegalArgumentException (inputs are `split` outputs, which never
+  * contain nulls — a null element means the caller fed something
+  * else, and a silent skip or a raw NPE inside codegen would both be
+  * undiagnosable). Same contract as frequent_pairs. */
 case class PostingsExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -79,6 +82,9 @@ object PostingsExpr {
     var i = 0
     while (i < n) {
       val t = arr.getUTF8String(i)
+      if (t == null) throw new IllegalArgumentException(
+        s"doc_postings: null array element at index $i — null tokens " +
+          "are unsupported (inputs are expected to be split outputs)")
       var e = m.get(t)
       if (e == null) { e = new Entry; m.put(t.clone(), e) }
       e.tf += 1L

@@ -666,7 +666,19 @@ object Relational {
     * join plan 0.81 s, array_intersect+nested-transform HOF 1.10 s,
     * kernel tier ~0.3 s. The census fetch is limit-bounded
     * (cap + 1 rows), so the driver read stays O(cap) even when the
-    * fallback fires. Counts all integer. */
+    * fallback fires. Counts all integer.
+    *
+    * EAGER MATERIALIZATION: building this DataFrame runs the
+    * frequent-item census as a Spark job AT PLAN-CONSTRUCTION TIME —
+    * the tier decision and the kernel's literal set both need the
+    * census, and a literal set cannot be bound lazily into codegen.
+    * Consequences callers must know: (a) calling this method just to
+    * `explain`/inspect the plan executes cluster work (one bounded
+    * census job); (b) the frequent set is FROZEN at construction — a
+    * frame built before the source data changes mines pairs against
+    * the stale set. Rebuild the frame after any source update; Verify
+    * and Bench construct fresh frames per run, so the catalog path is
+    * unaffected. */
   val MinPairSupport = 100
 
   /** Frequent-set size above which q107 keeps the self-join plan

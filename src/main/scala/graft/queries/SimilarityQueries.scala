@@ -264,11 +264,13 @@ object SimilarityQueries {
     * recall lift that costs query-side fanout instead of a second
     * corpus pass. Deterministic probe set ⇒ fully oracle-checked: the
     * DuckDB twin joins on `xor(sig_q, sig_c) ∈ {0} ∪ {2^b}`.
-    * SimilaritySpec separately asserts recall ≥ single-probe. */
+    * SimilaritySpec asserts recall ≥ single-probe, a 0.5 recall@5
+    * floor on this catalog entry, and the pushed vec_id cost
+    * envelope (the same [[AnnGateQueries]] pin q42/q43 carry). */
   def q42bKnnLshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    Similarity.signLshKnn(e, e.filter(col("vec_id") < 20), k = 5, bits = 4,
-        multiProbe = true)
+    Similarity.signLshKnn(e, e.filter(col("vec_id") < AnnGateQueries),
+        k = 5, bits = 4, multiProbe = true)
       .orderBy("query_id", "rank")
   }
 

@@ -1342,34 +1342,48 @@ object TextQueries {
     //          ss-explode + second aggregation tier's two extra jobs;
     //   ≤ 126 → distinct mask pairs are bounded only by the hash
     //          count: expand to pairs IN-PLAN over the census, then
-    //          collect the ≤ |sources|²-row pair census. TWO packed
-    //          longs, 63 payload bits each (the sign bit never carries
-    //          a source, so `>> i` then `% 2` stays sign-safe) — real
-    //          crawl corpora routinely exceed 63 source labels, and
-    //          the set fallback costs an object-heavy collect_set;
+    //          collect the ≤ |sources|²-row pair census. ONE packed
+    //          long while every source fits in 63 payload bits (the
+    //          common case — the second word would be constantly 0L),
+    //          TWO packed longs for 64..126 sources (the sign bit
+    //          never carries a source, so `>> i` then `% 2` stays
+    //          sign-safe) — real crawl corpora routinely exceed 63
+    //          source labels, and the set fallback costs an
+    //          object-heavy collect_set;
     //   > 126 → per-hash sorted source SETS (q97SetExplode below).
     val d0 = docs(spark, dir)
     val names = d0.select("source").distinct().collect()
       .map(_.getString(0)).sorted
     if (names.length > 126) return q97SetExplode(spark, dir)
+    val s = names.length
     // word(i) = i / 63, bit(i) = i % 63: each source sets one bit in
     // exactly one word; its entry in the other word is 0L (the bit_or
     // identity), so the per-hash collapse stays two primitive columns
     def wordMap(w: Int) = map(names.toIndexedSeq.zipWithIndex.flatMap {
       case (s, i) =>
         Seq(lit(s), lit(if (i / 63 == w) 1L << (i % 63) else 0L)) }: _*)
-    val maskCensus = d0
+    // Single-word tier (s ≤ 63, the common case): every source's bit
+    // lives in word 0, so mask1 would be constantly 0L — ONE bit_or
+    // column crosses the corpus exchange and ONE column keys the mask
+    // census, halving the aggregate state for nothing lost. Tier
+    // boundary spec'd at 63/64 next to the 126/127 pin
+    // (CorpusStatsSpec "q97 ... tier ... pair arithmetic").
+    val maskCensus = if (s <= 63) d0
       // native shingle-hash kernel — see q95. (An in-row array_distinct
       // pre-dedup was measured SLOWER here — 0.51 vs 0.37 s census —
       // because shingles are near-unique within a doc, so the dedup
       // saves no rows and pays per-row allocation.)
+      .select(element_at(wordMap(0), col("source")).as("m0"),
+        explode(shingleHashes60(toks, ShingleDupK)).as("h"))
+      .groupBy("h").agg(bit_or(col("m0")).as("mask0"))
+      .groupBy("mask0").agg(count(lit(1)).as("cnt"))
+    else d0
       .select(element_at(wordMap(0), col("source")).as("m0"),
         element_at(wordMap(1), col("source")).as("m1"),
         explode(shingleHashes60(toks, ShingleDupK)).as("h"))
       .groupBy("h").agg(bit_or(col("m0")).as("mask0"),
         bit_or(col("m1")).as("mask1"))
       .groupBy("mask0", "mask1").agg(count(lit(1)).as("cnt"))
-    val s = names.length
     import spark.implicits._
     val pairRows: IndexedSeq[(String, String, Long, Long, Long)] =
       if (s <= 20) {
@@ -1395,10 +1409,14 @@ object TextQueries {
       } else {
         val namesSql = names.map(n => s"'${n.replace("'", "''")}'")
           .mkString("array(", ", ", ")")
+        // bit i of the packed census: word 0 only in the single-word
+        // tier (mask1 does not exist there), else split at bit 63
+        val bitI =
+          if (s <= 63) "mask0 >> i" else "if(i < 63, mask0 >> i, mask1 >> (i - 63))"
         val agg = maskCensus
           .withColumn("ss", expr(
             s"""filter(transform(sequence(0, ${s - 1}),
-               |  i -> if((if(i < 63, mask0 >> i, mask1 >> (i - 63))) % 2 != 0,
+               |  i -> if(($bitI) % 2 != 0,
                |          element_at($namesSql, i + 1),
                |          CAST(NULL AS STRING))), x -> x IS NOT NULL)""".stripMargin))
           // ordered pairs from the sorted name array: i < j ⟹ ss[i] < ss[j]

@@ -261,4 +261,21 @@ class CorpusStatsSpec extends SparkSpec {
   test("q97: the two-word bitmask tier (64..126 sources) matches pair arithmetic") {
     checkWide(70)
   }
+
+  test("q97: the 63/64 single-word/two-word tier boundary is exact") {
+    // s = 63: the LAST source occupies word 0's top payload bit (bit 62)
+    // and the plan must carry ONE packed long; s = 64: the 64th source
+    // is word 1's bit 0 and the two-word form takes over. Both sides of
+    // the boundary must produce identical pair arithmetic.
+    checkWide(63)
+    checkWide(64)
+  }
+
+  test("q97: the 126/127 bitmask/set-explode tier boundary is exact") {
+    // s = 126 fills word 1's top payload bit; s = 127 exceeds the two
+    // packed longs and q97SourceOverlap must hand off to the per-hash
+    // sorted-set fallback (q97SetExplode) with identical arithmetic.
+    checkWide(126)
+    checkWide(127)
+  }
 }

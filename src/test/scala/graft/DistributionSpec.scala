@@ -31,12 +31,12 @@ class DistributionSpec extends SparkSpec {
   // fits) for cross-Spark-version drift, NOT the reference's absolute
   // splits: those were observed on the 25k movie corpus and do not
   // transfer to a different corpus; the reference range is asserted as
-  // the outer sanity bracket, the pins as the regression guard. A
-  // legitimate behavior change (new Spark version, conscious pipeline
-  // edit) re-measures and re-commits the pins, GoldenSpec-style.
-  private val PinnedNegFrac = Map(
-    "reglogit" -> 0.4875, "script1" -> 0.4725, "script2" -> 0.4725,
-    "script3" -> 0.4775, "script4" -> 0.4825, "script5" -> 0.4850)
+  // the outer sanity bracket, the pins as the regression guard. The
+  // pins live in fixtures/neg_frac_pins.tsv, emitted by FixtureGen
+  // alongside the goldens — a legitimate behavior change (new Spark
+  // version, conscious pipeline edit) re-pins with ONE command:
+  //   sbt "runMain graft.FixtureGen"
+  private lazy val PinnedNegFrac = FixtureGen.readNegFracPins()
   private val PinTolerance = 0.02
 
   private lazy val corpus = FixtureGen.syntheticCorpus(spark)
@@ -44,11 +44,9 @@ class DistributionSpec extends SparkSpec {
   FixtureGen.goldenFitters.foreach { case (name, fit) =>
     test(s"$name label split on a balanced 2k-doc corpus stays within the reference band and its ±2pp pin") {
       val (train, test) = corpus
-      val scored = fit(train)(test).select(col("prediction").cast("double"))
-      val counts = scored.groupBy("prediction").count()
-        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
-      val total = counts.values.sum
-      val negFrac = counts.getOrElse(0.0, 0L).toDouble / total
+      // the SAME computation FixtureGen's pin-regeneration mode emits —
+      // shared so the pins can never drift from the spec's arithmetic
+      val (negFrac, total) = FixtureGen.negFraction(fit(train)(test))
       assert(total == 400L, s"expected 400 scored docs, got $total")
       assert(negFrac >= LoNeg && negFrac <= HiNeg,
         s"$name neg fraction $negFrac outside [$LoNeg, $HiNeg] " +

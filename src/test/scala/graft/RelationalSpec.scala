@@ -219,9 +219,9 @@ class RelationalSpec extends SparkSpec {
     // above-cap broadcast self-join tier that the normal catalog run
     // never exercises now that the kernel tier covers the test SFs
     val kernel = graft.queries.Relational
-      .q107FrequentPairs(spark, "/root/testdata/sf0.01").collect()
+      .q107FrequentPairs(spark, sfMid).collect()
     val fallback = graft.queries.Relational
-      .frequentPairsTiered(spark, "/root/testdata/sf0.01", 0).collect()
+      .frequentPairsTiered(spark, sfMid, 0).collect()
     assert(kernel.nonEmpty)
     assert(kernel.sameElements(fallback))
   }

@@ -248,10 +248,26 @@ class SimilaritySpec extends SparkSpec {
     assert(gate <= 20, "gate query set must stay a small pinned constant")
     for (fn <- Seq(
         graft.queries.SimilarityQueries.q42KnnLsh _,
+        graft.queries.SimilarityQueries.q42bKnnLshMultiProbe _,
         graft.queries.SimilarityQueries.q43KnnIvf _)) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(plan.contains(s"LessThan(vec_id,$gate)"),
         s"pushed gate filter missing:\n${plan.take(2000)}")
     }
+  }
+
+  test("q42b multiprobe catalog entry holds a 0.5 recall@5 floor vs brute force") {
+    // q42/q43 raise in-query below their floors; q42b's lift over
+    // single-probe was spec'd but its ABSOLUTE floor lived nowhere a
+    // runner could assert — this pins it on the catalog entry itself,
+    // against the same AnnGateQueries query set the plan envelope pins.
+    val qs = emb.filter(
+      col("vec_id") < graft.queries.SimilarityQueries.AnnGateQueries)
+    val exact = Similarity.bruteForceKnn(emb, qs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = graft.queries.SimilarityQueries.q42bKnnLshMultiProbe(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"q42b recall@5=$recall below the 0.5 floor")
   }
 }

@@ -7,7 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all specs (one JVM, forked by sbt). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
-  lazy val sf: String = "/root/testdata/sf0.001"
+  /** Testdata root, overridable for checkouts where the driver-generated
+    * parquet lives elsewhere (the sole source of truth for data paths in
+    * specs — never hardcode /root/testdata in a suite). */
+  lazy val testdataBase: String =
+    sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata")
+  lazy val sf: String = s"$testdataBase/sf0.001"
+  /** The correctness-gate scale factor — for the few specs that need a
+    * corpus where support thresholds are actually reachable. */
+  lazy val sfMid: String = s"$testdataBase/sf0.01"
   implicit def sqlImplicits: org.apache.spark.sql.SQLImplicits = spark.implicits
 }
 

@@ -239,6 +239,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1).isEmpty && got(2).isEmpty)
   }
 
+  test("frequent_pairs rejects an oversized literal set at construction") {
+    // the kernel tier's worst-case row is k*(k-1)/2 structs; the cap is
+    // a loud require, not the caller's discipline alone
+    val big = (0 to graft.plans.FrequentPairsExpr.MaxTokens).map(i => s"t$i")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.FrequentPairsExpr.column(lit(Array("a")), big)
+    }
+    assert(e.getMessage.contains("MaxTokens"))
+  }
+
+  test("postings and frequent_pairs raise descriptively on null array elements") {
+    // the contract is "null elements unsupported" — previously postings
+    // NPE'd raw inside codegen while frequent_pairs silently skipped;
+    // both now fail loud with the same diagnosable message
+    def chainHas(t: Throwable, needle: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(x => Option(x.getMessage).exists(_.contains(needle)))
+    val nullToks = Seq(Tuple1(Seq("a", null, "b"))).toDF("l")
+    val e1 = intercept[Exception] {
+      nullToks.select(graft.plans.PostingsExpr.column(col("l"))).collect()
+    }
+    assert(chainHas(e1, "null array element"),
+      s"postings null-element error not descriptive: $e1")
+    val e2 = intercept[Exception] {
+      nullToks.select(graft.plans.FrequentPairsExpr.column(col("l"),
+        Seq("a", "b"))).collect()
+    }
+    assert(chainHas(e2, "null array element"),
+      s"frequent_pairs null-element error not descriptive: $e2")
+  }
+
   test("postings and frequent-pairs kernels: randomized driver-side recompute (unicode, repeats, empties)") {
     // independent of the SQL-parity oracles: 300 seeded random docs
     // over a unicode-heavy alphabet, kernel outputs recomputed in
