@@ -27,6 +27,21 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+# Floor-carousel stabilization (round 13): sub-second DuckDB samples
+# swing +-30% run-to-run, and with DUCK_RUNS=3 the min-of-3 oracle
+# estimate is far noisier than the Spark side's min over 4+2 full
+# sweeps — across rounds 10-12 the warm over-2x membership rotated
+# q88 -> q64 -> q107 -> q97 purely on which floor query drew the slow
+# oracle sample (each query's own warm time was flat between pairings).
+# Fix the estimator, not the plans: any query whose best time is still
+# under FLOOR_ORACLE_SEC after the base runs keeps sampling up to
+# FLOOR_RUNS total, so the min-estimator quality is comparable on both
+# sides of exactly the ratios that decide the weak set. Cost: ~(9-3)
+# extra runs x ~0.2s over ~140 sub-floor queries ~= 2-3 min per pairing.
+FLOOR_ORACLE_SEC = 0.5
+FLOOR_RUNS = 9
+
+
 def time_queries(sf_dir, out_dir, runs):
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -38,11 +53,13 @@ def time_queries(sf_dir, out_dir, runs):
     results = {}
     for name in sorted(oracle):
         best = None
-        for _ in range(runs):
+        n = 0
+        while n < runs or (best < FLOOR_ORACLE_SEC and n < max(runs, FLOOR_RUNS)):
             t0 = time.time()
             con.execute(oracle[name]).fetchall()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            n += 1
         results[name] = round(best, 3)
     return results
 
@@ -142,6 +159,14 @@ def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
             "spark_runs": [{"path": os.path.basename(p),
                             "env": b.get("env")} for p, b in zip(spark_paths, benches)],
             "duck_runs": duck_runs,
+            "duck_floor_runs": {"below_sec": FLOOR_ORACLE_SEC,
+                                "min_runs": FLOOR_RUNS,
+                                "why": ("sub-0.5s oracle samples swing +-30%; "
+                                        "min-of-9 equalizes estimator quality "
+                                        "with the Spark side's 4+2 sweeps so "
+                                        "over_2x membership stops rotating on "
+                                        "oracle variance (rounds 10-12: "
+                                        "q88->q64->q107->q97)")},
             "note": ("cold = per-query min across idle-start cold sweeps "
                      "(driver protocol); warm = SPARK_GRAFT_WARM in-JVM "
                      "steady state, the form that amortizes Spark's fixed "
