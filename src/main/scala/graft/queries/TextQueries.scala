@@ -988,7 +988,14 @@ object TextQueries {
     // runs CONCURRENTLY with the kernel branch (two parquet scans of
     // one column overlap; a shared-scan variant would re-run the
     // kernel for the census branch since pruning cannot reach inside
-    // the struct). The join strategy is AQE's call from the census
+    // the struct). Round-13 A/B: deriving the census from the range
+    // exchange's own output (postings.groupBy(token).count — shuffle
+    // reuse instead of the second scan) measured WORSE, 0.854 vs
+    // 0.665 s median interleaved: the census must then drain the
+    // corpus exchange before the join stage can start, serializing
+    // the job waves the two concurrent scans overlap (and
+    // ReusedExchange does not fire in the static plan). Rejected,
+    // like every variant above. The join strategy is AQE's call from the census
     // shuffle's MEASURED runtime size: a vocabulary-sized census
     // broadcasts, one too big keeps a skew-splittable shuffle join —
     // no forced hint, no driver-side count gate.
