@@ -129,7 +129,7 @@ object GlobalRank {
     * tuple instead of silently dropping boundaries — heavy keys then
     * cost one wide bucket, not a cascade of merged ones (balance only;
     * ranks are exact regardless of boundary placement). */
-  private def pickBoundaries(sample: Seq[(Seq[Any], Double)],
+  private[graft] def pickBoundaries(sample: Seq[(Seq[Any], Double)],
       ord: Ordering[Seq[Any]], p: Int): Seq[Seq[Any]] = {
     val sorted = sample.sortBy(_._1)(ord)
     if (sorted.isEmpty) return Seq.empty

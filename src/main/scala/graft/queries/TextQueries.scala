@@ -1363,34 +1363,7 @@ object TextQueries {
       .map(_.getString(0)).sorted
     if (names.length > 126) return q97SetExplode(spark, dir)
     val s = names.length
-    // word(i) = i / 63, bit(i) = i % 63: each source sets one bit in
-    // exactly one word; its entry in the other word is 0L (the bit_or
-    // identity), so the per-hash collapse stays two primitive columns
-    def wordMap(w: Int) = map(names.toIndexedSeq.zipWithIndex.flatMap {
-      case (s, i) =>
-        Seq(lit(s), lit(if (i / 63 == w) 1L << (i % 63) else 0L)) }: _*)
-    // Single-word tier (s ≤ 63, the common case): every source's bit
-    // lives in word 0, so mask1 would be constantly 0L — ONE bit_or
-    // column crosses the corpus exchange and ONE column keys the mask
-    // census, halving the aggregate state for nothing lost. Tier
-    // boundary spec'd at 63/64 next to the 126/127 pin
-    // (CorpusStatsSpec "q97 ... tier ... pair arithmetic").
-    val maskCensus = if (s <= 63) d0
-      // native shingle-hash kernel — see q95. (An in-row array_distinct
-      // pre-dedup was measured SLOWER here — 0.51 vs 0.37 s census —
-      // because shingles are near-unique within a doc, so the dedup
-      // saves no rows and pays per-row allocation.)
-      .select(element_at(wordMap(0), col("source")).as("m0"),
-        explode(shingleHashes60(toks, ShingleDupK)).as("h"))
-      .groupBy("h").agg(bit_or(col("m0")).as("mask0"))
-      .groupBy("mask0").agg(count(lit(1)).as("cnt"))
-    else d0
-      .select(element_at(wordMap(0), col("source")).as("m0"),
-        element_at(wordMap(1), col("source")).as("m1"),
-        explode(shingleHashes60(toks, ShingleDupK)).as("h"))
-      .groupBy("h").agg(bit_or(col("m0")).as("mask0"),
-        bit_or(col("m1")).as("mask1"))
-      .groupBy("mask0", "mask1").agg(count(lit(1)).as("cnt"))
+    val maskCensus = q97MaskCensus(spark, dir, names)
     import spark.implicits._
     val pairRows: IndexedSeq[(String, String, Long, Long, Long)] =
       if (s <= 20) {
@@ -1460,6 +1433,47 @@ object TextQueries {
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 4))
       .orderBy("source_a", "source_b")
+  }
+
+  /** The corpus-side stage of [[q97SourceOverlap]]: per-hash source
+    * bitmask collapse → ≤|distinct masks|-row census. Exposed
+    * `private[graft]` because the public query consumes it driver-side
+    * (both finish tiers collect), so the returned frame's plan cannot
+    * pin this stage's shape — the structural tier spec reads it here.
+    *
+    * word(i) = i / 63, bit(i) = i % 63: each source sets one bit in
+    * exactly one word; its entry in the other word is 0L (the bit_or
+    * identity), so the per-hash collapse stays primitive columns.
+    * Single-word tier (s ≤ 63, the common case): every source's bit
+    * lives in word 0, so mask1 would be constantly 0L — ONE bit_or
+    * column crosses the corpus exchange and ONE column keys the mask
+    * census, halving the aggregate state for nothing lost (round-13
+    * interleaved duel: census stage 0.566 → 0.501 s median at sf0.1).
+    * Tier boundaries spec'd exact at 63/64 and 126/127
+    * (CorpusStatsSpec), plus the structural no-mask1 plan pin. */
+  private[graft] def q97MaskCensus(spark: SparkSession, dir: String,
+      names: Array[String]): DataFrame = {
+    val d0 = docs(spark, dir)
+    val s = names.length
+    def wordMap(w: Int) = map(names.toIndexedSeq.zipWithIndex.flatMap {
+      case (n, i) =>
+        Seq(lit(n), lit(if (i / 63 == w) 1L << (i % 63) else 0L)) }: _*)
+    if (s <= 63) d0
+      // native shingle-hash kernel — see q95. (An in-row array_distinct
+      // pre-dedup was measured SLOWER here — 0.51 vs 0.37 s census —
+      // because shingles are near-unique within a doc, so the dedup
+      // saves no rows and pays per-row allocation.)
+      .select(element_at(wordMap(0), col("source")).as("m0"),
+        explode(shingleHashes60(toks, ShingleDupK)).as("h"))
+      .groupBy("h").agg(bit_or(col("m0")).as("mask0"))
+      .groupBy("mask0").agg(count(lit(1)).as("cnt"))
+    else d0
+      .select(element_at(wordMap(0), col("source")).as("m0"),
+        element_at(wordMap(1), col("source")).as("m1"),
+        explode(shingleHashes60(toks, ShingleDupK)).as("h"))
+      .groupBy("h").agg(bit_or(col("m0")).as("mask0"),
+        bit_or(col("m1")).as("mask1"))
+      .groupBy("mask0", "mask1").agg(count(lit(1)).as("cnt"))
   }
 
   /** General-cardinality fallback (> 126 sources): per-hash sorted

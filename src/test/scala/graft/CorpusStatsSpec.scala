@@ -271,6 +271,25 @@ class CorpusStatsSpec extends SparkSpec {
     checkWide(64)
   }
 
+  test("q97 tier structure: ONE packed word below 64 sources, two above (plan pin)") {
+    // pins what PAIRING_r13 certified — a regression back to carrying
+    // the constantly-zero second word through the corpus exchange turns
+    // this red instead of waiting for the next pairing (the same device
+    // as GlobalRankSpec's zero-WindowExec pins). The public query
+    // finishes driver-side, so the pin reads the exposed census stage.
+    def censusPlan(s: Int): String = {
+      val names = (0 until s).map(i => f"s$i%03d").toArray
+      TextQueries.q97MaskCensus(spark, wideSourceDir(s), names)
+        .queryExecution.executedPlan.toString
+    }
+    val one = censusPlan(30)
+    assert(!one.contains("mask1"),
+      s"single-word tier plans the second packed word:\n${one.take(1200)}")
+    assert(one.contains("mask0"), "census lost its bitmask entirely?")
+    val two = censusPlan(70)
+    assert(two.contains("mask1"), "two-word tier lost its second word")
+  }
+
   test("q97: the 126/127 bitmask/set-explode tier boundary is exact") {
     // s = 126 fills word 1's top payload bit; s = 127 exceeds the two
     // packed longs and q97SourceOverlap must hand off to the per-hash

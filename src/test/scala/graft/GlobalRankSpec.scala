@@ -247,4 +247,31 @@ class GlobalRankSpec extends SparkSpec {
       assert(windows.isEmpty, s"$name still plans a WindowExec")
     }
   }
+
+  test("pickBoundaries holds the quantile target on duplicate keys (determineBounds contract)") {
+    // RangePartitioner.determineBounds' duplicate-key rule: a target
+    // crossed while the candidate equals the last emitted boundary is
+    // NOT consumed — it waits for the next distinct key. A heavy key
+    // spanning several quantile targets must cost ONE wide bucket, not
+    // a cascade of silently merged ones.
+    val ord = Ordering.by[Seq[Any], Int](_.head.asInstanceOf[Int])
+    def k(i: Int): Seq[Any] = Seq(i)
+    // 9 distinct light keys + one heavy key (weight 12 = 3 full
+    // buckets' worth) in the middle; p = 8 buckets over total 21
+    val sample: Seq[(Seq[Any], Double)] =
+      (1 to 5).map(i => (k(i), 1.0)) ++ Seq((k(6), 12.0)) ++
+        (7 to 10).map(i => (k(i), 1.0))
+    val bs = graft.operators.GlobalRank
+      .pickBoundaries(sample, ord, 8).map(_.head.asInstanceOf[Int])
+    // strictly increasing, never more than p-1
+    assert(bs == bs.sorted && bs.distinct == bs, s"boundaries $bs")
+    assert(bs.size <= 7, s"boundaries $bs")
+    // the heavy key consumes ONE boundary; the key right after it is
+    // emitted for the next stale target instead of being skipped
+    assert(bs.contains(6) && bs.contains(7), s"boundaries $bs")
+    // degenerate: every sample identical -> at most one boundary
+    val same = (1 to 20).map(_ => (k(5), 1.0))
+    val one = graft.operators.GlobalRank.pickBoundaries(same, ord, 8)
+    assert(one.size <= 1, s"duplicate-only sample gave $one")
+  }
 }
