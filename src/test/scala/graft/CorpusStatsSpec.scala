@@ -297,4 +297,53 @@ class CorpusStatsSpec extends SparkSpec {
     checkWide(126)
     checkWide(127)
   }
+
+  test("q97: randomized corpora match a driver-side brute force across all four tiers") {
+    // independent of the constructed-corpus arithmetic above: seeded
+    // random corpora with genuine cross-source window sharing, expected
+    // answer recomputed in plain Scala from distinct 8-token windows
+    // (distinct windows ⇔ distinct 60-bit hashes — md5 collisions at
+    // this scale are ~1e-12 and the seed is fixed). One trial per tier:
+    // s = 4 (driver popcount), 25 (one-word in-plan), 70 (two-word
+    // in-plan), 130 (set-explode fallback).
+    val rnd = new scala.util.Random(1313L)
+    for (s <- Seq(4, 25, 70, 130)) {
+      val shared = (1 to 12).map(i => s"w$i")
+      val rows = (0 until s).flatMap { src =>
+        (0 until 1 + rnd.nextInt(3)).map { d =>
+          val len = 8 + rnd.nextInt(10)
+          val t = Seq.fill(len)(
+            if (rnd.nextDouble() < 0.8) shared(rnd.nextInt(shared.size))
+            else s"u${src}_${rnd.nextInt(5)}")
+          ((src * 100 + d).toLong, t.mkString(" "), "en", f"s$src%03d", 40L)
+        }
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-q97-rand-$s").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val bySource: Map[String, Set[String]] = rows.groupBy(_._4).map {
+        case (src, rs) => src -> rs.flatMap(r =>
+          r._2.split(" ").toSeq.sliding(8).filter(_.size == 8)
+            .map(_.mkString(" "))).toSet
+      }
+      val names = bySource.keys.toSeq.sorted
+      val expected = for {
+        i <- names.indices; j <- (i + 1) until names.size
+        a = names(i); b = names(j)
+        sh = (bySource(a) & bySource(b)).size if sh > 0
+      } yield {
+        val (na, nb) = (bySource(a).size.toLong, bySource(b).size.toLong)
+        // Spark round() = scala BigDecimal(double) HALF_UP — same code path
+        val jac = BigDecimal(sh.toDouble / (na + nb - sh))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, na, nb, sh.toLong, jac)
+      }
+      val got = TextQueries.q97SourceOverlap(spark, dir)
+        .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+      assert(got == expected, s"tier s=$s: got ${got.size} pairs, " +
+        s"expected ${expected.size}; first diff: " +
+        got.zipAll(expected, null, null).find(p => p._1 != p._2))
+    }
+  }
 }
