@@ -213,7 +213,7 @@ def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
 
 def main(argv):
     sf_dir, out_dir = argv[0], argv[1]
-    runs = int(os.environ.get("DUCK_RUNS", "1"))
+    runs = max(1, int(os.environ.get("DUCK_RUNS", "1")))
     results = time_queries(sf_dir, out_dir, runs)
     load = open("/proc/loadavg").read().split()[0]
     print(json.dumps({
