@@ -25,6 +25,68 @@ object ScaleBench {
     * silently reused for the published scaling table. */
   val SynthVersion = 3 // v3: zipf ladder n_chars +26 (was a drifted +22)
 
+  /** Canonical cache directory for the factor-replicated corpus of
+    * `baseDir` — keyed by the FULL base path (sanitized) so two corpora
+    * named sf0.1 under different roots never share a cache, and by
+    * [[SynthVersion]] so a corpus written by older synthesis code is
+    * never silently reused. Shared by the ScaleBench sweep and the
+    * crossover duel ([[Crossover]]) so both measure the SAME parquet. */
+  def corpusDir(baseDir: String, factor: Int, zipf: Boolean = false): String = {
+    val baseKey = new java.io.File(baseDir).getAbsolutePath
+      .replaceAll("[^A-Za-z0-9.-]", "_")
+    val axis = if (zipf) "_zipf" else ""
+    s"/tmp/graft_scale/${baseKey}_v${SynthVersion}${axis}_x$factor"
+  }
+
+  /** A parquet directory only counts as cached when its _SUCCESS marker
+    * exists — an interrupted write must not silently feed measurements. */
+  def cachedParquet(p: String): Boolean =
+    new java.io.File(s"$p/_SUCCESS").exists()
+
+  /** Synthesize (or reuse the cached) replicated documents corpus for
+    * `factor` and return its directory. */
+  def ensureDocuments(spark: SparkSession, baseDir: String, factor: Int): String = {
+    val dir = corpusDir(baseDir, factor)
+    if (!cachedParquet(s"$dir/documents.parquet"))
+      synthesize(spark, baseDir, factor, s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Replicate lineitem with per-copy l_orderkey AND l_partkey offsets:
+    * the distinct-key population (the thing the q64/q72 cardinality
+    * sketches count) scales with the factor — replication without the
+    * partkey offset would grow the row count while every distinct-count
+    * answer stayed frozen at the base corpus's, measuring only scan
+    * cost. l_suppkey and the measures are kept verbatim. */
+  def synthesizeLineitem(spark: SparkSession, baseDir: String, factor: Int,
+      out: String): Unit = {
+    val base = Tables(spark, baseDir).lineitem
+    val mx = base.agg(max(col("l_orderkey")).cast("long").as("mo"),
+        max(col("l_partkey")).cast("long").as("mp"))
+      .collect()(0)
+    require(mx.getLong(0) < 100_000_000L && mx.getLong(1) < 10_000_000L,
+      s"synthesizeLineitem: base keys exceed the per-copy offsets " +
+        s"(max l_orderkey=${mx.getLong(0)}, max l_partkey=${mx.getLong(1)})")
+    val copies = (0 until factor).map { i =>
+      base.select(
+        (col("l_orderkey") + lit(i.toLong * 100_000_000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(i.toLong * 10_000_000L)).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    }
+    copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(out)
+  }
+
+  /** Synthesize (or reuse the cached) replicated lineitem for `factor`
+    * in the same corpus directory as [[ensureDocuments]]. */
+  def ensureLineitem(spark: SparkSession, baseDir: String, factor: Int): String = {
+    val dir = corpusDir(baseDir, factor)
+    if (!cachedParquet(s"$dir/lineitem.parquet"))
+      synthesizeLineitem(spark, baseDir, factor, s"$dir/lineitem.parquet")
+    dir
+  }
+
   def synthesize(spark: SparkSession, baseDir: String, factor: Int, out: String): Unit = {
     val base = Tables(spark, baseDir).documents
     val copies = (0 until factor).map { i =>
@@ -143,23 +205,16 @@ object ScaleBench {
     def forcedPregel(f: => DataFrame): DataFrame =
       graft.operators.Graph.SmallGraphEdgeThreshold.withValue(-1L)(f)
 
-    // cache key includes the base corpus name, and a parquet directory
-    // only counts as cached when its _SUCCESS marker exists — a cache
-    // from a different SPARK_GRAFT_SF_DIR or an interrupted write must
-    // not silently feed the measurements
-    def cached(p: String): Boolean = new java.io.File(s"$p/_SUCCESS").exists()
+    // cache keying + _SUCCESS gating live in corpusDir/cachedParquet
+    // (shared with the Crossover duel so both tools measure the SAME
+    // parquet)
+    def cached(p: String): Boolean = cachedParquet(p)
 
-    // key by the FULL base path (sanitized), not the basename — two
-    // corpora named sf0.1 under different roots must not share a cache
-    val baseKey = new java.io.File(baseDir).getAbsolutePath
-      .replaceAll("[^A-Za-z0-9.-]", "_")
     factors.foreach { factor =>
-      val dir = s"/tmp/graft_scale/${baseKey}_v${SynthVersion}_x$factor"
-      if (!cached(s"$dir/documents.parquet"))
-        synthesize(spark, baseDir, factor, s"$dir/documents.parquet")
+      val dir = ensureDocuments(spark, baseDir, factor)
       if (!cached(s"$dir/events.parquet"))
         synthesizeEvents(spark, baseDir, factor, s"$dir/events.parquet")
-      val zdir = s"/tmp/graft_scale/${baseKey}_v${SynthVersion}_zipf_x$factor"
+      val zdir = corpusDir(baseDir, factor, zipf = true)
       if (!cached(s"$zdir/documents.parquet"))
         synthesizeZipf(spark, baseDir, factor, s"$zdir/documents.parquet")
       val ops: Seq[(String, () => DataFrame)] = Seq(

@@ -648,25 +648,35 @@ object Relational {
       |ORDER BY o_orderpriority, p""".stripMargin
 
   // --------------------------------------------------------------- q107
+  /** Minimum document co-occurrence count for a token pair (and, by
+    * A-priori monotonicity, the df floor for the frequent-item set)
+    * in [[q107FrequentPairs]]. */
+  val MinPairSupport = 100
+
+  /** Frequent-set size above which q107 keeps the self-join plan
+    * instead of shipping the set driver-side into the scan kernel. */
+  val FreqLiteralCap = 2048
+
   /** Frequent token-pair mining (the first A-priori level past items):
-    * unordered token pairs co-occurring in ≥ MinPairSupport documents,
-    * top 50 by support. A-priori monotonicity prunes BEFORE the pair
-    * blow-up: a pair can reach support S only if both tokens have
-    * df ≥ S, so pairs are generated only over the frequent-item set —
-    * the per-doc pair fanout is quadratic only in FREQUENT tokens per
-    * doc, the bound that makes basket mining feasible at corpus
-    * scale. Two tiers on the frequent-set size (q97's discipline):
-    * a set within [[FreqLiteralCap]] rides into the scan as ONE
-    * kernel reference ([[graft.plans.FrequentPairsExpr]] — pairs are
-    * a per-row fact once the set is known, so the pair pass is one
-    * corpus scan with a map-side-combined pair census and ZERO
-    * pre-aggregation exchange), while a larger set keeps the
-    * broadcast semi-join + doc_id self-join plan, which never ships
-    * the set through the driver. Measured warm sf0.1 (min of 6):
-    * join plan 0.81 s, array_intersect+nested-transform HOF 1.10 s,
-    * kernel tier ~0.3 s. The census fetch is limit-bounded
-    * (cap + 1 rows), so the driver read stays O(cap) even when the
-    * fallback fires. Counts all integer.
+    * unordered token pairs co-occurring in ≥ [[MinPairSupport]]
+    * documents, top 50 by support. A-priori monotonicity prunes
+    * BEFORE the pair blow-up: a pair can reach support S only if both
+    * tokens have df ≥ S, so pairs are generated only over the
+    * frequent-item set — the per-doc pair fanout is quadratic only in
+    * FREQUENT tokens per doc, the bound that makes basket mining
+    * feasible at corpus scale. Two tiers on the frequent-set size
+    * (q97's discipline): a set within [[FreqLiteralCap]] rides into
+    * the scan as ONE kernel reference
+    * ([[graft.plans.FrequentPairsExpr]] — pairs are a per-row fact
+    * once the set is known, so the pair pass is one corpus scan with
+    * a map-side-combined pair census and ZERO pre-aggregation
+    * exchange), while a larger set keeps the broadcast semi-join +
+    * doc_id self-join plan, which never ships the set through the
+    * driver. Measured warm sf0.1 (min of 6): join plan 0.81 s,
+    * array_intersect+nested-transform HOF 1.10 s, kernel tier ~0.3 s.
+    * The census fetch is limit-bounded (cap + 1 rows), so the driver
+    * read stays O(cap) even when the fallback fires. Counts all
+    * integer.
     *
     * EAGER MATERIALIZATION: building this DataFrame runs the
     * frequent-item census as a Spark job AT PLAN-CONSTRUCTION TIME —
@@ -679,12 +689,6 @@ object Relational {
     * the stale set. Rebuild the frame after any source update; Verify
     * and Bench construct fresh frames per run, so the catalog path is
     * unaffected. */
-  val MinPairSupport = 100
-
-  /** Frequent-set size above which q107 keeps the self-join plan
-    * instead of shipping the set driver-side into the scan kernel. */
-  val FreqLiteralCap = 2048
-
   def q107FrequentPairs(spark: SparkSession, dir: String): DataFrame =
     frequentPairsTiered(spark, dir, FreqLiteralCap)
 
@@ -693,12 +697,12 @@ object Relational {
     * otherwise ride the kernel (both tiers must mine identical
     * pairs). */
   private[graft] def frequentPairsTiered(spark: SparkSession, dir: String,
-      cap: Int): DataFrame = {
+      cap: Int, support: Int = MinPairSupport): DataFrame = {
     val toks = graft.functions.TextFunctions.whitespaceTokens(col("text"))
     val tok = Tables(spark, dir).documents
       .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
     val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= MinPairSupport)
+      .filter(col("df") >= support)
       .select("token")
     val freqHead = freq.limit(cap + 1).collect().map(_.getString(0))
     val pairs =
@@ -718,23 +722,32 @@ object Relational {
     pairs
       .groupBy("tok_a", "tok_b")
       .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= MinPairSupport)
+      .filter(col("support") >= support)
       .orderBy(col("support").desc, col("tok_a").asc, col("tok_b").asc)
       .limit(50)
   }
 
-  val q107Sql: String =
+  /** [[q107Sql]] with the support threshold injectable — the crossover
+    * duel ([[graft.Crossover]]) scales the threshold with the
+    * replication factor (replication multiplies every pair's support
+    * by N, so support = N·[[MinPairSupport]] keeps the mined workload
+    * scale-invariant; a FIXED threshold on an N×-replicated corpus
+    * promotes the entire vocabulary into the frequent set and measures
+    * a quadratic blow-up on both engines, not the operator). */
+  def q107SqlWith(support: Int): String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
        |  FROM documents),
        |f AS (SELECT token FROM tok GROUP BY token
-       |      HAVING count(*) >= $MinPairSupport),
+       |      HAVING count(*) >= $support),
        |ft AS (SELECT doc_id, token FROM tok WHERE token IN (SELECT token FROM f))
        |SELECT a.token AS tok_a, b.token AS tok_b,
        |  CAST(count(*) AS BIGINT) AS support
        |FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
-       |GROUP BY 1, 2 HAVING count(*) >= $MinPairSupport
+       |GROUP BY 1, 2 HAVING count(*) >= $support
        |ORDER BY support DESC, tok_a, tok_b LIMIT 50""".stripMargin
+
+  val q107Sql: String = q107SqlWith(MinPairSupport)
 
   // --------------------------------------------------------------- q111
   /** Multi-source BFS over q78's co-purchase graph: every reachable

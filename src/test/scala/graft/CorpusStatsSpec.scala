@@ -305,9 +305,11 @@ class CorpusStatsSpec extends SparkSpec {
     // (distinct windows ⇔ distinct 60-bit hashes — md5 collisions at
     // this scale are ~1e-12 and the seed is fixed). One trial per tier:
     // s = 4 (driver popcount), 25 (one-word in-plan), 70 (two-word
-    // in-plan), 130 (set-explode fallback).
+    // in-plan), 130 (set-explode fallback) — plus s = 127, the FIRST
+    // set-explode width, so this property and the exact 126/127
+    // boundary spec overlap at the handoff itself.
     val rnd = new scala.util.Random(1313L)
-    for (s <- Seq(4, 25, 70, 130)) {
+    for (s <- Seq(4, 25, 70, 127, 130)) {
       val shared = (1 to 12).map(i => s"w$i")
       val rows = (0 until s).flatMap { src =>
         (0 until 1 + rnd.nextInt(3)).map { d =>

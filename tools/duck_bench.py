@@ -117,6 +117,45 @@ BASELINE_QUERIES = {
 }
 
 
+def floor_resident_adjudication(over_2x):
+    """Carry the crossover adjudication INTO the pairing artifact.
+
+    A warm over-2x entry whose crossover duel (CROSSOVER_r*.json, the
+    committed 1x/10x/100x same-corpora duel) shows it at <= 1x DuckDB at
+    10x or 100x data is a FLOOR RESIDENT: its sf0.1 ratio measures the
+    local[32] session constant against a sub-second oracle, not the
+    plan — one to two decades up the same plan is the faster engine.
+    The weak set stays listed (the bar is the bar); this field attaches
+    the measured adjudication so each round stops re-deriving it in
+    prose. Returns {} when no crossover artifact exists or none
+    qualifies.
+    """
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(f for f in os.listdir(root)
+                  if f.startswith("CROSSOVER_r") and f.endswith(".json"))
+    if not arts:
+        return {}
+    art = arts[-1]  # lexicographic max = latest round (r10 < r11 < ... ok
+    # until r100; the per-round driver regenerates it anyway)
+    try:
+        cx = json.load(open(os.path.join(root, art)))
+    except (OSError, ValueError):
+        return {}
+    out = {}
+    for name in over_2x:
+        row = cx.get("queries", {}).get(name)
+        if not row:
+            continue
+        ratios = {k: v.get("ratio") for k, v in row.items()}
+        scaled = [v for k, v in ratios.items()
+                  if k != "x1" and v is not None]
+        if scaled and min(scaled) <= 1.0:
+            out[name] = {"crossover_ratios": ratios, "artifact": art,
+                         "rule": "<=1x DuckDB on the same corpus at 10x "
+                                 "or 100x data"}
+    return out
+
+
 def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
     benches = [json.load(open(p)) for p in spark_paths]
     cold = per_query_min([b for b in benches if b.get("env", {}).get("warm", 0) == 0])
@@ -153,6 +192,11 @@ def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
                 and n not in BASELINE_QUERIES),
         }
 
+    warm_agg = agg("warm", warm)
+    if warm_agg:
+        warm_agg["floor_residents"] = floor_resident_adjudication(
+            warm_agg["over_2x_nontrivial"])
+
     out = {
         "sf": sf_dir,
         "protocol": {
@@ -175,7 +219,7 @@ def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
                      "measures per-query session constants, not the data "
                      "path - and excludes the named baseline entries"),
             "excluded_baselines": BASELINE_QUERIES},
-        "summary": {"cold": agg("cold", cold), "warm": agg("warm", warm)},
+        "summary": {"cold": agg("cold", cold), "warm": warm_agg},
         "queries": paired,
     }
     with open(pairing_path, "w") as fh:
@@ -185,6 +229,10 @@ def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
         if s:
             print(f"pairing[{label}]: {s['n_paired']} queries, total ratio "
                   f"{s['total_ratio']}, >2x nontrivial: {s['over_2x_nontrivial']}")
+            fr = s.get("floor_residents")
+            if fr:
+                print(f"  floor residents (crossover-adjudicated <=1x at "
+                      f"10x/100x data): {sorted(fr)}")
     # floor-decomposition skeleton for the warm residue: one pre-filled
     # table row per over-2x nontrivial entry, written next to the
     # pairing artifact so certification and decomposition ship from ONE

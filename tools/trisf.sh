@@ -18,16 +18,21 @@ set -e
 cd /root/repo
 R=${1:-13}
 OUT=/tmp/trisf_r$R
+DATA=${GRAFT_TESTDATA:-/root/testdata}
 mkdir -p $OUT
 for sf in 0.001 0.01 0.1; do
-  if [ -f $OUT/check_sf$sf.log ]; then
+  # idempotency keys on the SUCCESS marker (a parseable summary line),
+  # not mere log existence: a crashed Verify/check leaves a log that a
+  # re-run must NOT treat as done
+  if [ -f $OUT/check_sf$sf.log ] \
+      && grep -Eq '[0-9]+ pass, [0-9]+ fail' $OUT/check_sf$sf.log; then
     echo "=== sf$sf: already done"; continue
   fi
   echo "=== sf$sf verify $(date +%T)"
-  sbt -batch "runMain graft.Verify /root/testdata/sf$sf $OUT/sf$sf" \
+  sbt -batch "runMain graft.Verify $DATA/sf$sf $OUT/sf$sf" \
     > $OUT/verify_sf$sf.log 2>&1
   echo "=== sf$sf oracle check $(date +%T)"
-  python3 tools/check.py /root/testdata/sf$sf $OUT/sf$sf \
+  python3 tools/check.py $DATA/sf$sf $OUT/sf$sf \
     > $OUT/check_sf$sf.log 2>&1 || true
   tail -2 $OUT/check_sf$sf.log
 done
@@ -40,12 +45,24 @@ res = {"round": int(r) if r.isdigit() else r,
        "sfs": {}}
 ok = True
 for sf in ("0.001", "0.01", "0.1"):
-    log = open(f"{out}/check_sf{sf}.log").read()
+    try:
+        log = open(f"{out}/check_sf{sf}.log").read()
+    except OSError:
+        log = ""
     m = re.search(r"(\d+) pass, (\d+) fail", log)
     fails = sorted(set(re.findall(r"^FAIL (\S+?):", log, re.M)))
-    res["sfs"][f"sf{sf}"] = {"pass": int(m.group(1)), "fail": int(m.group(2)),
-                             "failed_queries": fails}
-    ok = ok and int(m.group(2)) == 0
+    if m:
+        res["sfs"][f"sf{sf}"] = {"pass": int(m.group(1)),
+                                 "fail": int(m.group(2)),
+                                 "failed_queries": fails}
+        ok = ok and int(m.group(2)) == 0
+    else:
+        # Verify/check crashed before printing a summary ('|| true'
+        # swallows the exit code): record the broken SF instead of
+        # dying after three expensive runs with no artifact
+        res["sfs"][f"sf{sf}"] = {"pass": 0, "fail": -1, "error": True,
+                                 "failed_queries": fails}
+        ok = False
 res["all_green"] = ok
 with open(f"TRISF_r{r}.json", "w") as fh:
     json.dump(res, fh, indent=1)
