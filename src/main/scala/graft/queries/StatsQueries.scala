@@ -100,7 +100,8 @@ object StatsQueries {
     implicit val s: SparkSession = spark
     val src = graft.streaming.StreamStage.linkedDir("graft-q141",
       graft.streaming.StreamStage.eventsDir(spark, dir))
-    val stream = spark.readStream
+    val ss = graft.streaming.StreamStage.streamSession(spark)
+    val stream = ss.readStream
       .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
       .parquet(src)
       .as[graft.streaming.EventStreams.RunEvent]
@@ -118,7 +119,7 @@ object StatsQueries {
       // PREVIOUS batch's max event time, so batch 3 fires every timer
       graft.streaming.StreamStage.advanceWatermark(spark, src, query)
     } finally query.stop()
-    spark.table(qname)
+    ss.table(qname)
       .filter(col("user_id") >= 0)
       .select("user_id", "event_type", "valid_from_us", "valid_to_us",
         "n_events")
@@ -154,7 +155,8 @@ object StatsQueries {
     implicit val s: SparkSession = spark
     val src = graft.streaming.StreamStage.linkedDir("graft-q145",
       graft.streaming.StreamStage.eventsDir(spark, dir))
-    val stream = spark.readStream
+    val ss = graft.streaming.StreamStage.streamSession(spark)
+    val stream = ss.readStream
       .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
       .parquet(src)
       .as[graft.streaming.EventStreams.UserEvent]
@@ -167,7 +169,7 @@ object StatsQueries {
       query.processAllAvailable()
       graft.streaming.StreamStage.advanceWatermark(spark, src, query)
     } finally query.stop()
-    spark.table(qname)
+    ss.table(qname)
       .filter(col("event_type") =!= "sentinel")
       .select(expr("unix_millis(window_start) DIV 1000").as("window_start_sec"),
         col("event_type"), round(col("hll_distinct"), 4).as("hll_distinct"))
@@ -1075,7 +1077,8 @@ object StatsQueries {
     implicit val s: SparkSession = spark
     val src = graft.streaming.StreamStage.linkedDir("graft-q147",
       graft.streaming.StreamStage.eventsDir(spark, dir))
-    val stream = spark.readStream
+    val ss = graft.streaming.StreamStage.streamSession(spark)
+    val stream = ss.readStream
       .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
       .parquet(src)
       .as[graft.streaming.EventStreams.UserEvent]
@@ -1088,7 +1091,7 @@ object StatsQueries {
       query.processAllAvailable()
       graft.streaming.StreamStage.advanceWatermark(spark, src, query)
     } finally query.stop()
-    spark.table(qname)
+    ss.table(qname)
       .filter(col("event_type") =!= "sentinel")
       .select(expr("unix_millis(window_start) DIV 1000").as("window_start_sec"),
         col("event_type"), col("row").cast("int").as("r"),
@@ -1135,7 +1138,8 @@ object StatsQueries {
     val src = graft.streaming.StreamStage.linkedDir("graft-q148",
       graft.streaming.StreamStage.eventsDir(spark, dir),
       graft.streaming.StreamStage.dupsDir(spark, dir))
-    val stream = spark.readStream
+    val ss = graft.streaming.StreamStage.streamSession(spark)
+    val stream = ss.readStream
       .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
       .parquet(src)
     val qname = s"graft_q148_dedup_${StreamQueryIds.incrementAndGet()}"
@@ -1145,7 +1149,7 @@ object StatsQueries {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
     try query.processAllAvailable() finally query.stop()
-    spark.table(qname)
+    ss.table(qname)
       .select("event_id", "user_id", "event_type", "ts_us")
       .orderBy("event_id")
   }
@@ -1170,7 +1174,8 @@ object StatsQueries {
     implicit val s: SparkSession = spark
     val src = graft.streaming.StreamStage.linkedDir("graft-q149",
       graft.streaming.StreamStage.eventsDir(spark, dir))
-    val stream = spark.readStream
+    val ss = graft.streaming.StreamStage.streamSession(spark)
+    val stream = ss.readStream
       .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
       .parquet(src)
       .as[graft.streaming.EventStreams.UserEvent]
@@ -1183,7 +1188,7 @@ object StatsQueries {
       query.processAllAvailable()
       graft.streaming.StreamStage.advanceWatermark(spark, src, query)
     } finally query.stop()
-    spark.table(qname)
+    ss.table(qname)
       .filter(col("event_type") =!= "sentinel")
       .select(expr("unix_millis(window_start) DIV 1000").as("window_start_sec"),
         col("event_type"), col("pos").cast("int").as("pos"))
@@ -1222,7 +1227,8 @@ object StatsQueries {
     implicit val s: SparkSession = spark
     val src = graft.streaming.StreamStage.linkedDir("graft-q150",
       graft.streaming.StreamStage.eventsDir(spark, dir))
-    val stream = spark.readStream
+    val ss = graft.streaming.StreamStage.streamSession(spark)
+    val stream = ss.readStream
       .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
       .parquet(src)
       .as[graft.streaming.EventStreams.Event]
@@ -1238,7 +1244,7 @@ object StatsQueries {
     // unlike the typed twins there is no sentinel event_type to filter
     // on — the FIRST sentinel's window closes when the second advances
     // the watermark past it, so drop far-future windows by time instead
-    spark.table(qname)
+    ss.table(qname)
       .select(expr("unix_millis(window_start) DIV 1000").as("window_start_sec"),
         col("q"), col("quantile_est"), col("n_rows"))
       .filter(col("window_start_sec") <

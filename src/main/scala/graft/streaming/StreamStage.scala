@@ -28,6 +28,32 @@ object StreamStage {
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Shuffle-partition count for the six batch-parity STREAMING
+    * catalog entries. Each stateful micro-batch instantiates one state
+    * store per shuffle partition, and the harness runs 3 micro-batches
+    * over a kB-scale bounded source — so the per-query constant scales
+    * with this number, not with the data. Measured (warm, local[32],
+    * interleaved 5 reps, sf0.1): q141/q145/q150 each ~5.2–5.4 s at 32
+    * partitions, ~2.7–2.9 s at 8, ~2.3–2.6 s at 4; 8 keeps 8-way
+    * first-batch parallelism while cutting the state-store constant
+    * 4×. Applied via [[streamSession]] (a per-query session clone), so
+    * the caller's session conf is never mutated; the reusable kernels
+    * in [[EventStreams]] take plain Datasets and inherit whatever
+    * session the caller brings — a real deployment sizes its own
+    * partitions. */
+  val StreamShufflePartitions = 8
+
+  /** A session CLONE (shared SparkContext, isolated SQL conf) with
+    * [[StreamShufflePartitions]] set — the streaming query pins the
+    * value into its checkpoint at start, and the memory-sink table is
+    * read back from this same clone. */
+  def streamSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      StreamShufflePartitions.toString)
+    ss
+  }
+
   /** The superset events projection, staged once per sf dir:
     * (event_id, user_id, event_type, ts_us, ts, value). */
   def eventsDir(spark: SparkSession, dir: String): String =
