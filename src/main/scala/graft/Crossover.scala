@@ -42,13 +42,21 @@ object Crossover {
 
   /** The floor cohort: pairing residue + the adjacent under-bar
     * residents that rotated through the over-2× set on oracle variance
-    * in rounds 10–12. */
+    * in rounds 10–12, extended (round 14) with the remaining queries
+    * hovering within 1.4–2× of the warm bar (q42/q71/q146) so any
+    * future flutter over 2× already has its crossover adjudication on
+    * file. A query that FAILS at some factor (e.g. a self-gate raising
+    * on a replicated corpus) is recorded as absent for that factor,
+    * never aborts the duel. */
   val Cohort: Seq[String] = Seq(
     "q88_inverted_index",
     "q97_source_overlap",
     "q64_hll_distinct",
     "q72_hll_merge",
-    "q107_frequent_pairs")
+    "q107_frequent_pairs",
+    "q42_knn_lsh",
+    "q71_heavy_hitters",
+    "q146_dsir_resample")
 
   private def jsonStr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
@@ -91,11 +99,12 @@ object Crossover {
     }
     def fmt(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
 
-    // q88/q97/q107 read documents; q64/q72 read lineitem — both tables
-    // live in the shared per-factor corpus dir so the duck half can
-    // swap views per-table by existence
+    // q88/q97/q107/q146 read documents, q64/q72/q71 lineitem, q42
+    // embeddings — all in the shared per-factor corpus dir so the duck
+    // half can swap views per-table by existence
     val corpora = factors.map { f =>
       ScaleBench.ensureDocuments(spark, baseDir, f)
+      ScaleBench.ensureEmbeddings(spark, baseDir, f)
       f -> ScaleBench.ensureLineitem(spark, baseDir, f)
     }.toMap
 
@@ -117,12 +126,20 @@ object Crossover {
     factors.foreach { factor =>
       Cohort.foreach { name =>
         val dir = corpora(factor)
-        val ts = (1 to Reps).map(_ => time(buildQuery(name, factor, dir)))
-        runs((name, factor)) = ts
-        val timed = ts.drop(1).sorted
-        val med = (timed(1) + timed(2)) / 2.0
-        println(s"[crossover] x$factor $name median=${fmt(med)} " +
-          s"runs=${ts.map(fmt).mkString(",")}")
+        try {
+          val ts = (1 to Reps).map(_ => time(buildQuery(name, factor, dir)))
+          runs((name, factor)) = ts
+          val timed = ts.drop(1).sorted
+          val med = (timed(1) + timed(2)) / 2.0
+          println(s"[crossover] x$factor $name median=${fmt(med)} " +
+            s"runs=${ts.map(fmt).mkString(",")}")
+        } catch { case e: Throwable =>
+          // a self-gated query may legitimately refuse a replicated
+          // corpus (e.g. a recall floor over duplicate ties); record
+          // the absence, keep the duel alive
+          println(s"[crossover] x$factor $name FAILED: " +
+            s"${Option(e.getMessage).getOrElse(e.toString).take(200)}")
+        }
       }
     }
 
@@ -131,16 +148,20 @@ object Crossover {
       val s = ts.drop(1).sorted
       (s(1) + s(2)) / 2.0
     }
-    val sparkJson = Cohort.map { name =>
-      val perFactor = factors.map { f =>
-        val ts = runs((name, f))
-        s""""x$f": {"median": ${fmt(median4(ts))}, "runs": [${ts.map(fmt).mkString(", ")}]}"""
+    val done: Seq[String] = Cohort.filter(n => factors.exists(f => runs.contains((n, f))))
+    val sparkJson = done.map { name =>
+      val perFactor = factors.flatMap { f =>
+        runs.get((name, f)).map { ts =>
+          s""""x$f": {"median": ${fmt(median4(ts))}, "runs": [${ts.map(fmt).mkString(", ")}]}"""
+        }
       }.mkString(", ")
       s"${jsonStr(name)}: {$perFactor}"
     }.mkString(",\n  ")
-    val sqlJson = Cohort.map { name =>
-      val perFactor = factors.map { f =>
-        s""""x$f": ${jsonStr(oracleSqlFor(name, f))}"""
+    val sqlJson = done.map { name =>
+      val perFactor = factors.flatMap { f =>
+        if (runs.contains((name, f)))
+          Some(s""""x$f": ${jsonStr(oracleSqlFor(name, f))}""")
+        else None
       }.mkString(", ")
       s"${jsonStr(name)}: {$perFactor}"
     }.mkString(",\n  ")

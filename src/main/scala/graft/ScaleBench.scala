@@ -87,6 +87,15 @@ object ScaleBench {
     dir
   }
 
+  /** Synthesize (or reuse the cached) replicated embeddings for
+    * `factor` in the same corpus directory as [[ensureDocuments]]. */
+  def ensureEmbeddings(spark: SparkSession, baseDir: String, factor: Int): String = {
+    val dir = corpusDir(baseDir, factor)
+    if (!cachedParquet(s"$dir/embeddings.parquet"))
+      synthesizeEmb(spark, baseDir, factor, s"$dir/embeddings.parquet")
+    dir
+  }
+
   def synthesize(spark: SparkSession, baseDir: String, factor: Int, out: String): Unit = {
     val base = Tables(spark, baseDir).documents
     val copies = (0 until factor).map { i =>

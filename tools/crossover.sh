@@ -39,52 +39,95 @@ else
 fi
 echo "=== duckdb half $(date +%T)"
 python3 - "$R" "$OUT" "$DATA/sf0.1" <<'EOF'
-import json, os, subprocess, sys, time
-import duckdb
+import json, os, subprocess, sys, tempfile
 
 r, out, base = sys.argv[1], sys.argv[2], sys.argv[3]
 sp = json.load(open(f"{out}/spark_crossover.json"))
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 DUCK_RUNS = 5
+
+# Each (factor, query) runs in its OWN subprocess: a DuckDB OutOfMemory
+# poisons the process allocator beyond recovery (measured: after one
+# in-process OOM "recovery", the NEXT query's reconnect failed on a
+# 32 KB allocation), so isolation at the process boundary is the only
+# form that keeps one blown-up plan from voiding the rest of the duel.
+WORKER = r"""
+import json, os, sys, time
+import duckdb
+base, corpus, sql_path, runs = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+tables = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+con = duckdb.connect()
+con.execute(f"SET threads TO {os.cpu_count()}")
+con.execute("SET memory_limit='64GB'")
+con.execute("SET temp_directory='/tmp/duck_spill'")
+for t in tables:
+    p = f"{corpus}/{t}.parquet"
+    if not os.path.exists(p):
+        p = f"{base}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            if os.path.isdir(p) else
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+sql = open(sql_path).read()
+best = None
+for _ in range(runs):
+    t0 = time.time()
+    con.execute(sql).fetchall()
+    best = min(best or 1e99, time.time() - t0)
+print(json.dumps({"best": round(best, 3)}))
+"""
+worker_path = f"{out}/duck_worker.py"
+with open(worker_path, "w") as fh:
+    fh.write(WORKER)
+
 duck = {}
+fails = {}
 for f in sp["factors"]:
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count()}")
     corpus = sp["corpora"][f"x{f}"]
-    for t in TABLES:
-        # any table the scaled corpus dir contains overrides the base SF
-        # dir (documents + lineitem today) — exactly the table set the
-        # Spark half read from the same dir; everything else resolves
-        # from base so any helper view stays defined
-        p = f"{corpus}/{t}.parquet"
-        if not os.path.exists(p):
-            p = f"{base}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
-                if os.path.isdir(p) else
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     for name in sp["cohort"]:
-        sql = sp["sql"][name][f"x{f}"]
-        best = None
-        for _ in range(DUCK_RUNS):
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            best = min(best or 1e99, time.time() - t0)
-        duck.setdefault(name, {})[f"x{f}"] = round(best, 3)
-        print(f"[duck] x{f} {name} min-of-{DUCK_RUNS}={best:.3f}")
-    con.close()
+        # a (query, factor) the Spark half recorded as failed/absent is
+        # skipped here too — the artifact carries the absence
+        sql = sp["sql"].get(name, {}).get(f"x{f}")
+        if sql is None:
+            continue
+        with tempfile.NamedTemporaryFile("w", suffix=".sql", delete=False) as sf:
+            sf.write(sql)
+            sql_path = sf.name
+        try:
+            res = subprocess.run(
+                [sys.executable, worker_path, base, corpus, sql_path,
+                 str(DUCK_RUNS)],
+                capture_output=True, text=True, timeout=900)
+        finally:
+            os.unlink(sql_path)
+        if res.returncode == 0:
+            best = json.loads(res.stdout.strip().splitlines()[-1])["best"]
+            duck.setdefault(name, {})[f"x{f}"] = best
+            print(f"[duck] x{f} {name} min-of-{DUCK_RUNS}={best:.3f}")
+        else:
+            # one engine failing at scale IS a result (e.g. q42's LSH
+            # SQL OOMs DuckDB at 100x) — record it, keep the duel alive
+            err = (res.stderr or "").strip().splitlines()
+            msg = err[-1][:160] if err else f"exit {res.returncode}"
+            fails.setdefault(name, {})[f"x{f}"] = msg
+            print(f"[duck] x{f} {name} FAILED: {msg[:80]}")
 
 queries = {}
 for name in sp["cohort"]:
     row = {}
     for f in sp["factors"]:
-        s = sp["spark"][name][f"x{f}"]["median"]
+        cell = sp.get("spark", {}).get(name, {}).get(f"x{f}")
+        if cell is None or f"x{f}" not in duck.get(name, {}):
+            continue
+        s = cell["median"]
         d = duck[name][f"x{f}"]
         row[f"x{f}"] = {"spark_sec": s, "duck_sec": d,
                         "ratio": round(s / d, 3) if d > 0 else None}
-    queries[name] = row
+    if row:
+        queries[name] = row
 
 load = open("/proc/loadavg").read().split()[0]
 art = {
@@ -96,9 +139,10 @@ art = {
     "protocol": dict(sp["protocol"],
                      duck=f"min of {DUCK_RUNS} on the identical per-factor "
                           "oracle SQL, corpus-dir tables (documents, "
-                          "lineitem) swapped to the scaled parquet, "
+                          "lineitem, embeddings) swapped to the scaled parquet, "
                           "threads=%d" % os.cpu_count()),
     "env": dict(sp["env"], load_end_duck=float(load)),
+    "duck_failures": fails,
     "queries": queries,
 }
 with open(f"CROSSOVER_r{r}.json", "w") as fh:
@@ -106,5 +150,6 @@ with open(f"CROSSOVER_r{r}.json", "w") as fh:
 print(f"wrote CROSSOVER_r{r}.json")
 for name, row in queries.items():
     print(" ", name,
-          " ".join(f"x{f}={row[f'x{f}']['ratio']}x" for f in sp["factors"]))
+          " ".join(f"x{f}={row[f'x{f}']['ratio']}x" for f in sp["factors"]
+                   if f"x{f}" in row))
 EOF
