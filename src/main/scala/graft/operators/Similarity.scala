@@ -638,23 +638,64 @@ object Similarity {
     *   the synthetic corpus: 1×4 bits ⇒ 12/100 true top-5 pairs
     *   reachable at sf0.1, 8×4 bits ⇒ 68/100).
     * @param dim embedding dimensionality; a mismatch fails loudly (see
-    *   [[lshSignature]]) instead of silently degrading. */
+    *   [[lshSignature]]) instead of silently degrading.
+    * @param bucketCap when set, each (table, bucket) keeps only its
+    *   `cap` lowest-`vec_id` corpus rows before the probe join — the
+    *   skew backstop. Without it a duplicate-heavy corpus (the
+    *   realistic pre-dedup crawl shape: identical vectors share every
+    *   signature slice) piles its copies into ONE bucket, the per-query
+    *   candidate set grows linearly with the hot bucket, and the join
+    *   output goes quadratic — measured in the r14 crossover as the
+    *   family's only adverse row (q42 at 100x: 2.07x DuckDB). The cap
+    *   bounds candidates at |Q|·tables·cap rows regardless of skew.
+    *   Keep-lowest-`vec_id` (not a hash order) is deliberate: every
+    *   exact ranker here breaks cosine ties by `neighbor_id` ASC, so
+    *   under exact duplication the capped bucket retains precisely the
+    *   copies brute force would rank first and recall is unharmed
+    *   until the cap is crossed `k` copies deep. The ranking costs one
+    *   sort per bucket (O(B log B)) on the exchange the probe join
+    *   already needs; at real scale the primary knob is still `bits`
+    *   (smaller buckets), the cap is the guarantee. */
   def signLshKnn(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
                  multiProbe: Boolean = false, dim: Int = 64,
-                 tables: Int = 1): DataFrame = {
+                 tables: Int = 1, bucketCap: Option[Int] = None): DataFrame = {
     require(tables >= 1 && tables * bits <= 63,
       s"signLshKnn: tables*bits must fit a long, got $tables x $bits")
+    require(bucketCap.forall(_ >= 1),
+      s"signLshKnn: bucketCap must be >= 1, got $bucketCap")
     val slice = (sig: Column, t: Int) =>
       if (tables == 1) sig
       else shiftright(sig, t * bits).mod(lit(1L << bits))
     val c0 = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("sigAll", lshSignature(col("emb"), tables * bits, dim))
       .withColumn("nrm", l2Norm(col("emb")))
-    val c = c0
+    val cAll = c0
       .withColumn("ts", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), slice(col("sigAll"), t).as("s"))): _*)))
       .select(col("vec_id"), col("emb"), col("nrm"),
         col("ts.t").as("t"), col("ts.s").as("s"))
+    val c = bucketCap match {
+      case None => cAll
+      case Some(cap) =>
+        // the probe side is broadcast (|Q|·probes rows), so the
+        // uncapped corpus never shuffles; the cap's ranking is the one
+        // exchange this path pays. Rank a SKINNY (vec_id, t, s)
+        // projection and reattach (emb, nrm) by vec_id afterwards, so
+        // the shuffle moves ids, not embedding bytes (~17× narrower at
+        // dim=64) — the membership is a function of ids alone, so the
+        // two shapes are semantically identical. row_number, not rank:
+        // vec_id is unique, no ties.
+        val wB = Window.partitionBy("t", "s").orderBy(col("vec_id").asc)
+        val kept = c0
+          .withColumn("ts", explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"), slice(col("sigAll"), t).as("s"))): _*)))
+          .select(col("vec_id"), col("ts.t").as("t"), col("ts.s").as("s"))
+          .withColumn("bn", row_number().over(wB))
+          .filter(col("bn") <= cap)
+          .select("vec_id", "t", "s")
+        kept.join(c0.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
+          .select(col("vec_id"), col("emb"), col("nrm"), col("t"), col("s"))
+    }
     val qBase = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
       .withColumn("sigAll", lshSignature(col("q_emb"), tables * bits, dim))
       .withColumn("q_nrm", l2Norm(col("q_emb")))

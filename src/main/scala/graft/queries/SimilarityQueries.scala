@@ -184,10 +184,27 @@ object SimilarityQueries {
     * filter. */
   val AnnGateQueries = 20
 
+  /** Hot-bucket candidate cap for q42 (r15, [[Similarity.signLshKnn]]
+    * `bucketCap`): each (table, 4-bit bucket) keeps its 2048
+    * lowest-vec_id corpus rows. Sized never to fire at the test SFs
+    * (sf0.1 bucket census: max 215 of 2000 vectors across 8×16
+    * buckets) while bounding the replicated-corpus duel at ~10 copies
+    * deep — the r14 crossover measured the uncapped join going
+    * quadratic on exactly that shape (2.07× DuckDB at 100×, the ANN
+    * family's only adverse row). Keep-lowest-id means the retained
+    * duplicates are the ones the brute-force gate ranks first (its
+    * cosine tie-break is neighbor_id ASC), so the in-query recall
+    * floor survives replication until the cap is crossed k copies
+    * deep. Mirrored exactly in [[q42Sql]] (`rn <= cap` over the same
+    * (table, bucket, vec_id) window), so the oracle checks the capped
+    * semantics, not a lookalike. */
+  val Q42BucketCap = 2048
+
   def q42KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val q = e.filter(col("vec_id") < AnnGateQueries)
-    val lsh = Similarity.signLshKnn(e, q, k = 5, bits = 4, tables = 8)
+    val lsh = Similarity.signLshKnn(e, q, k = 5, bits = 4, tables = 8,
+      bucketCap = Some(Q42BucketCap))
     val exact = Similarity.bruteForceKnn(e, q, 5)
       .select(col("query_id"), col("neighbor_id"))
     val gate = exact.join(
@@ -238,18 +255,32 @@ object SimilarityQueries {
        |  FROM e)""".stripMargin
 
   val q42Sql: String = {
-    // a candidate matches when ANY of the 8 disjoint 4-bit slices of
-    // the 32-plane signature agrees — the OR-construction's join
-    val anyTable = (0 until 8)
-      .map(t => s"((q.sig >> ${t * 4}) & 15) = ((c.sig >> ${t * 4}) & 15)")
-      .mkString("(", "\n      OR ", ")")
+    // the OR-construction, candidate-capped: per (table, bucket) only
+    // the Q42BucketCap lowest-vec_id corpus rows are probeable — the
+    // exact twin of signLshKnn's bucketCap window (same partition
+    // keys, same vec_id ASC order), so both engines bound hot buckets
+    // identically. The slice/rank CTEs are skinny (ids only);
+    // embeddings are joined back per DISTINCT candidate pair.
     s"""WITH ${lshScoredCte(32)},
+       |ct AS (
+       |  SELECT vec_id, t, (sig >> (t * 4)) & 15 AS s,
+       |    row_number() OVER (PARTITION BY t, (sig >> (t * 4)) & 15
+       |      ORDER BY vec_id) AS rn
+       |  FROM n, range(8) r(t)),
+       |qt AS (
+       |  SELECT vec_id AS query_id, t, (sig >> (t * 4)) & 15 AS s
+       |  FROM n, range(8) r(t) WHERE vec_id < $AnnGateQueries),
+       |cand AS (
+       |  SELECT DISTINCT qt.query_id, c.vec_id AS neighbor_id
+       |  FROM qt JOIN ct c USING (t, s)
+       |  WHERE c.rn <= $Q42BucketCap AND c.vec_id != qt.query_id),
        |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  SELECT cand.query_id, cand.neighbor_id,
        |    list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
        |      / (q.nrm * c.nrm) AS cos_sim
-       |  FROM n q JOIN n c ON c.vec_id != q.vec_id AND $anyTable
-       |  WHERE q.vec_id < $AnnGateQueries)
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.query_id
+       |  JOIN n c ON c.vec_id = cand.neighbor_id)
        |SELECT query_id, rank, neighbor_id, cos_sim FROM (
        |  SELECT query_id, neighbor_id, cos_sim,
        |    CAST(row_number() OVER (PARTITION BY query_id

@@ -102,6 +102,59 @@ class SimilaritySpec extends SparkSpec {
     assert(sig.count() == docs.count()) // all test docs have >= 3 tokens
   }
 
+  test("bucketCap that never fires is a no-op (q42's sf-scale contract)") {
+    val qs = emb.filter(col("vec_id") < 20)
+    def rows(cap: Option[Int]) =
+      Similarity.signLshKnn(emb, qs, 5, bits = 4, tables = 8, bucketCap = cap)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(rows(Some(1 << 20)) == rows(None))
+  }
+
+  test("bucketCap keeps exactly the lowest-vec_id rows per bucket") {
+    // 30 identical copies of one vector, ids 100..129: every copy
+    // shares every signature slice, so each table has ONE hot bucket
+    // holding all 30. cap=3 keeps ids {100,101,102}; querying id 100
+    // must see exactly neighbors 101 and 102 (self excluded), cos 1.0.
+    val one = emb.limit(1).select(col("embedding"))
+    val copies = (0 until 30).map(i =>
+      one.select(lit(100L + i).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val q = copies.filter(col("vec_id") === 100L)
+    val out = Similarity.signLshKnn(copies, q, 5, bits = 4, tables = 8,
+        bucketCap = Some(3))
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((100L, 1L, 101L), (100L, 2L, 102L)))
+    assert(out.forall(r => math.abs(r._4 - 1.0) < 1e-12))
+    // uncapped: all 29 other copies are candidates; top-5 by id asc
+    val full = Similarity.signLshKnn(copies, q, 5, bits = 4, tables = 8)
+      .select("neighbor_id").as[Long].collect().sorted.toSeq
+    assert(full == Seq(101L, 102L, 103L, 104L, 105L))
+  }
+
+  test("q42's recall floor survives a 10x-replicated corpus under the cap") {
+    // the ScaleBench synthesis shape (exact copies, vec_id + i*10M):
+    // the keep-lowest-id cap retains the copies the brute-force gate
+    // ranks first, so recall holds where a hash-ordered cap would sink
+    // toward cap/bucket. Cap 150 vs hot buckets of ~10x the base
+    // bucket census — the cap FIRES here (base max bucket > 15).
+    val rep = (0 until 10).map(i =>
+      emb.select((col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ unionByName _)
+    val qs = rep.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(rep, qs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val capped = Similarity.signLshKnn(rep, qs, 5, bits = 4, tables = 8,
+        bucketCap = Some(150))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & capped).size.toDouble / exact.size
+    assert(recall >= graft.queries.SimilarityQueries.Q42RecallFloor,
+      s"capped recall=$recall")
+  }
+
   test("multi-probe LSH recall dominates single-probe at equal bits") {
     val qs = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceKnn(emb, qs, 5)
