@@ -96,7 +96,13 @@ object Bench {
     // head): with args filters the old names.head warm-up varied by
     // subset, making subset runs not strictly comparable to full sweeps
     run(all.head)
+    // host-window stamp (see HostCalib): loadavg only counts runnable
+    // processes, but r14 measured ~25% throughput drift at load ≈ 1 —
+    // a fixed in-JVM probe at both ends makes a slow-window sweep
+    // self-identifying without cross-referencing other artifacts
+    val calibStart = HostCalib.seconds(spark)
     val results = names.map(n => n -> run(n))
+    val calibEnd = HostCalib.seconds(spark)
     val loadEnd = loadavg()
 
     def f(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
@@ -104,7 +110,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val env = s""""env":{"cpus":${Runtime.getRuntime.availableProcessors},""" +
-      s""""warm":$warm,"load_start":$loadStart,"load_end":$loadEnd}"""
+      s""""warm":$warm,"load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""calib_start":${f(calibStart)},"calib_end":${f(calibEnd)},""" +
+      s""""calib_note":"HostCalib fixed ALU probe, seconds; idle-host reference ~1.9"}"""
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     // The FULL per-query map (140 queries ≈ 4 KB) overflows the ~2 KB

@@ -121,6 +121,10 @@ object Crossover {
           graft.queries.Relational.MinPairSupport * factor)
       else SparkEntry.oracleSql(name)
 
+    // host-window stamp after the corpora are ensured (synthesis I/O
+    // would contaminate the reading) — see HostCalib
+    val calibStart = HostCalib.seconds(spark)
+
     val Reps = 5 // first dropped as warmup, median of the remaining 4
     val runs = scala.collection.mutable.LinkedHashMap[(String, Int), Seq[Double]]()
     factors.foreach { factor =>
@@ -143,6 +147,7 @@ object Crossover {
       }
     }
 
+    val calibEnd = HostCalib.seconds(spark)
     val loadEnd = Files.readString(Paths.get("/proc/loadavg")).split(" ")(0)
     def median4(ts: Seq[Double]): Double = {
       val s = ts.drop(1).sorted
@@ -178,7 +183,7 @@ object Crossover {
          |  "corpora": "ScaleBench replicated documents (synth v${ScaleBench.SynthVersion}), same cache as the scaling table"
          |},
          |"corpora": {$corporaJson},
-         |"env": {"cpus": ${Runtime.getRuntime.availableProcessors()}, "load_start": $loadStart, "load_end": $loadEnd},
+         |"env": {"cpus": ${Runtime.getRuntime.availableProcessors()}, "load_start": $loadStart, "load_end": $loadEnd, "calib_start": ${fmt(calibStart)}, "calib_end": ${fmt(calibEnd)}, "calib_note": "HostCalib fixed ALU probe, seconds; idle-host reference ~1.9"},
          |"spark": {
          |  $sparkJson
          |},

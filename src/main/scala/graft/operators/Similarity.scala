@@ -677,24 +677,18 @@ object Similarity {
     val c = bucketCap match {
       case None => cAll
       case Some(cap) =>
-        // the probe side is broadcast (|Q|·probes rows), so the
-        // uncapped corpus never shuffles; the cap's ranking is the one
-        // exchange this path pays. Rank a SKINNY (vec_id, t, s)
-        // projection and reattach (emb, nrm) by vec_id afterwards, so
-        // the shuffle moves ids, not embedding bytes (~17× narrower at
-        // dim=64) — the membership is a function of ids alone, so the
-        // two shapes are semantically identical. row_number, not rank:
-        // vec_id is unique, no ties.
+        // rank within (t, s) and keep the cap lowest vec_ids. The
+        // window shuffles the exploded corpus once (the uncapped path
+        // never shuffles — its probe side broadcasts); ranking on the
+        // wide rows, not a skinny id projection, is deliberate: a
+        // skinny branch would reference the signature subtree twice,
+        // and the tables·bits-plane signature is a ~dim·tables·bits-
+        // term codegen'd expression whose second compile+compute
+        // dominated the measured A/B (23.9 s vs 3.4 s cold at sf0.01).
+        // row_number, not rank: vec_id is unique, no ties.
         val wB = Window.partitionBy("t", "s").orderBy(col("vec_id").asc)
-        val kept = c0
-          .withColumn("ts", explode(array((0 until tables).map(t =>
-            struct(lit(t).as("t"), slice(col("sigAll"), t).as("s"))): _*)))
-          .select(col("vec_id"), col("ts.t").as("t"), col("ts.s").as("s"))
-          .withColumn("bn", row_number().over(wB))
-          .filter(col("bn") <= cap)
-          .select("vec_id", "t", "s")
-        kept.join(c0.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
-          .select(col("vec_id"), col("emb"), col("nrm"), col("t"), col("s"))
+        cAll.withColumn("bn", row_number().over(wB))
+          .filter(col("bn") <= cap).drop("bn")
     }
     val qBase = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
       .withColumn("sigAll", lshSignature(col("q_emb"), tables * bits, dim))

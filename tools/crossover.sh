@@ -62,9 +62,22 @@ con = duckdb.connect()
 con.execute(f"SET threads TO {os.cpu_count()}")
 con.execute("SET memory_limit='64GB'")
 con.execute("SET temp_directory='/tmp/duck_spill'")
+# the corpus dir CONTRACTUALLY provides the replicated tables the
+# Spark ensure* synthesis writes; silently falling back to the base
+# table here would time DuckDB on 1x data against Spark medians from
+# 10x/100x data (e.g. after a wiped /tmp cache between halves) and
+# corrupt the ratios — fail the worker hard instead. The base-table
+# fallback stays for the untouched TPC-H side tables only.
+CONTRACT = {"documents", "lineitem", "embeddings"}
 for t in tables:
     p = f"{corpus}/{t}.parquet"
-    if not os.path.exists(p):
+    if t in CONTRACT:
+        complete = os.path.isfile(p) or (
+            os.path.isdir(p) and os.path.exists(f"{p}/_SUCCESS"))
+        if not complete:
+            sys.stderr.write(f"contract table missing/incomplete: {p}\n")
+            sys.exit(3)
+    elif not os.path.exists(p):
         p = f"{base}/{t}.parquet"
     if os.path.exists(p):
         con.execute(
@@ -130,6 +143,13 @@ for name in sp["cohort"]:
         queries[name] = row
 
 load = open("/proc/loadavg").read().split()[0]
+# host-window stamp for the duck half (script runs with cwd=/root/repo)
+sys.path.insert(0, "tools")
+try:
+    from duck_bench import duck_calib
+    calib_duck = duck_calib()
+except Exception:
+    calib_duck = None
 art = {
     "round": int(r) if r.isdigit() else r,
     "head": subprocess.check_output(
@@ -141,7 +161,7 @@ art = {
                           "oracle SQL, corpus-dir tables (documents, "
                           "lineitem, embeddings) swapped to the scaled parquet, "
                           "threads=%d" % os.cpu_count()),
-    "env": dict(sp["env"], load_end_duck=float(load)),
+    "env": dict(sp["env"], load_end_duck=float(load), calib_duck=calib_duck),
     "duck_failures": fails,
     "queries": queries,
 }

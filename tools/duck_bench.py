@@ -21,7 +21,7 @@ and warm (warm>0) columns:
     python3 tools/duck_bench.py SF_DIR OUT_DIR \
         --pair PAIRING.json cold1.json cold2.json warm.json
 """
-import sys, json, os, time
+import sys, json, os, re, time
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -40,6 +40,24 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # extra runs x ~0.2s over ~140 sub-floor queries ~= 2-3 min per pairing.
 FLOOR_ORACLE_SEC = 0.5
 FLOOR_RUNS = 9
+
+
+def duck_calib():
+    """DuckDB twin of graft.HostCalib: fixed ALU probe, seconds.
+
+    Same arithmetic kernel, sized to ~1.7 s on this container idle —
+    a host-window stamp for the DuckDB half of a pairing/crossover so
+    a slow-window run self-identifies on BOTH engines' artifacts.
+    DuckDB evaluates this single-streamish (~14 ns/row regardless of
+    threads), which is fine: the signal is relative drift, not an
+    absolute cross-engine constant.
+    """
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    t0 = time.time()
+    con.execute("SELECT sum((i % 1000003) * 2654435761 % 97) "
+                "FROM range(150000000) t(i)").fetchall()
+    return round(time.time() - t0, 3)
 
 
 def time_queries(sf_dir, out_dir, runs):
@@ -117,7 +135,20 @@ BASELINE_QUERIES = {
 }
 
 
-def floor_resident_adjudication(over_2x):
+def crossover_candidates(names):
+    """CROSSOVER_r{N}.json filenames, newest round first — NUMERIC
+    round order, not lexicographic (r100 > r14 > r9; the old string
+    sort broke at both of those boundaries). Pure so test_tools.py can
+    pin the ordering."""
+    arts = []
+    for f in names:
+        m = re.match(r"CROSSOVER_r(\d+)\.json$", f)
+        if m:
+            arts.append((int(m.group(1)), f))
+    return [f for _, f in sorted(arts, reverse=True)]
+
+
+def floor_resident_adjudication(over_2x, sf_dir):
     """Carry the crossover adjudication INTO the pairing artifact.
 
     A warm over-2x entry whose crossover duel (CROSSOVER_r*.json, the
@@ -127,36 +158,37 @@ def floor_resident_adjudication(over_2x):
     plan — one to two decades up the same plan is the faster engine.
     The weak set stays listed (the bar is the bar); this field attaches
     the measured adjudication so each round stops re-deriving it in
-    prose. Returns {} when no crossover artifact exists or none
-    qualifies.
+    prose. Uses the newest (numeric round) artifact whose `base`
+    matches this pairing's sf_dir — a crossover measured against a
+    different base SF must not adjudicate this pairing. Returns {} when
+    no such artifact exists or none qualifies.
     """
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    arts = sorted(f for f in os.listdir(root)
-                  if f.startswith("CROSSOVER_r") and f.endswith(".json"))
-    if not arts:
-        return {}
-    art = arts[-1]  # lexicographic max = latest round (r10 < r11 < ... ok
-    # until r100; the per-round driver regenerates it anyway)
-    try:
-        cx = json.load(open(os.path.join(root, art)))
-    except (OSError, ValueError):
-        return {}
-    out = {}
-    for name in over_2x:
-        row = cx.get("queries", {}).get(name)
-        if not row:
+    for art in crossover_candidates(os.listdir(root)):
+        try:
+            cx = json.load(open(os.path.join(root, art)))
+        except (OSError, ValueError):
             continue
-        ratios = {k: v.get("ratio") for k, v in row.items()}
-        scaled = [v for k, v in ratios.items()
-                  if k != "x1" and v is not None]
-        if scaled and min(scaled) <= 1.0:
-            out[name] = {"crossover_ratios": ratios, "artifact": art,
-                         "rule": "<=1x DuckDB on the same corpus at 10x "
-                                 "or 100x data"}
-    return out
+        if cx.get("base") != sf_dir:
+            continue
+        out = {}
+        for name in over_2x:
+            row = cx.get("queries", {}).get(name)
+            if not row:
+                continue
+            ratios = {k: v.get("ratio") for k, v in row.items()}
+            scaled = [v for k, v in ratios.items()
+                      if k != "x1" and v is not None]
+            if scaled and min(scaled) <= 1.0:
+                out[name] = {"crossover_ratios": ratios, "artifact": art,
+                             "rule": "<=1x DuckDB on the same corpus at 10x "
+                                     "or 100x data"}
+        return out
+    return {}
 
 
-def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
+def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs,
+                  duck_env=None):
     benches = [json.load(open(p)) for p in spark_paths]
     cold = per_query_min([b for b in benches if b.get("env", {}).get("warm", 0) == 0])
     warm = per_query_min([b for b in benches if b.get("env", {}).get("warm", 0) > 0])
@@ -195,7 +227,7 @@ def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
     warm_agg = agg("warm", warm)
     if warm_agg:
         warm_agg["floor_residents"] = floor_resident_adjudication(
-            warm_agg["over_2x_nontrivial"])
+            warm_agg["over_2x_nontrivial"], sf_dir)
 
     out = {
         "sf": sf_dir,
@@ -203,6 +235,7 @@ def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
             "spark_runs": [{"path": os.path.basename(p),
                             "env": b.get("env")} for p, b in zip(spark_paths, benches)],
             "duck_runs": duck_runs,
+            "duck_env": duck_env,
             "duck_floor_runs": {"below_sec": FLOOR_ORACLE_SEC,
                                 "min_runs": FLOOR_RUNS,
                                 "why": ("sub-0.5s oracle samples swing +-30%; "
@@ -262,14 +295,22 @@ def write_pairing(duck, spark_paths, pairing_path, sf_dir, duck_runs):
 def main(argv):
     sf_dir, out_dir = argv[0], argv[1]
     runs = max(1, int(os.environ.get("DUCK_RUNS", "1")))
+    calib_start = duck_calib()
     results = time_queries(sf_dir, out_dir, runs)
+    calib_end = duck_calib()
     load = open("/proc/loadavg").read().split()[0]
     print(json.dumps({
         "metric": "duckdb_total", "value": round(sum(results.values()), 3),
         "unit": "sec", "queries": results, "sf": sf_dir,
-        "env": {"cpus": os.cpu_count(), "load_end": float(load), "runs": runs}}))
+        "env": {"cpus": os.cpu_count(), "load_end": float(load), "runs": runs,
+                "calib_start": calib_start, "calib_end": calib_end,
+                "calib_note": ("duck_calib fixed ALU probe, seconds; "
+                               "idle-host reference ~1.7")}}))
     if len(argv) > 3 and argv[2] == "--pair":
-        write_pairing(results, argv[4:], argv[3], sf_dir, runs)
+        write_pairing(results, argv[4:], argv[3], sf_dir, runs,
+                      duck_env={"cpus": os.cpu_count(), "runs": runs,
+                                "calib_start": calib_start,
+                                "calib_end": calib_end})
 
 
 if __name__ == "__main__":

@@ -105,7 +105,22 @@ def parse(log_path):
     return best, n_passes
 
 
+def have(best, key, f):
+    """True when every json key behind a table cell exists at factor f.
+    A sweep where one op crashed or was filtered out at one factor must
+    degrade to a per-cell WARN + em-dash, not a KeyError aborting the
+    whole render (and --apply) — the same per-row policy the unmatched-
+    label WARNs already follow."""
+    keys = key if isinstance(key, tuple) else (key,)
+    missing = [k for k in keys if k not in best.get(f, {})]
+    for k in missing:
+        print(f"WARN: missing {k} at x{f}", file=sys.stderr)
+    return not missing
+
+
 def cell(best, key, f):
+    if not have(best, key, f):
+        return "—"
     if isinstance(key, tuple):
         return "/".join(f"{best[f][k]:.1f}" for k in key) + "s"
     return fmt(best[f][key])
@@ -143,6 +158,9 @@ def main(argv):
         else:
             text = new
     for label, key in PREGEL.items():
+        if not all(have(best, key, f) for f in FACTORS):
+            print(f"WARN: pregel row skipped (missing data): {label}")
+            continue
         esc = re.escape(label)
         pk = "/".join(fmt(best[f][key]).rstrip("s") for f in FACTORS) + "s"
         pat = re.compile(
@@ -154,6 +172,9 @@ def main(argv):
             text = new
     # zipf table rows: | zipf_df_census (q88 inverted index) | a | b | c | growth |
     for label, key in ZIPF:
+        if not all(have(best, key, f) for f in FACTORS):
+            print(f"WARN: zipf row skipped (missing data): {label}")
+            continue
         esc = re.escape(label)
         g = best[100][key] / best[10][key]
         growth = f"{g:.1f}×"
