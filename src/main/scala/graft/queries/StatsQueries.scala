@@ -99,7 +99,8 @@ object StatsQueries {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val src = graft.streaming.StreamStage.linkedDir("graft-q141",
-      graft.streaming.StreamStage.eventsDir(spark, dir))
+      graft.streaming.StreamStage.eventsDir(spark, dir),
+      graft.streaming.StreamStage.sentinelDir(spark))
     val ss = graft.streaming.StreamStage.streamSession(spark)
     val stream = ss.readStream
       .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
@@ -154,7 +155,8 @@ object StatsQueries {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val src = graft.streaming.StreamStage.linkedDir("graft-q145",
-      graft.streaming.StreamStage.eventsDir(spark, dir))
+      graft.streaming.StreamStage.eventsDir(spark, dir),
+      graft.streaming.StreamStage.sentinelDir(spark))
     val ss = graft.streaming.StreamStage.streamSession(spark)
     val stream = ss.readStream
       .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
@@ -1076,7 +1078,8 @@ object StatsQueries {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val src = graft.streaming.StreamStage.linkedDir("graft-q147",
-      graft.streaming.StreamStage.eventsDir(spark, dir))
+      graft.streaming.StreamStage.eventsDir(spark, dir),
+      graft.streaming.StreamStage.sentinelDir(spark))
     val ss = graft.streaming.StreamStage.streamSession(spark)
     val stream = ss.readStream
       .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
@@ -1173,7 +1176,8 @@ object StatsQueries {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val src = graft.streaming.StreamStage.linkedDir("graft-q149",
-      graft.streaming.StreamStage.eventsDir(spark, dir))
+      graft.streaming.StreamStage.eventsDir(spark, dir),
+      graft.streaming.StreamStage.sentinelDir(spark))
     val ss = graft.streaming.StreamStage.streamSession(spark)
     val stream = ss.readStream
       .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))
@@ -1226,7 +1230,8 @@ object StatsQueries {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val src = graft.streaming.StreamStage.linkedDir("graft-q150",
-      graft.streaming.StreamStage.eventsDir(spark, dir))
+      graft.streaming.StreamStage.eventsDir(spark, dir),
+      graft.streaming.StreamStage.sentinelDir(spark))
     val ss = graft.streaming.StreamStage.streamSession(spark)
     val stream = ss.readStream
       .schema(graft.streaming.StreamStage.eventsSchema(spark, dir))

@@ -81,6 +81,28 @@ object StreamStage {
       out
     })
 
+  /** The FIRST far-future sentinel (2400-01-01), staged once per JVM
+    * as its own tiny parquet dir and hard-linked into the timer
+    * queries' sources ALONGSIDE the real events. With it in batch 1,
+    * the watermark computed from batch 1's max event time is already
+    * beyond every real event, so ONE appended sentinel (batch 2) fires
+    * every real-data timer — the harness runs 2 stateful micro-batches
+    * per query instead of 3 (measured on the six: 21.2 s → see
+    * ARCHITECTURE "Round-15"; each micro-batch re-instantiates one
+    * state store per shuffle partition, so batch count is the
+    * constant's multiplier). Kept OUT of [[eventsDir]] so q148's
+    * dedup source and the dups derivation stay sentinel-free. */
+  def sentinelDir(spark: SparkSession): String =
+    staged.computeIfAbsent("#sentinelA", _ => {
+      import spark.implicits._
+      val out = TempDirs.create("graft-stream-sentinel").toString + "/sentinel"
+      val t = java.sql.Timestamp.valueOf("2400-01-01 00:00:00")
+      Seq((-2L, -1L, "sentinel", t.getTime * 1000L, t, 0.0))
+        .toDF("event_id", "user_id", "event_type", "ts_us", "ts", "value")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** Schema of the staged superset (one footer read, memoized). */
   private val schemas =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
@@ -107,21 +129,21 @@ object StreamStage {
   }
 
   /** The watermark-advancing harness shared by the timer-flushed
-    * kernels: two far-future sentinel rows (superset shape, negative
-    * ids, event_type 'sentinel'), each appended as its own file so the
-    * stream sees one further micro-batch per sentinel — batch N's
-    * watermark is computed from batch N−1's max event time, so the
-    * second sentinel is what fires every real-data timer. */
+    * kernels: batch N's watermark is computed from batch N−1's max
+    * event time, and [[sentinelDir]] already placed a 2400-01-01 row
+    * in batch 1 — so ONE appended far-future file (2500-01-01) is
+    * enough: the batch it triggers runs with the watermark already
+    * past every real event and fires every real-data timer. (Until
+    * r15 this appended TWO sentinels = two extra stateful
+    * micro-batches; sources built without [[sentinelDir]] would need
+    * that form back.) */
   def advanceWatermark(spark: SparkSession, sentDir: String,
       query: StreamingQuery): Unit = {
     import spark.implicits._
-    Seq(("2400-01-01 00:00:00", 2L), ("2500-01-01 00:00:00", 3L))
-      .foreach { case (tsStr, i) =>
-        val t = java.sql.Timestamp.valueOf(tsStr)
-        Seq((-i, -1L, "sentinel", t.getTime * 1000L, t, 0.0))
-          .toDF("event_id", "user_id", "event_type", "ts_us", "ts", "value")
-          .write.mode("append").parquet(sentDir)
-        query.processAllAvailable()
-      }
+    val t = java.sql.Timestamp.valueOf("2500-01-01 00:00:00")
+    Seq((-3L, -1L, "sentinel", t.getTime * 1000L, t, 0.0))
+      .toDF("event_id", "user_id", "event_type", "ts_us", "ts", "value")
+      .write.mode("append").parquet(sentDir)
+    query.processAllAvailable()
   }
 }
