@@ -104,21 +104,15 @@ object Similarity {
     * and collapse all vectors into signature 0 — turning the LSH join
     * into a silent cross join; longer arrays would silently ignore
     * components. Neither degradation is acceptable at scale. */
-  def lshSignature(emb: Column, bits: Int, dim: Int = 64): Column = {
-    // coalesce: for a NULL embedding size(emb) is NULL, which would make
-    // the when() condition NULL and fire raise_error with a NULL message
-    // (concat with null) — null rows must fail with a READABLE error
-    val sz = coalesce(size(emb), lit(-1))
-    val checked = when(sz === dim, emb).otherwise(raise_error(concat(
-      lit(s"lshSignature: embedding dim != $dim (got "),
-      sz.cast("string"), lit(")"))))
-    val terms = (0 until bits).map { p =>
-      val plane = typedlit((0 until dim).map(d => planeComponent(p, d)))
-      val proj = dot(checked, plane)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    terms.reduce(_ + _)
-  }
+  def lshSignature(emb: Column, bits: Int, dim: Int = 64): Column =
+    // fused expression, not 32 composed dot terms: the composed form's
+    // generated projection exceeded janino's 64 KB method limit at
+    // bits=32 and silently fell back to INTERPRETED eval — measured as
+    // 95% of q42's wall time on the 100× crossover corpus (40.5 s of
+    // 41.6 s; see plans/LshSignatureExpr scaladoc). Same semantics,
+    // same error text, same IEEE fold order, ~1 KB of generated code.
+    graft.plans.LshSignatureExpr.signature(emb, bits, dim,
+      (0 until bits).flatMap(p => (0 until dim).map(d => planeComponent(p, d))))
 
   /** IVF (inverted-file) ANN: a seeded KMeans coarse quantizer assigns
     * every corpus vector to a cell; each query probes only its `nprobe`
