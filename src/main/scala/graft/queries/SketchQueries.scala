@@ -457,27 +457,33 @@ object SketchQueries {
   def q72HllMerge(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
     // ONE lineitem scan: the staged distinct (flag, partkey) pairs feed
-    // the register build AND both exact yardsticks; the ≤ flags×256-row
-    // register artifact is itself staged because two estimates read it
-    // (round-8 rescanned lineitem four times for the same answers)
+    // the register build AND both exact yardsticks (round-8 rescanned
+    // lineitem four times for the same answers). Round-15 reshaped the
+    // estimate side to the ORACLE's own form — union the per-flag
+    // register frame with its 'ALL' relabeling, ONE merge agg, ONE
+    // estimate agg — replacing the separate flagEst/allEst branches +
+    // a 768-row localCheckpoint (duel in tools/Q72Duel.scala: min
+    // 1.014 → 0.852 s at sf0.1, all variants bit-identical; the
+    // per-flag scopes pass through the merge untouched because
+    // (flag, bucket) rows are already unique, so max is the identity).
+    // perFlag is NOT checkpointed: its two union consumers re-run a
+    // map-side-combined agg over the checkpointed d, which measured
+    // cheaper than the eager materialization it replaced.
     val d = li.select(col("l_returnflag"), col("l_partkey"))
       .distinct().localCheckpoint()
     val perFlag = Sketches.hllRegisters(d, col("l_partkey"), Seq("l_returnflag"))
-      .localCheckpoint()
-    val flagEst = Sketches.hllEstimateRegisters(
-      perFlag.withColumnRenamed("l_returnflag", "scope"), Seq("scope"))
-    val allEst = Sketches.hllEstimateRegisters(
-      Sketches.hllMergeRegisters(
-        perFlag.select(lit("ALL").as("scope"), col("__hll_bucket"),
-          col("__hll_m")),
-        Seq("scope")),
-      Seq("scope"))
+    val regs = perFlag.select(col("l_returnflag").as("scope"),
+        col("__hll_bucket"), col("__hll_m"))
+      .unionByName(perFlag.select(lit("ALL").as("scope"),
+        col("__hll_bucket"), col("__hll_m")))
+    val est = Sketches.hllEstimateRegisters(
+      Sketches.hllMergeRegisters(regs, Seq("scope")), Seq("scope"))
     val exact = d.groupBy(col("l_returnflag").as("scope"))
       .agg(count(lit(1)).as("exact_distinct"))
       .unionByName(d.select("l_partkey").distinct()
         .agg(count(lit(1)).as("exact_distinct"))
         .select(lit("ALL").as("scope"), col("exact_distinct")))
-    flagEst.unionByName(allEst).join(exact, Seq("scope"))
+    est.join(exact, Seq("scope"))
       .select(col("scope"), col("hll_distinct"), col("hll_buckets_used"),
         col("exact_distinct"),
         round(abs(col("hll_distinct") - col("exact_distinct")) /
