@@ -225,6 +225,57 @@ class VectorExpressionSpec extends SparkSpec {
     }
   }
 
+  test("fused LSH signature: composed-form edge semantics preserved") {
+    // the r15 fused expression (plans/LshSignatureExpr) replaced the
+    // 32-term composed form that had silently fallen out of codegen;
+    // these pin the edge contract the oracle never exercises.
+    val rnd = new Random(7)
+    // 1. matches a hand-computed reference on random data, both
+    //    codegen and interpreted paths
+    val rows = (1 to 50).map(i => (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("id", "emb")
+    val bits = 12
+    val got = df.select($"id",
+        graft.operators.Similarity.lshSignature($"emb", bits).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, emb) =>
+      var expect = 0L
+      (0 until bits).foreach { p =>
+        var acc = 0.0
+        (0 until 64).foreach(d =>
+          acc += emb(d) * graft.operators.Similarity.planeComponent(p, d))
+        if (java.lang.Double.compare(acc, 0.0) > 0) expect |= (1L << p)
+      }
+      assert(got(id) == expect, s"id=$id")
+    }
+    // 2. a null ELEMENT nulls every projection -> signature 0 (the
+    //    composed form's when(null > 0).otherwise(0) behavior)
+    val withNullElem = Seq((1L, (0 until 64).map(d =>
+      if (d == 3) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(0.5)))).toDF("id", "emb")
+    val sigNull = withNullElem.select(
+        graft.operators.Similarity.lshSignature($"emb", bits).as("sig"))
+      .as[Long].head()
+    assert(sigNull == 0L)
+    // 3. dim mismatch fails loudly with the composed form's message
+    val short = Seq((1L, Seq.fill(10)(0.5))).toDF("id", "emb")
+    val e = intercept[Exception] {
+      short.select(graft.operators.Similarity.lshSignature($"emb", bits))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("embedding dim != 64 (got 10)")), e.getMessage)
+    // 4. null input fails loudly as dim -1 (never a silent null/0 row)
+    val nullEmb = Seq((1L, null.asInstanceOf[Seq[Double]])).toDF("id", "emb")
+    val e2 = intercept[Exception] {
+      nullEmb.select(graft.operators.Similarity.lshSignature($"emb", bits))
+        .collect()
+    }
+    assert(messages(e2).exists(_.contains("(got -1)")), e2.getMessage)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
