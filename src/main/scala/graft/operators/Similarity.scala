@@ -353,11 +353,35 @@ object Similarity {
       xn2 - lit(2.0) * dot(xs, cw) + lit(pqCodewordNorm2(s, k))
     }: _*)
 
+  /** Query-side ADC table: `vec_id, qtab` where qtab is the flat
+    * `PqSubspaces·PqCodes` distance table (index s·16+k) the ADC probe
+    * `element_at(qtab, s·16 + code + 1)` reads. One fused codegen
+    * kernel ([[graft.plans.PqDistTable]]): the composed [[pqStage]]
+    * form COMPILED but its 128 unrolled literal dot products generated
+    * a ~42.9 KB projection method — past HotSpot's 8 KB JIT ceiling,
+    * so the table build ran bytecode-interpreted in q63/q73/q142
+    * (r15 CodegenAudit's HUGE-METHOD residue). Bit-same arithmetic
+    * (PqSpec pins element-exact parity with the composed form), so
+    * ADC hashes are unchanged. */
+  private[graft] def pqQueryTable(df: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim == PqSubspaces * PqSubDim,
+      s"pq: dim $dim != ${PqSubspaces * PqSubDim}")
+    val tab = graft.plans.PqDistTable(
+      asDouble(col("embedding")), pqCodebookFlat, pqNorms2Flat,
+      PqSubspaces, PqCodes, PqSubDim)
+    df.select(col("vec_id"), tab.as("qtab"))
+  }
+
   /** Stage vec_id, normalized embedding, and the 8 per-subspace distance
     * arrays (d0..d7) in one narrow pass. Each non-cheap intermediate
     * (`ne`, the 8 slices, the 8 x·x norms) is staged in its own
     * projection and referenced many times downstream, so CollapseProject
-    * keeps every one evaluated once per row. */
+    * keeps every one evaluated once per row.
+    *
+    * RETAINED AS THE COMPOSED REFERENCE ONLY: production paths build
+    * the flat table via [[pqQueryTable]]'s fused kernel; PqSpec pins
+    * `flatten(array(d0..d7))` of this form bit-equal to the kernel's
+    * output, which is what makes the fusion hash-safe. */
   private[graft] def pqStage(df: DataFrame, dim: Int = 64): DataFrame = {
     require(dim == PqSubspaces * PqSubDim,
       s"pq: dim $dim != ${PqSubspaces * PqSubDim}")
@@ -434,10 +458,11 @@ object Similarity {
     // Query side ships ONE flat 128-double table per query (subspace s,
     // code k at index s·16+k): a flat primitive-array lookup halves the
     // probe cost vs nested array<array<double>> element_at (measured
-    // 8.6 s → 4.4 s on the same scan).
-    val q = pqStage(queries, dim).select(
-      col("vec_id").as("query_id"),
-      flatten(array((0 until PqSubspaces).map(s => col(s"d$s")): _*)).as("qtab"))
+    // 8.6 s → 4.4 s on the same scan), and the fused kernel keeps the
+    // table build inside JIT-compiled code (the composed form's 42.9 KB
+    // method ran interpreted — r15 audit).
+    val q = pqQueryTable(queries, dim)
+      .select(col("vec_id").as("query_id"), col("qtab"))
     val adc = (lit(0.0) +: (0 until PqSubspaces).map { s =>
       element_at(col("qtab"),
         lit(s * PqCodes) + element_at(col("codes"), s + 1).cast("int") + 1)
@@ -566,9 +591,8 @@ object Similarity {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select("query_id", "cell")
-    val qtab = pqStage(queries, dim).select(
-      col("vec_id").as("query_id"),
-      flatten(array((0 until PqSubspaces).map(s => col(s"d$s")): _*)).as("qtab"))
+    val qtab = pqQueryTable(queries, dim)
+      .select(col("vec_id").as("query_id"), col("qtab"))
     val q = probes.join(qtab, "query_id") // both tiny: |queries|·nprobe rows
     val adc = (lit(0.0) +: (0 until PqSubspaces).map { s =>
       element_at(col("qtab"),
@@ -650,6 +674,40 @@ object Similarity {
     *   sort per bucket (O(B log B)) on the exchange the probe join
     *   already needs; at real scale the primary knob is still `bits`
     *   (smaller buckets), the cap is the guarantee. */
+  /** Map-side half of the two-stage bucket cap: within each INPUT
+    * partition (before any exchange) keep only the `cap` lowest
+    * `vec_id` rows of every (t, s) bucket. A partition-local sort on
+    * (t, s, vec_id) makes buckets contiguous, then a streaming O(1)-
+    * state pass filters — no hash map, no object conversion
+    * (InternalRow pass-through via GraftSqlBridge.mapPartitionsInternal;
+    * a Dataset.mapPartitions would round-trip the 64-double embedding
+    * through external objects per row). Output per partition per
+    * bucket ≤ cap, so the global cap window's per-task input is
+    * bounded by numPartitions·cap even when one hot bucket holds the
+    * whole corpus. Keeps a SUPERSET of the global cap-lowest set
+    * (each globally-lowest id is its own partition's lowest), so the
+    * downstream window produces bit-identical survivors. */
+  private[graft] def partialBucketCap(cAll: DataFrame, cap: Int): DataFrame = {
+    val sorted = cAll.sortWithinPartitions(col("t"), col("s"), col("vec_id"))
+    val tOrd = sorted.schema.fieldIndex("t")
+    val sOrd = sorted.schema.fieldIndex("s")
+    org.apache.spark.sql.GraftSqlBridge.mapPartitionsInternal(sorted, { it =>
+      var started = false
+      var curT = 0
+      var curS = 0L
+      var n = 0L
+      it.filter { r =>
+        val t = r.getInt(tOrd)
+        val s = r.getLong(sOrd)
+        if (!started || t != curT || s != curS) {
+          started = true; curT = t; curS = s; n = 0L
+        }
+        n += 1
+        n <= cap
+      }
+    })
+  }
+
   def signLshKnn(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
                  multiProbe: Boolean = false, dim: Int = 64,
                  tables: Int = 1, bucketCap: Option[Int] = None): DataFrame = {
@@ -680,8 +738,21 @@ object Similarity {
         // term codegen'd expression whose second compile+compute
         // dominated the measured A/B (23.9 s vs 3.4 s cold at sf0.01).
         // row_number, not rank: vec_id is unique, no ties.
+        //
+        // TWO-STAGE (r16): the window alone routes an ENTIRE hot
+        // bucket through one task before discarding — under an
+        // adversarial all-duplicate corpus that task's input grows
+        // linearly with the corpus. partialBucketCap first keeps each
+        // partition's cap lowest vec_ids per (t, s) BEFORE the
+        // window's exchange (the map-side-combine shape of partial
+        // aggregation), so no window task receives more than
+        // numPartitions·cap rows for any bucket. Bit-identical: every
+        // globally cap-lowest id is among its own partition's cap
+        // lowest, so the window sees a superset of the survivors and
+        // keeps exactly the same set (SimilaritySpec pins both).
         val wB = Window.partitionBy("t", "s").orderBy(col("vec_id").asc)
-        cAll.withColumn("bn", row_number().over(wB))
+        partialBucketCap(cAll, cap)
+          .withColumn("bn", row_number().over(wB))
           .filter(col("bn") <= cap).drop("bn")
     }
     val qBase = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))

@@ -186,3 +186,158 @@ object PqEncode {
     GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(emb),
       codebook, norms2, subspaces, codes, subDim))
 }
+
+/** Fused ADC query-side distance table: `array<double>` embedding →
+  * the flat `subspaces·codes` table of squared-L2 distances from each
+  * normalized subvector to each codeword (flat index `s·codes + k`,
+  * the layout `pqAdcKnn`'s `element_at(qtab, s·codes + code + 1)`
+  * probes), in ONE codegen loop.
+  *
+  * Why (the r15 disease, one family over): the composed form
+  * (`pqStage`'s normalize `transform`, 8 slices, 8 self-dots, then 128
+  * `ArrayDotProduct(xs_s, typedlit(codeword))` terms in one
+  * projection) COMPILED — no janino failure — but the generated
+  * projection method was ~42.9 KB of bytecode, past HotSpot's 8 KB
+  * `DontCompileHugeMethods` ceiling, so the ANN table build ran in the
+  * bytecode interpreter in every PQ query (q63/q73/q142;
+  * `graft.CodegenAudit` HUGE-METHOD). This kernel is the identical
+  * arithmetic as a ~1 KB method over a references-held codebook.
+  *
+  * IEEE parity with the composed form (hash-stable for q63/q73/q142):
+  *  - nrm = sqrt(Σ x_i², ascending fold) — `ArrayDotProduct`'s order;
+  *  - normalized component recomputed as x_i/nrm at each use (the
+  *    staged `transform` materialized the same quotient — division is
+  *    deterministic);
+  *  - xn2_s = Σ_d (x/nrm)², ascending within the subspace — the staged
+  *    `dot(xs_s, xs_s)`;
+  *  - entry (s,k) = (xn2_s − 2·(x·c)) + ‖c‖², both dots ascending,
+  *    ‖c‖² the driver-side literal — `pqDistArray`'s exact shape;
+  *  - entries written in ascending (s, k) — `flatten(array(d0..d7))`.
+  *
+  * Null: null input → null (standard unary propagation); wrong-length
+  * or null-element embedding throws — [[PqEncode]]'s loud-failure
+  * contract, shared so corpus and query sides fail identically. */
+case class PqDistTable(child: Expression, codebook: Array[Double],
+                       norms2: Array[Double], subspaces: Int, codes: Int,
+                       subDim: Int)
+  extends UnaryExpression {
+
+  private val dim = subspaces * subDim
+  require(codebook.length == subspaces * codes * subDim &&
+    norms2.length == subspaces * codes,
+    s"pq_dist_table: codebook ${codebook.length}/${norms2.length} does not " +
+      s"match $subspaces subspaces x $codes codes x $subDim dims")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "pq_dist_table"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"pq_dist_table: embedding length ${arr.numElements()} != $dim")
+    var nrm2 = 0.0
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(s"pq_dist_table: null element at $i")
+      val x = arr.getDouble(i)
+      nrm2 += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(nrm2)
+    val out = new Array[Double](subspaces * codes)
+    var s = 0
+    while (s < subspaces) {
+      val base = s * subDim
+      var xn2 = 0.0
+      var d = 0
+      while (d < subDim) {
+        val x = arr.getDouble(base + d) / nrm
+        xn2 += x * x
+        d += 1
+      }
+      var k = 0
+      while (k < codes) {
+        val cb = (s * codes + k) * subDim
+        var dot = 0.0
+        d = 0
+        while (d < subDim) {
+          dot += (arr.getDouble(base + d) / nrm) * codebook(cb + d)
+          d += 1
+        }
+        out(s * codes + k) = (xn2 - 2.0 * dot) + norms2(s * codes + k)
+        k += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    val n2Ref = ctx.addReferenceObj("pqNorms2", norms2, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val nrm2 = ctx.freshName("nrm2")
+      val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val k = ctx.freshName("k")
+      val x = ctx.freshName("x")
+      val xn2 = ctx.freshName("xn2")
+      val dot = ctx.freshName("dot")
+      s"""
+        |if ($arr.numElements() != $dim) {
+        |  throw new IllegalArgumentException(
+        |    "pq_dist_table: embedding length " + $arr.numElements() + " != $dim");
+        |}
+        |double $nrm2 = 0.0;
+        |for (int $i = 0; $i < $dim; $i++) {
+        |  if ($arr.isNullAt($i)) {
+        |    throw new IllegalArgumentException("pq_dist_table: null element at " + $i);
+        |  }
+        |  double $x = $arr.getDouble($i);
+        |  $nrm2 += $x * $x;
+        |}
+        |double $nrm = Math.sqrt($nrm2);
+        |double[] $out = new double[${subspaces * codes}];
+        |for (int $s = 0; $s < $subspaces; $s++) {
+        |  double $xn2 = 0.0;
+        |  for (int $d = 0; $d < $subDim; $d++) {
+        |    double $x = $arr.getDouble($s * $subDim + $d) / $nrm;
+        |    $xn2 += $x * $x;
+        |  }
+        |  for (int $k = 0; $k < $codes; $k++) {
+        |    double $dot = 0.0;
+        |    for (int $d = 0; $d < $subDim; $d++) {
+        |      $dot += ($arr.getDouble($s * $subDim + $d) / $nrm)
+        |        * $cbRef[($s * $codes + $k) * $subDim + $d];
+        |    }
+        |    $out[$s * $codes + $k] = ($xn2 - 2.0 * $dot)
+        |      + $n2Ref[$s * $codes + $k];
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqDistTable {
+  def apply(emb: Column, codebook: Array[Double], norms2: Array[Double],
+            subspaces: Int, codes: Int, subDim: Int): Column =
+    GraftSqlBridge.column(PqDistTable(GraftSqlBridge.expression(emb),
+      codebook, norms2, subspaces, codes, subDim))
+}

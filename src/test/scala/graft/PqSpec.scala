@@ -119,6 +119,50 @@ class PqSpec extends SparkSpec {
     assert(cells.subsetOf(Set(0, 3)))
   }
 
+  test("fused qtab kernel is bit-identical to the composed pqStage form") {
+    // the hash-safety proof for the r16 fusion: flatten(d0..d7) of the
+    // composed reference (transform-normalize, slices, 128 literal dot
+    // products) vs the one-loop PqDistTable kernel, compared at the
+    // RAW BIT level per element — IEEE equality, not tolerance
+    val sample = emb.limit(50)
+    val composed = Similarity.pqStage(sample)
+      .select(col("vec_id"), flatten(array(
+        (0 until Similarity.PqSubspaces).map(s => col(s"d$s")): _*)).as("qtab"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val fused = Similarity.pqQueryTable(sample)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(composed.keySet == fused.keySet && composed.nonEmpty)
+    composed.foreach { case (id, cd) =>
+      val fd = fused(id)
+      assert(cd.length == Similarity.PqSubspaces * Similarity.PqCodes &&
+        fd.length == cd.length)
+      cd.indices.foreach { i =>
+        assert(java.lang.Double.doubleToRawLongBits(cd(i)) ==
+          java.lang.Double.doubleToRawLongBits(fd(i)),
+          s"vec $id idx $i: composed ${cd(i)} vs fused ${fd(i)}")
+      }
+    }
+  }
+
+  test("fused qtab kernel: loud-failure edge contract") {
+    // PqEncode's shared contract: null input -> null row; wrong length
+    // or null element -> throw (never silent garbage distances)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType, containsNull = true))))
+    def df(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    import org.apache.spark.sql.Row
+    val nullIn = df(Seq(Row(1L, null)))
+    assert(Similarity.pqQueryTable(nullIn).filter(col("qtab").isNull).count() == 1)
+    val short = df(Seq(Row(1L, Seq.fill(8)(0.5))))
+    val e1 = intercept[Exception] { Similarity.pqQueryTable(short).collect() }
+    assert(e1.getMessage.contains("embedding length"), e1.getMessage)
+    val hole = df(Seq(Row(1L, (0 until 64).map(i => if (i == 7) null else java.lang.Double.valueOf(0.5)))))
+    val e2 = intercept[Exception] { Similarity.pqQueryTable(hole).collect() }
+    assert(e2.getMessage.contains("null element"), e2.getMessage)
+  }
+
   test("adc distance approximates true normalized-L2 distance") {
     // ADC(q, c) should correlate with 2-2cos(q, c); spot-check that for
     // one query the ADC-nearest neighbor is within the true top half

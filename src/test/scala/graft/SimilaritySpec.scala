@@ -134,6 +134,40 @@ class SimilaritySpec extends SparkSpec {
     assert(full == Seq(101L, 102L, 103L, 104L, 105L))
   }
 
+  test("partial bucket cap bounds any window task's bucket rows (r16 two-stage)") {
+    // adversarial shape: ONE bucket holds every row (100x the cap),
+    // spread over 8 input partitions. The map-side stage must emit at
+    // most numPartitions*cap rows for the bucket — the bound on what
+    // any global-window task can receive — while keeping each
+    // partition's lowest ids, so the globally lowest `cap` survive.
+    val cap = 4
+    val df = spark.range(800).select(col("id").as("vec_id"),
+      lit(0).as("t"), lit(7L).as("s")).repartition(8)
+    val partial = Similarity.partialBucketCap(df, cap)
+    val cnt = partial.count()
+    assert(cnt <= 8L * cap, s"partial output $cnt exceeds partitions*cap bound")
+    assert(cnt >= cap)
+    val ids = partial.select("vec_id").as[Long].collect().toSet
+    assert((0L until cap.toLong).toSet.subsetOf(ids),
+      s"global cap-lowest ids must survive the partial stage, got $ids")
+  }
+
+  test("two-stage cap: 100x-cap hot bucket over many partitions keeps exactly the lowest ids") {
+    // end-to-end bit-identity of the r16 two-stage with the r15
+    // window-only semantics: 400 identical copies (one hot bucket per
+    // table) across 8 partitions, cap 3 -> survivors {100,101,102},
+    // query 100 sees exactly 101, 102.
+    val one = emb.limit(1).select(col("embedding"))
+    val copies = spark.range(400)
+      .select((col("id") + 100L).as("vec_id")).crossJoin(one).repartition(8)
+    val q = copies.filter(col("vec_id") === 100L)
+    val out = Similarity.signLshKnn(copies, q, 5, bits = 4, tables = 8,
+        bucketCap = Some(3))
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out == Seq((100L, 1L, 101L), (100L, 2L, 102L)))
+  }
+
   test("q42's recall floor survives a 10x-replicated corpus under the cap") {
     // the ScaleBench synthesis shape (exact copies, vec_id + i*10M):
     // the keep-lowest-id cap retains the copies the brute-force gate
