@@ -23,32 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object LexiconTagger {
 
-  /** [[PosTagger.tagToken]] (ASCII mode) as a generated Catalyst
-    * when-chain: empty → X, no alnum → '.', number → NUM, closed-class
-    * lexicon, suffix rules (longest first, length guard), capitalized →
-    * NOUN, any non-letter → X, else NOUN. Tags in the closed-class InSet
-    * checks may evaluate in any order — word lists are disjoint by
-    * construction (asserted at [[PosTagger.Lexicon]] build). */
-  def ruleTagColumn(word: Column): Column = {
-    val lw = lower(word)
-    val closedClass = PosTagger.Lexicon.groupBy(_._2).toSeq.sortBy(_._1)
-      .map { case (tag, words) => (lw.isInCollection(words.keys.toSeq), lit(tag)) }
-    val suffixes = PosTagger.SuffixRules.map { case (suf, tag) =>
-      (length(word) > suf.length + 2 && lw.endsWith(suf), lit(tag))
-    }
-    val chain =
-      Seq(
-        (word.isNull || word === "", lit("X")),
-        (!word.rlike("[A-Za-z0-9]"), lit(".")),
-        (word.rlike("^[0-9]+([.,][0-9]+)*$"), lit("NUM"))) ++
-        closedClass ++ suffixes ++
-        Seq(
-          (word.rlike("^[A-Z]"), lit("NOUN")),
-          (word.rlike("[^A-Za-z]"), lit("X")))
-    chain.foldRight(lit("NOUN"): Column) { case ((cond, tag), rest) =>
-      when(cond, tag).otherwise(rest)
-    }
-  }
+  /** [[PosTagger.tagToken]] (ASCII mode) as a Catalyst column —
+    * [[RuleTagExpr]], a single codegen'd call into the closure itself.
+    * Until r16 this was a generated 46-branch when-chain over the same
+    * constants; the chain put q52/q53/q53b's codegen units at 122–132 KB
+    * of source, one lexicon growth from janino's 64 KB method cliff
+    * (see RuleTagExpr's scaladoc). Parity with the closure is still the
+    * spec'd law (LexiconTaggerSpec) — now true by construction. */
+  def ruleTagColumn(word: Column): Column = RuleTagExpr(word)
 
   /** Lexicon tag with rule fallback for one token column. The lexicon
     * deliberately wins for its entries (that's the accuracy lift — e.g.
