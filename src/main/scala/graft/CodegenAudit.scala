@@ -1,16 +1,64 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** r15 audit: walk every catalog query's plan and report generated
-  * whole-stage-codegen units near janino's 64 KB method limit — the
-  * silent-interpretation disease q42's composed signature had (80 KB
-  * generated, stage quietly interpreted, 95% of the 100x wall time).
-  * Run at sf0.001 (plan shapes are SF-independent).
+/** r15 audit, r16 round-gate: walk every catalog query's plan,
+  * janino-compile its whole-stage-codegen units, and report the three
+  * tiers of the silent-interpretation disease:
+  *
+  *  - FAILED-COMPILE: a unit janino rejects (method > 65535 bytes) —
+  *    the whole stage silently runs interpreted (q42's fate for ten
+  *    rounds: the composed 32-plane signature generated ~80 KB, 95% of
+  *    the 100× wall time in an interpreter the plan called codegen);
+  *  - HUGE-METHOD: compiles, but a method exceeds HotSpot's 8 KB
+  *    `DontCompileHugeMethods` ceiling, so it runs bytecode-interpreted
+  *    (the r15 PQ family: 42.9 KB ADC table build, fused in r16);
+  *  - NEAR-LIMIT: a unit's source within sight of janino's 65535 —
+  *    the exact precursor state of both shipped bugs, flagged before
+  *    the next constant-table growth crosses the cliff.
+  *
+  * Run at sf0.001 (plan shapes are SF-independent). Writes
+  * `CODEGEN_AUDIT.json` (per-query stats + summary lists) so the
+  * round close commits a machine-checkable zero-failed-compiles
+  * invariant; CodegenAuditSpec keeps the detector honest (a
+  * deliberately oversized expression must trip it) and pins the ANN
+  * hot-path family inside both budgets.
   */
 object CodegenAudit {
+
+  /** janino's per-method bytecode ceiling; units whose max generated
+    * method source length approaches it get a NEAR-LIMIT warning. */
+  val JaninoNearLimitSrc = 60000
+  /** HotSpot -XX:DontCompileHugeMethods refuses to JIT methods over
+    * 8000 bytes of bytecode — over this, a compiled unit still runs
+    * in the bytecode interpreter. */
+  val JitBudgetBytes = 8000
+
+  final case class UnitStats(srcMax: Int, byteMax: Int, failed: Boolean) {
+    def huge: Boolean = !failed && byteMax > JitBudgetBytes
+    def nearLimit: Boolean = srcMax > JaninoNearLimitSrc
+  }
+
+  /** Compile every whole-stage unit of `df`'s physical plan through
+    * janino (the real compiler, not a size heuristic) and fold:
+    * max unit source length, max method bytecode size, and whether any
+    * unit FAILED to compile (CodeStats.maxMethodCodeSize == -1 — that
+    * stage will run interpreted). Requires AQE off on the session:
+    * AQE wraps the plan and codegenToSeq sees nothing. */
+  def audit(df: DataFrame): UnitStats = {
+    import org.apache.spark.sql.execution.debug._
+    val units = df.queryExecution.debug.codegenToSeq()
+    val srcMax = if (units.isEmpty) 0 else units.map(_._2.length).max
+    val byteMax = units.map(_._3.maxMethodCodeSize) match {
+      case s if s.isEmpty => 0
+      case s => s.max
+    }
+    UnitStats(srcMax, byteMax, units.exists(_._3.maxMethodCodeSize < 0))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val outPath = sys.env.getOrElse("GRAFT_AUDIT_OUT", "CODEGEN_AUDIT.json")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-codegen-audit")
@@ -22,34 +70,53 @@ object CodegenAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.execution.debug._
-    val limit = 60000 // report anything within sight of janino's 65535
-    var worst = List.empty[(String, Int)]
+    var rows = List.empty[(String, UnitStats)]
+    var skipped = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        // third element = CodeStats from an actual janino compile:
-        // maxMethodCodeSize = -1 means the unit FAILED to compile and
-        // the stage will run interpreted (the q42 disease)
-        val units = df.queryExecution.debug.codegenToSeq()
-        val srcMax = if (units.isEmpty) 0 else units.map(_._2.length).max
-        val byteMax = units.map(_._3.maxMethodCodeSize) match {
-          case s if s.isEmpty => 0
-          case s => s.max
-        }
-        val failed = units.exists(_._3.maxMethodCodeSize < 0)
-        worst ::= (name, srcMax)
-        if (failed) println(s"[audit] FAILED-COMPILE $name (src $srcMax)")
-        else if (byteMax > 8000)
-          println(s"[audit] HUGE-METHOD $name maxMethodBytecode=$byteMax (src $srcMax; >8k disables JIT)")
+        val st = audit(fn(spark, sfDir))
+        rows ::= (name, st)
+        if (st.failed) println(s"[audit] FAILED-COMPILE $name (src ${st.srcMax})")
+        else if (st.huge)
+          println(s"[audit] HUGE-METHOD $name maxMethodBytecode=${st.byteMax} " +
+            s"(src ${st.srcMax}; >${JitBudgetBytes} disables JIT)")
+        else if (st.nearLimit)
+          println(s"[audit] NEAR-LIMIT $name src=${st.srcMax} " +
+            s"(janino method ceiling 65535 — the q42/q13-PQ precursor state)")
       } catch { case e: Throwable =>
+        skipped ::= name
         println(s"[audit] SKIP $name: ${Option(e.getMessage).getOrElse(e).toString.take(80)}")
       }
     }
     println("[audit] top 10 by codegen unit size:")
-    worst.sortBy(-_._2).take(10).foreach { case (n, s) =>
-      println(f"[audit]   $s%6d  $n")
+    rows.sortBy(-_._2.srcMax).take(10).foreach { case (n, s) =>
+      println(f"[audit]   ${s.srcMax}%6d  $n")
     }
+    val sorted = rows.sortBy(_._1)
+    def list(p: UnitStats => Boolean): String =
+      sorted.collect { case (n, s) if p(s) => "\"" + n + "\"" }.mkString("[", ",", "]")
+    val perQuery = sorted.map { case (n, s) =>
+      s"""  "$n": {"srcMax": ${s.srcMax}, "byteMax": ${s.byteMax}, "failed": ${s.failed}}"""
+    }.mkString(",\n")
+    val json =
+      s"""{
+         |"summary": {
+         |  "queries": ${sorted.size},
+         |  "skipped": ${skipped.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},
+         |  "failed_compiles": ${list(_.failed)},
+         |  "huge_methods": ${list(_.huge)},
+         |  "near_limit": ${list(_.nearLimit)},
+         |  "jit_budget_bytes": $JitBudgetBytes,
+         |  "near_limit_src": $JaninoNearLimitSrc
+         |},
+         |"queries": {
+         |$perQuery
+         |}
+         |}
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    println(s"[audit] wrote $outPath")
     spark.stop()
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Similarity
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.functions._
+
+/** The round-gate teeth for graft.CodegenAudit (r15 verdict item 2):
+  * the same disease shipped twice undetected (r13 PQ 64 KB janino
+  * overflow, r15 LSH 80 KB — ten rounds with a hot stage silently
+  * interpreted), so the detector itself must be pinned: a deliberately
+  * oversized expression MUST trip it, and the ANN hot-path family MUST
+  * sit inside both budgets (janino compiles, every method JIT-able).
+  */
+class CodegenAuditSpec extends SparkSpec {
+
+  /** codegenToSeq sees nothing under AQE; flip it off per-plan. */
+  private def audited(df: org.apache.spark.sql.DataFrame): CodegenAudit.UnitStats = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try CodegenAudit.audit(df) finally spark.conf.set(key, prev)
+  }
+
+  private lazy val emb = Tables(spark, sf).embeddings
+
+  test("detector trips on a deliberately janino-oversized expression") {
+    // one expression whose SINGLE generated method is past janino's
+    // 65535-byte ceiling — un-splittable by construction, the exact
+    // failure class that ran q42 interpreted for ten rounds. The audit
+    // must see maxMethodCodeSize == -1 (FAILED-COMPILE), never a clean
+    // pass. If this stops tripping, the detector (not the expression)
+    // broke.
+    val big = org.apache.spark.sql.GraftSqlBridge.column(
+      CodegenAuditSpec.OversizedCodegen(12000))
+    val df = spark.range(1).select(big.as("v"))
+    val st = audited(df)
+    assert(st.failed,
+      s"deliberately oversized method no longer trips FAILED-COMPILE: $st")
+  }
+
+  test("composed pqStage reference is the documented HUGE-METHOD case") {
+    // the reason pqQueryTable's fused kernel exists: the composed
+    // reference compiles but its table-build method is far past the
+    // 8 KB JIT ceiling. Pinning it keeps the reference form honest as
+    // a regression yardstick (if Catalyst ever learns to split it,
+    // this test tells us the fusion is no longer load-bearing).
+    val composed = Similarity.pqStage(emb.limit(5))
+      .select(col("vec_id"), flatten(array(
+        (0 until Similarity.PqSubspaces).map(s => col(s"d$s")): _*)).as("qtab"))
+    val st = audited(composed)
+    assert(!st.failed, s"composed pqStage should compile (it did in r15): $st")
+    assert(st.byteMax > CodegenAudit.JitBudgetBytes,
+      s"composed pqStage no longer huge ($st) — revisit whether the fused kernel is still needed")
+  }
+
+  test("ANN hot-path family: zero failed compiles, every method JIT-able") {
+    // the budget the r16 fusion establishes; names are catalog entries.
+    // q42 (fused LSH signature), q62/q63 (PQ encode / ADC), q73/q142
+    // (IVF+PQ, persisted index) — the paths that ran interpreted for
+    // rounds before the audit existed.
+    val family = Seq("q42_knn_lsh", "q62_pq_encode", "q63_pq_adc_knn",
+      "q73_ivfpq_knn", "q142_ivfpq_index_persist")
+    family.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        fail(s"catalog entry $name missing"))
+      val st = audited(fn(spark, sf))
+      assert(!st.failed, s"$name: FAILED-COMPILE ($st)")
+      assert(st.byteMax <= CodegenAudit.JitBudgetBytes,
+        s"$name: method ${st.byteMax} B over the ${CodegenAudit.JitBudgetBytes} B JIT ceiling — runs interpreted")
+    }
+  }
+}
+
+object CodegenAuditSpec {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.LeafExpression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.types.{DataType, DoubleType}
+
+  /** Test-only: emits `statements` straight-line adds in ONE method —
+    * un-splittable, deliberately past janino's 65535-byte method
+    * ceiling at the default 12000 (~15 B bytecode each). */
+  case class OversizedCodegen(statements: Int) extends LeafExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      (0 until statements).map(_.toDouble).sum
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val acc = ctx.freshName("acc")
+      val body = (0 until statements).map(i => s"$acc += $i.0;").mkString("\n")
+      ev.copy(
+        code = code"""
+          |double $acc = 0.0;
+          |$body
+          |double ${ev.value} = $acc;
+          """.stripMargin,
+        isNull = FalseLiteral)
+    }
+  }
+}
