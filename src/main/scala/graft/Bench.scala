@@ -112,7 +112,8 @@ object Bench {
     val env = s""""env":{"cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""warm":$warm,"load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""calib_start":${f(calibStart)},"calib_end":${f(calibEnd)},""" +
-      s""""calib_note":"HostCalib fixed ALU probe, seconds; idle-host reference ~1.9"}"""
+      s""""calib_parallelism":${spark.sparkContext.defaultParallelism},""" +
+      s""""calib_note":"HostCalib fixed ALU probe, seconds; idle-host reference ~1.9 AT parallelism 32 — stamps are only comparable at equal calib_parallelism (the probe partitions by it)"}"""
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     // The FULL per-query map (140 queries ≈ 4 KB) overflows the ~2 KB

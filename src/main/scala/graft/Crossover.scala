@@ -183,7 +183,7 @@ object Crossover {
          |  "corpora": "ScaleBench replicated documents (synth v${ScaleBench.SynthVersion}), same cache as the scaling table"
          |},
          |"corpora": {$corporaJson},
-         |"env": {"cpus": ${Runtime.getRuntime.availableProcessors()}, "load_start": $loadStart, "load_end": $loadEnd, "calib_start": ${fmt(calibStart)}, "calib_end": ${fmt(calibEnd)}, "calib_note": "HostCalib fixed ALU probe, seconds; idle-host reference ~1.9"},
+         |"env": {"cpus": ${Runtime.getRuntime.availableProcessors()}, "load_start": $loadStart, "load_end": $loadEnd, "calib_start": ${fmt(calibStart)}, "calib_end": ${fmt(calibEnd)}, "calib_parallelism": ${spark.sparkContext.defaultParallelism}, "calib_note": "HostCalib fixed ALU probe, seconds; idle-host reference ~1.9 AT parallelism 32 — stamps are only comparable at equal calib_parallelism (the probe partitions by it)"},
          |"spark": {
          |  $sparkJson
          |},

@@ -184,27 +184,39 @@ object SimilarityQueries {
     * filter. */
   val AnnGateQueries = 20
 
-  /** Hot-bucket candidate cap for q42 (r15, [[Similarity.signLshKnn]]
-    * `bucketCap`): each (table, 4-bit bucket) keeps its 2048
-    * lowest-vec_id corpus rows. Sized never to fire at the test SFs
-    * (sf0.1 bucket census: max 215 of 2000 vectors across 8×16
-    * buckets) while bounding the replicated-corpus duel at ~10 copies
-    * deep — the r14 crossover measured the uncapped join going
-    * quadratic on exactly that shape (2.07× DuckDB at 100×, the ANN
-    * family's only adverse row). Keep-lowest-id means the retained
-    * duplicates are the ones the brute-force gate ranks first (its
-    * cosine tie-break is neighbor_id ASC), so the in-query recall
-    * floor survives replication until the cap is crossed k copies
-    * deep. Mirrored exactly in [[q42Sql]] (`rn <= cap` over the same
-    * (table, bucket, vec_id) window), so the oracle checks the capped
-    * semantics, not a lookalike. */
+  /** Hot-bucket candidate cap FLOOR for q42 (r15,
+    * [[Similarity.signLshKnn]] `bucketCap`): each (table, 4-bit
+    * bucket) keeps its cap lowest-vec_id corpus rows, where cap =
+    * max(2048, |distinct embeddings| / 4) — r16, closing the thin-
+    * headroom gap the r15 advice flagged: the sf0.1 census max bucket
+    * is 215 of 2000 DISTINCT vectors (~11% share), so a pinned 2048
+    * would start firing on HONEST (non-duplicate) growth one SF step
+    * up and the in-query recall-floor raise_error could trip on clean
+    * data. Scaling by the distinct count gives every honest corpus
+    * ~2.3× headroom over that share forever, while EXACT duplicates —
+    * the skew the cap exists to bound — leave the distinct count
+    * unchanged, so the replicated-corpus duel keeps the fixed 2048
+    * bound (the r14 crossover measured the uncapped join going
+    * quadratic there: 2.07× DuckDB at 100×). At the test SFs
+    * distinct/4 = 500 < 2048, so the effective cap — and every hash —
+    * is unchanged. Keep-lowest-id means the retained duplicates are
+    * the ones the brute-force gate ranks first (its cosine tie-break
+    * is neighbor_id ASC), so the recall floor survives replication
+    * until the cap is crossed k copies deep. The distinct count is one
+    * aggregation per run (a deployment computes it once per corpus
+    * epoch, with the index build). Mirrored exactly in [[q42Sql]]
+    * (same GREATEST over count(DISTINCT embedding), same `rn <= cap`
+    * window), so the oracle checks the capped semantics, not a
+    * lookalike. */
   val Q42BucketCap = 2048
 
   def q42KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val q = e.filter(col("vec_id") < AnnGateQueries)
+    val distinctVecs = e.select("embedding").distinct().count()
+    val cap = math.max(Q42BucketCap.toLong, distinctVecs / 4).toInt
     val lsh = Similarity.signLshKnn(e, q, k = 5, bits = 4, tables = 8,
-      bucketCap = Some(Q42BucketCap))
+      bucketCap = Some(cap))
     val exact = Similarity.bruteForceKnn(e, q, 5)
       .select(col("query_id"), col("neighbor_id"))
     val gate = exact.join(
@@ -273,7 +285,9 @@ object SimilarityQueries {
        |cand AS (
        |  SELECT DISTINCT qt.query_id, c.vec_id AS neighbor_id
        |  FROM qt JOIN ct c USING (t, s)
-       |  WHERE c.rn <= $Q42BucketCap AND c.vec_id != qt.query_id),
+       |  WHERE c.rn <= GREATEST($Q42BucketCap,
+       |      (SELECT count(DISTINCT embedding) // 4 FROM embeddings))
+       |    AND c.vec_id != qt.query_id),
        |scored AS (
        |  SELECT cand.query_id, cand.neighbor_id,
        |    list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))

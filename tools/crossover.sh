@@ -110,10 +110,22 @@ for f in sp["factors"]:
             sf.write(sql)
             sql_path = sf.name
         try:
-            res = subprocess.run(
-                [sys.executable, worker_path, base, corpus, sql_path,
-                 str(DUCK_RUNS)],
-                capture_output=True, text=True, timeout=900)
+            # one process-level retry: a worker failure can be a
+            # transient host condition rather than the plan (r15's only
+            # duck_failure, q146 x100 "bad allocation" = system malloc,
+            # reproduced clean at 5.3 GB peak RSS the next round). A
+            # FRESH subprocess keeps the poisoned-allocator isolation
+            # intact; a persistent failure still records after 2 tries.
+            for attempt in (1, 2):
+                res = subprocess.run(
+                    [sys.executable, worker_path, base, corpus, sql_path,
+                     str(DUCK_RUNS)],
+                    capture_output=True, text=True, timeout=900)
+                if res.returncode == 0:
+                    break
+                if attempt == 1:
+                    print(f"[duck] x{f} {name} attempt 1 failed "
+                          f"(exit {res.returncode}) — retrying once")
         finally:
             os.unlink(sql_path)
         if res.returncode == 0:

@@ -164,13 +164,19 @@ def floor_resident_adjudication(over_2x, sf_dir):
     no such artifact exists or none qualifies.
     """
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for art in crossover_candidates(os.listdir(root)):
+    # normalize both sides: a trailing slash or relative sf_dir must not
+    # silently disqualify every artifact (r15 ADVICE)
+    want = os.path.realpath(sf_dir)
+    candidates = list(crossover_candidates(os.listdir(root)))
+    matched = False
+    for art in candidates:
         try:
             cx = json.load(open(os.path.join(root, art)))
         except (OSError, ValueError):
             continue
-        if cx.get("base") != sf_dir:
+        if os.path.realpath(cx.get("base", "")) != want:
             continue
+        matched = True
         out = {}
         for name in over_2x:
             row = cx.get("queries", {}).get(name)
@@ -184,6 +190,11 @@ def floor_resident_adjudication(over_2x, sf_dir):
                              "rule": "<=1x DuckDB on the same corpus at 10x "
                                      "or 100x data"}
         return out
+    if candidates and not matched:
+        sys.stderr.write(
+            f"[pairing] WARNING: {len(candidates)} crossover artifact(s) "
+            f"present but none has base == {want}; floor-resident "
+            "adjudication skipped\n")
     return {}
 
 
