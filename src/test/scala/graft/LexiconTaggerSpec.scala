@@ -30,6 +30,29 @@ class LexiconTaggerSpec extends SparkSpec {
     }
   }
 
+  test("ruleTagColumn parity holds on random ASCII and multi-byte tokens") {
+    // fuzz the UTF8String bridge specifically: RuleTagExpr calls the
+    // closure through UTF8String -> String, so multi-byte content
+    // (accents, CJK, emoji incl. surrogate pairs) and mixed
+    // letter/digit/punct ASCII must round-trip to the identical tag
+    val rnd = new scala.util.Random(37)
+    val ascii = "abcXYZ019.,-' "
+    val exotic = "éüßñ漢字かなДж🌊🚀"
+    def tok(alpha: String, n: Int): String =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val toks = (1 to 300).map(_ => tok(ascii, 1 + rnd.nextInt(10))) ++
+      (1 to 100).map(_ => tok(exotic, 1 + rnd.nextInt(6))) ++
+      (1 to 100).map(_ => tok(ascii + exotic, 1 + rnd.nextInt(8)))
+    val out = toks.toDF("token")
+      .withColumn("col_tag", LexiconTagger.ruleTagColumn(col("token")))
+      .collect()
+    out.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getString(1) == PosTagger.tagToken(t),
+        s"parity broke on '$t': column=${r.getString(1)} closure=${PosTagger.tagToken(t)}")
+    }
+  }
+
   test("lexicon tagger measurably beats the rule tagger on the gold sample") {
     val n = gold.count().toDouble
     // tag the gold tokens as one document (order irrelevant for accuracy)

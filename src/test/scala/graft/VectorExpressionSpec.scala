@@ -276,6 +276,61 @@ class VectorExpressionSpec extends SparkSpec {
     assert(messages(e2).exists(_.contains("(got -1)")), e2.getMessage)
   }
 
+  test("PqDistTable matches a hand-computed reference AND the composed form on random data") {
+    // random magnitudes well outside the embedding distribution
+    // (±10, tiny values) so the parity pin is not an artifact of the
+    // test corpus's value range
+    import graft.operators.Similarity
+    val rnd = new Random(23)
+    val rows = (1 to 150).map(i =>
+      (i.toLong, Seq.fill(64)((rnd.nextDouble() * 2 - 1) *
+        (if (i % 3 == 0) 10.0 else if (i % 3 == 1) 1.0 else 1e-3))))
+    val df = rows.toDF("vec_id", "embedding")
+    val fused = Similarity.pqQueryTable(df)
+      .as[(Long, Seq[Double])].collect().toMap
+    val composed = Similarity.pqStage(df)
+      .select(col("vec_id"), flatten(array(
+        (0 until Similarity.PqSubspaces).map(s => col(s"d$s")): _*)).as("qtab"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // independent scalar reference: the documented arithmetic, written
+    // here from scratch (ascending folds, quotient recomputed per use)
+    def reference(emb: Seq[Double]): Array[Double] = {
+      val dim = 64; val S = Similarity.PqSubspaces
+      val K = Similarity.PqCodes; val D = Similarity.PqSubDim
+      var nrm2 = 0.0
+      (0 until dim).foreach(i => nrm2 += emb(i) * emb(i))
+      val nrm = math.sqrt(nrm2)
+      val out = new Array[Double](S * K)
+      for (s <- 0 until S) {
+        var xn2 = 0.0
+        (0 until D).foreach { d =>
+          val x = emb(s * D + d) / nrm; xn2 += x * x
+        }
+        for (k <- 0 until K) {
+          var dot = 0.0
+          (0 until D).foreach(d =>
+            dot += (emb(s * D + d) / nrm) * Similarity.pqComponent(s, k, d))
+          // ‖c‖² is the driver-side constant BOTH column forms embed
+          // as a literal — the reference must add the same bits
+          out(s * K + k) = (xn2 - 2.0 * dot) + Similarity.pqCodewordNorm2(s, k)
+        }
+      }
+      out
+    }
+    rows.foreach { case (id, emb) =>
+      val f = fused(id); val c = composed(id); val r = reference(emb)
+      assert(f.length == 128 && c.length == 128)
+      (0 until 128).foreach { i =>
+        assert(java.lang.Double.doubleToRawLongBits(f(i)) ==
+          java.lang.Double.doubleToRawLongBits(c(i)),
+          s"fused/composed diverge: vec $id idx $i ${f(i)} vs ${c(i)}")
+        assert(java.lang.Double.doubleToRawLongBits(f(i)) ==
+          java.lang.Double.doubleToRawLongBits(r(i)),
+          s"fused/reference diverge: vec $id idx $i ${f(i)} vs ${r(i)}")
+      }
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
