@@ -34,9 +34,13 @@ object CodegenAudit {
     * in the bytecode interpreter. */
   val JitBudgetBytes = 8000
 
-  final case class UnitStats(srcMax: Int, byteMax: Int, failed: Boolean) {
+  final case class UnitStats(srcMax: Int, byteMax: Int, failed: Boolean,
+                             opaque: Int = 0) {
     def huge: Boolean = !failed && byteMax > JitBudgetBytes
     def nearLimit: Boolean = srcMax > JaninoNearLimitSrc
+    def merge(o: UnitStats): UnitStats = UnitStats(
+      math.max(srcMax, o.srcMax), math.max(byteMax, o.byteMax),
+      failed || o.failed, opaque + o.opaque)
   }
 
   /** Compile every whole-stage unit of `df`'s physical plan through
@@ -44,7 +48,16 @@ object CodegenAudit {
     * max unit source length, max method bytecode size, and whether any
     * unit FAILED to compile (CodeStats.maxMethodCodeSize == -1 — that
     * stage will run interpreted). Requires AQE off on the session:
-    * AQE wraps the plan and codegenToSeq sees nothing. */
+    * AQE wraps the plan and codegenToSeq sees nothing.
+    *
+    * RDDScanExec leaves are audited THROUGH: a plan containing a
+    * GraftSqlBridge.mapPartitionsInternal barrier (the capped LSH
+    * path) carries its whole upstream pipeline inside an inner
+    * QueryExecution that codegenToSeq cannot see — the bridge's
+    * registry hands the source frame back and its stats merge in, so
+    * the round-gate invariant covers the hot stage on BOTH sides of
+    * the barrier. An RDD-scan leaf the registry does NOT know is
+    * counted in `opaque` and reported, never silently passed. */
   def audit(df: DataFrame): UnitStats = {
     import org.apache.spark.sql.execution.debug._
     val units = df.queryExecution.debug.codegenToSeq()
@@ -53,7 +66,17 @@ object CodegenAudit {
       case s if s.isEmpty => 0
       case s => s.max
     }
-    UnitStats(srcMax, byteMax, units.exists(_._3.maxMethodCodeSize < 0))
+    val outer = UnitStats(srcMax, byteMax,
+      units.exists(_._3.maxMethodCodeSize < 0))
+    val leaves = df.queryExecution.executedPlan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r.rdd
+    }
+    leaves.foldLeft(outer) { (acc, rdd) =>
+      org.apache.spark.sql.GraftSqlBridge.innerPlanOf(rdd) match {
+        case Some(inner) => acc.merge(audit(inner))
+        case None => acc.merge(UnitStats(0, 0, failed = false, opaque = 1))
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -83,6 +106,9 @@ object CodegenAudit {
         else if (st.nearLimit)
           println(s"[audit] NEAR-LIMIT $name src=${st.srcMax} " +
             s"(janino method ceiling 65535 — the q42/q13-PQ precursor state)")
+        if (st.opaque > 0)
+          println(s"[audit] OPAQUE-LEAF $name (${st.opaque} unregistered " +
+            "RDD scan(s) — upstream pipeline NOT covered by this audit)")
       } catch { case e: Throwable =>
         skipped ::= name
         println(s"[audit] SKIP $name: ${Option(e.getMessage).getOrElse(e).toString.take(80)}")
@@ -96,7 +122,7 @@ object CodegenAudit {
     def list(p: UnitStats => Boolean): String =
       sorted.collect { case (n, s) if p(s) => "\"" + n + "\"" }.mkString("[", ",", "]")
     val perQuery = sorted.map { case (n, s) =>
-      s"""  "$n": {"srcMax": ${s.srcMax}, "byteMax": ${s.byteMax}, "failed": ${s.failed}}"""
+      s"""  "$n": {"srcMax": ${s.srcMax}, "byteMax": ${s.byteMax}, "failed": ${s.failed}, "opaque": ${s.opaque}}"""
     }.mkString(",\n")
     val json =
       s"""{
@@ -106,6 +132,7 @@ object CodegenAudit {
          |  "failed_compiles": ${list(_.failed)},
          |  "huge_methods": ${list(_.huge)},
          |  "near_limit": ${list(_.nearLimit)},
+         |  "opaque_leaves": ${list(_.opaque > 0)},
          |  "jit_budget_bytes": $JitBudgetBytes,
          |  "near_limit_src": $JaninoNearLimitSrc
          |},

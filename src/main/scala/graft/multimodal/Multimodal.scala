@@ -204,8 +204,8 @@ object Multimodal {
     * integer counts stay oracle-checkable where float sums wouldn't)
     * plus its fixed-width L1-normalized double form. */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "modality", "content").rdd
+    val src = media.select("media_id", "modality", "content")
+    val rdd = src.rdd
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = Option(r.getAs[Array[Byte]]("content"))
@@ -216,7 +216,9 @@ object Multimodal {
             n, hist.toSeq, hist.map(_ / tot).toSeq)
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+    // registered boundary: the audit recurses into src's pipeline
+    // instead of stopping at the RDD scan (r16)
+    org.apache.spark.sql.GraftSqlBridge.createDataFrameAudited(src, rdd, featureSchema)
   }
 
   private val resizeUdf = udf { (payload: Array[Byte], newW: Int, newH: Int) =>

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -93,7 +94,7 @@ object Dedup {
     // becomes a reliable checkpoint to distributed storage.
     val sh = hashedShingleSets(docs, shingleK)
       .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
-      .localCheckpoint()
+      .localCheckpointAudited()
     // bucket-size gate: one window count over the same (band, sig)
     // shuffle the self-join needs anyway — no extra pass over documents.
     // Checkpointed because the self-join consumes it twice: the rows are
@@ -104,7 +105,7 @@ object Dedup {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
       .filter(col("__bn") <= maxBucketSize)
       .drop("__bn")
-      .localCheckpoint()
+      .localCheckpointAudited()
 
     val pairs = banded.as("a")
       .join(banded.as("b"),
@@ -148,11 +149,11 @@ object Dedup {
     // the standard Pregel-style discipline.
     val banded = bandedSignatures(hashedShingleSets(docs, shingleK), numHashes, bands)
       .repartition(col("doc_id"))
-      .localCheckpoint()
+      .localCheckpointAudited()
 
     var labels = banded.select("doc_id").distinct()
       .withColumn("canonical_id", col("doc_id"))
-      .localCheckpoint()
+      .localCheckpointAudited()
     var round = 0
     var converged = false
     while (round < iterations && !converged) {
@@ -162,7 +163,7 @@ object Dedup {
       val next = banded.join(bucketMin, Seq("band", "sig"))
         .groupBy("doc_id")
         .agg(min("bucket_min").as("canonical_id"))
-        .localCheckpoint()
+        .localCheckpointAudited()
       // labels only ever decrease, so a round that changes nothing makes
       // every later round the identity — exact-dup clusters converge in
       // round 1 and the remaining rounds are pure waste without this.

@@ -29,10 +29,75 @@ object GraftSqlBridge {
       f: Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
         Iterator[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.internalCreateDataFrame(
-      df.queryExecution.toRdd.mapPartitions(f, preservesPartitioning = true),
-      df.schema)
+    val mapped = df.queryExecution.toRdd.mapPartitions(f, preservesPartitioning = true)
+    innerPlans.put(mapped, df)
+    classic.internalCreateDataFrame(mapped, df.schema)
   }
+
+  /** Inner plans hidden behind [[mapPartitionsInternal]]'s RDD
+    * barrier, keyed by the produced RDD. The barrier bakes the source
+    * DataFrame into a LogicalRDD, and plan walkers (debug.codegenToSeq
+    * — what graft.CodegenAudit compiles) see only an opaque
+    * RDDScanExec leaf — so without this registry the audit would
+    * silently stop covering everything upstream of the barrier (for
+    * the capped LSH path that is the scan + signature + explode +
+    * sort, the exact hot stage the audit exists to watch). Weak keys:
+    * entries die with their RDDs. */
+  private val innerPlans =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_], DataFrame]())
+
+  /** The source DataFrame a [[mapPartitionsInternal]] RDD was built
+    * from, if that RDD came from this bridge — audit recursion hook. */
+  def innerPlanOf(rdd: org.apache.spark.rdd.RDD[_]): Option[DataFrame] =
+    Option(innerPlans.get(rdd))
+
+  /** `df.localCheckpoint()` with the checkpoint boundary REGISTERED
+    * for graft.CodegenAudit: an eager localCheckpoint materializes to
+    * an RDD and every downstream plan reads it through an opaque
+    * RDDScanExec leaf, so the ENTIRE upstream pipeline silently left
+    * the audit's coverage (16 catalog sites — found the moment the
+    * audit learned to count opaque leaves, r16). Registering the
+    * checkpoint RDD → source frame lets the audit recurse through the
+    * boundary, so the committed zero-failed-compiles invariant again
+    * covers whole queries, not their post-checkpoint suffixes. */
+  def localCheckpointAudited(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        innerPlans.put(lr.rdd, df)
+    }
+    cp
+  }
+
+  /** `spark.createDataFrame(rdd, schema)` with the boundary REGISTERED
+    * for the audit, for imperative per-partition passes built from a
+    * DataFrame projection (the multimodal decode shape:
+    * `source.rdd.mapPartitions(decode)` → new frame). Same plan as the
+    * raw call; the audit additionally recurses into `source`'s
+    * pipeline instead of stopping at the opaque leaf. */
+  def createDataFrameAudited(source: DataFrame,
+      rdd: org.apache.spark.rdd.RDD[Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val out = source.sparkSession.createDataFrame(rdd, schema)
+    out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        innerPlans.put(lr.rdd, source)
+    }
+    out
+  }
+
+  /** Raw internalCreateDataFrame passthrough WITHOUT the registry —
+    * exists so CodegenAuditSpec can pin that an RDD scan this bridge
+    * did not produce reads `opaque` in the audit (never silently
+    * passes). Not for production use: [[mapPartitionsInternal]] is
+    * the registered form. */
+  def unregisteredInternalDataFrame(
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      spark: SparkSession): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 
   /** Split a sort Column (`c.desc` / `c.asc` / bare) into its value
     * column and direction. Spark 4 Columns carry a ColumnNode, not a

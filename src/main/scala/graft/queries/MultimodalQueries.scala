@@ -158,7 +158,8 @@ object MultimodalQueries {
       StructField("jpeg_w", LongType, nullable = false),
       StructField("jpeg_h", LongType, nullable = false),
       StructField("n_px_bytes", LongType, nullable = false)))
-    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+    val src = media.select("media_id", "content")
+    val rdd = src.rdd.mapPartitions { rows =>
       rows.map { r =>
         val (w, h, rgb) = graft.multimodal.MediaCodec.decodeJpeg(
           r.getAs[Array[Byte]]("content"))
@@ -166,7 +167,9 @@ object MultimodalQueries {
           w.toLong, h.toLong, rgb.length.toLong)
       }
     }
-    spark.createDataFrame(rdd, schema).orderBy("media_id")
+    // registered boundary: the audit recurses into src (r16)
+    org.apache.spark.sql.GraftSqlBridge.createDataFrameAudited(src, rdd, schema)
+      .orderBy("media_id")
   }
 
   val q68Sql: String =

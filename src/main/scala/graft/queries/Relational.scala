@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -617,7 +618,7 @@ object Relational {
   def q106PercentileLadder(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .localCheckpoint()
+      .localCheckpointAudited()
     val targets = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       .select(col("o_orderpriority"), col("n"),
         explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
@@ -828,7 +829,7 @@ object Relational {
       .crossJoin(broadcast(maxd))
       .withColumn("recency_days",
         datediff(col("maxd"), col("last_order")).cast("long"))
-    val rfmC = rfm.localCheckpoint()
+    val rfmC = rfm.localCheckpointAudited()
     // the three ranks share ONE sample pass and ONE census pass; n is
     // the census total, not a separate count job
     val (ranked, nTotal) = graft.operators.GlobalRank.withRowNumbersCounted(
@@ -1077,7 +1078,7 @@ object Relational {
     val o = Tables(spark, dir).orders
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .localCheckpoint()
+      .localCheckpointAudited()
     def lowerMedian(df: DataFrame, c: String, id: String): Long = {
       val (ranked, n) = graft.operators.GlobalRank.withRowNumberCounted(
         df.select(col(c), col(id)), Seq(col(c).asc, col(id).asc), "rn")
@@ -1820,7 +1821,7 @@ object Relational {
     val ranked = graft.operators.GlobalRank.withGroupRowNumber(
       Tables(spark, dir).customer
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-        .localCheckpoint(),
+        .localCheckpointAudited(),
       Seq("c_mktsegment"),
       Seq(col("c_acctbal").asc, col("c_custkey").asc), "rn", countOut = "n")
     val bounds = ranked

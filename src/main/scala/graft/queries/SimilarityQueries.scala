@@ -213,6 +213,14 @@ object SimilarityQueries {
   def q42KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val q = e.filter(col("vec_id") < AnnGateQueries)
+    // The distinct count runs EAGERLY at query construction — i.e.
+    // inside every bench/crossover timed region, deliberately: the
+    // DuckDB oracle pays the identical count(DISTINCT embedding)
+    // scalar subquery per run, so the duel stays symmetric. (A
+    // memoized cap would shave ~0.1 s off the Spark side only and
+    // bias exactly the ratios the pairing exists to measure; in a
+    // deployment the cap is computed once per corpus epoch with the
+    // index build.)
     val distinctVecs = e.select("embedding").distinct().count()
     val cap = math.max(Q42BucketCap.toLong, distinctVecs / 4).toInt
     val lsh = Similarity.signLshKnn(e, q, k = 5, bits = 4, tables = 8,

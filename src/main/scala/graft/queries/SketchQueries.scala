@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -80,7 +81,7 @@ object SketchQueries {
     // deduped pairs), and the exact branch is a plain count of them
     // (round-8 scanned lineitem separately per branch)
     val d = li.select(col("l_returnflag"), col("l_partkey"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointAudited()
     val hll = Sketches.hllDistinct(d, col("l_partkey"), Seq("l_returnflag"))
     val exact = d.groupBy("l_returnflag")
       .agg(count(lit(1)).as("exact_distinct"))
@@ -470,7 +471,7 @@ object SketchQueries {
     // map-side-combined agg over the checkpointed d, which measured
     // cheaper than the eager materialization it replaced.
     val d = li.select(col("l_returnflag"), col("l_partkey"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointAudited()
     val perFlag = Sketches.hllRegisters(d, col("l_partkey"), Seq("l_returnflag"))
     val regs = perFlag.select(col("l_returnflag").as("scope"),
         col("__hll_bucket"), col("__hll_m"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -537,7 +538,7 @@ object StatsQueries {
     val all = counts(t.events, "user_id", "events.user_id")
       .unionAll(counts(t.lineitem, "l_suppkey", "lineitem.l_suppkey"))
       .unionAll(counts(t.orders, "o_custkey", "orders.o_custkey"))
-      .localCheckpoint() // the rank's sample/census and the rollup
+      .localCheckpointAudited() // the rank's sample/census and the rollup
                          // below re-read it; the union of three
                          // aggregates is the expensive upstream
     val ranked = graft.operators.GlobalRank.withGroupRowNumber(all,

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1505,7 +1506,7 @@ object TextQueries {
           .stripMargin)).as("p"))
       .select(col("p.source_a").as("a"), col("p.source_b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .localCheckpointAudited()
     joinSizes(agg)
   }
 
@@ -1817,7 +1818,7 @@ object TextQueries {
 
   def q110HybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val lex = graft.operators.GlobalRank.withRowNumber(
-        bm25Frame(spark, dir).select("doc_id", "bm25").localCheckpoint(),
+        bm25Frame(spark, dir).select("doc_id", "bm25").localCheckpointAudited(),
         Seq(col("bm25").desc, col("doc_id").asc), "lex_rank")
       .select(col("doc_id"), col("lex_rank"))
     val e = Tables(spark, dir).embeddings
@@ -1828,7 +1829,7 @@ object TextQueries {
     val semScored = e.crossJoin(broadcast(q0))
       .withColumn("cos_sim",
         Similarity.dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-      .select("vec_id", "cos_sim").localCheckpoint()
+      .select("vec_id", "cos_sim").localCheckpointAudited()
     val sem = graft.operators.GlobalRank.withRowNumber(semScored,
         Seq(col("cos_sim").desc, col("vec_id").asc), "sem_rank")
       .select(col("vec_id").as("doc_id"), col("sem_rank"))
@@ -1983,7 +1984,7 @@ object TextQueries {
       // the boundary probe below and the output both read this frame:
       // materialize once (one narrow row per doc — the output's own
       // size), so the fold never runs twice
-      .localCheckpoint()
+      .localCheckpointAudited()
     // exact top-k membership without a global sort: the k-th
     // (gumbel_key desc, doc_id asc) pair via bounded partition heaps
     val kept = graft.operators.GlobalRank.topKBoundary(
@@ -2066,7 +2067,7 @@ object TextQueries {
     // eager localCheckpoint 1.15 s full vs lazy persist 1.79 s — the
     // persisted plan's .rdd re-derivation reads the cache worse than
     // the checkpoint's truncated lineage does, so checkpoint wins here.
-    val scored = q49LmLogprob(spark, dir).localCheckpoint()
+    val scored = q49LmLogprob(spark, dir).localCheckpointAudited()
     // n is the rank census's total — no separate count job
     val (ranked, n) = graft.operators.GlobalRank.withRowNumberCounted(
       scored, Seq(col("nll"), col("doc_id")), "rk")

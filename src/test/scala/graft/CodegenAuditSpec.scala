@@ -53,6 +53,36 @@ class CodegenAuditSpec extends SparkSpec {
       s"composed pqStage no longer huge ($st) — revisit whether the fused kernel is still needed")
   }
 
+  test("audit sees THROUGH the mapPartitionsInternal barrier; unregistered RDD scans read opaque") {
+    // the r16 review's finding: the barrier bakes the upstream
+    // pipeline into a LogicalRDD that codegenToSeq cannot walk, so
+    // without the bridge registry an oversized upstream expression
+    // would pass the round gate while running interpreted. Pin both
+    // directions: a FAILED-COMPILE upstream of the barrier must
+    // surface through it, and an RDD scan the bridge did NOT produce
+    // must be counted as opaque, never silently passed.
+    val big = org.apache.spark.sql.GraftSqlBridge.column(
+      CodegenAuditSpec.OversizedCodegen(12000))
+    val behind = org.apache.spark.sql.GraftSqlBridge.mapPartitionsInternal(
+      spark.range(1).select(big.as("v")), it => it)
+    val st = audited(behind)
+    assert(st.failed && st.opaque == 0,
+      s"oversized method behind the barrier must surface as FAILED-COMPILE: $st")
+    // q42's real capped path goes through the same registry: no opaque
+    val fn = SparkEntry.queries("q42_knn_lsh")
+    assert(audited(fn(spark, sf)).opaque == 0,
+      "q42's partial-cap barrier must be registered, not opaque")
+    // a foreign RDD scan (not from the bridge) is opaque by contract
+    import org.apache.spark.sql.types._
+    val foreignRdd = spark.range(3).queryExecution.toRdd
+      .mapPartitions(identity, preservesPartitioning = true)
+    val foreign = org.apache.spark.sql.GraftSqlBridge
+      .unregisteredInternalDataFrame(foreignRdd,
+        StructType(Seq(StructField("id", LongType, nullable = false))), spark)
+    assert(audited(foreign).opaque == 1,
+      "an unregistered RDD scan must be reported opaque")
+  }
+
   test("ANN hot-path family: zero failed compiles, every method JIT-able") {
     // the budget the r16 fusion establishes; names are catalog entries.
     // q42 (fused LSH signature), q62/q63 (PQ encode / ADC), q73/q142

@@ -174,7 +174,11 @@ def floor_resident_adjudication(over_2x, sf_dir):
             cx = json.load(open(os.path.join(root, art)))
         except (OSError, ValueError):
             continue
-        if os.path.realpath(cx.get("base", "")) != want:
+        # a missing/empty base must never match: realpath("") is the
+        # CURRENT DIRECTORY, which can spuriously equal sf_dir when the
+        # harness is invoked from the data dir (r16 review)
+        base = cx.get("base")
+        if not base or os.path.realpath(base) != want:
             continue
         matched = True
         out = {}

@@ -89,7 +89,7 @@ Tourists_NOUN crowded_VERB the_DET narrow_ADJ streets_NOUN of_ADP the_DET old_AD
 Vendors_NOUN sold_VERB painted_ADJ tiles_NOUN and_CONJ cheap_ADJ scarves_NOUN ._.
 A_DET guide_NOUN raised_VERB her_PRON umbrella_NOUN and_CONJ counted_VERB heads_NOUN ._.
 The_DET cathedral_NOUN bells_NOUN rang_VERB twice_ADV ,_. and_CONJ the_DET crowd_NOUN fell_VERB silent_ADJ ._.
-Light_NOUN poured_VERB through_ADP the_DET stained_ADJ glass_NOUN onto_ADP the_DET stone_NUM floor_NOUN ._.
+Light_NOUN poured_VERB through_ADP the_DET stained_ADJ glass_NOUN onto_ADP the_DET stone_NOUN floor_NOUN ._.
 The_DET striker_NOUN scored_VERB early_ADV ,_. and_CONJ the_DET stadium_NOUN erupted_VERB ._.
 Defenders_NOUN pressed_VERB higher_ADV after_ADP the_DET break_NOUN ._.
 A_DET careless_ADJ pass_NOUN cost_VERB them_PRON the_DET equalizer_NOUN ._.
@@ -120,7 +120,7 @@ Volunteers_NOUN transcribed_VERB the_DET faded_ADJ handwriting_NOUN ._.
 Historians_NOUN found_VERB a_DET forgotten_ADJ diary_NOUN among_ADP the_DET files_NOUN ._.
 Its_PRON author_NOUN described_VERB the_DET flood_NOUN of_ADP 1862_NUM in_ADP plain_ADJ language_NOUN ._.
 The_DET archive_NOUN published_VERB the_DET scans_NOUN online_ADV for_ADP free_ADJ access_NOUN ._.
-A_DET drone_NUM surveyed_VERB the_DET burned_ADJ ridge_NOUN at_ADP dawn_NOUN ._.
+A_DET drone_NOUN surveyed_VERB the_DET burned_ADJ ridge_NOUN at_ADP dawn_NOUN ._.
 Smoke_NOUN still_ADV rose_VERB from_ADP the_DET eastern_ADJ gullies_NOUN ._.
 Crews_NOUN cut_VERB a_DET firebreak_NOUN along_ADP the_DET access_NOUN road_NOUN ._.
 Helicopters_NOUN dropped_VERB water_NOUN on_ADP the_DET hottest_ADJ spots_NOUN ._.
