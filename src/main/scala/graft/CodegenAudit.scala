@@ -50,17 +50,29 @@ object CodegenAudit {
     * stage will run interpreted). Requires AQE off on the session:
     * AQE wraps the plan and codegenToSeq sees nothing.
     *
-    * RDDScanExec leaves are audited THROUGH: a plan containing a
-    * GraftSqlBridge.mapPartitionsInternal barrier (the capped LSH
-    * path) carries its whole upstream pipeline inside an inner
-    * QueryExecution that codegenToSeq cannot see — the bridge's
-    * registry hands the source frame back and its stats merge in, so
-    * the round-gate invariant covers the hot stage on BOTH sides of
-    * the barrier. An RDD-scan leaf the registry does NOT know is
-    * counted in `opaque` and reported, never silently passed. */
-  def audit(df: DataFrame): UnitStats = {
-    import org.apache.spark.sql.execution.debug._
-    val units = df.queryExecution.debug.codegenToSeq()
+    * Plan-hiding leaves are audited THROUGH, not skipped:
+    *
+    *  - RDDScanExec: a GraftSqlBridge.mapPartitionsInternal barrier
+    *    (the capped LSH path) or a registered localCheckpoint /
+    *    createDataFrame boundary carries its whole upstream pipeline
+    *    inside an inner QueryExecution that codegenStringSeq cannot
+    *    see — the bridge's registry hands the source frame back and
+    *    its stats merge in, so the round-gate invariant covers the
+    *    hot stage on BOTH sides of the barrier. An RDD-scan leaf the
+    *    registry does NOT know is counted in `opaque` and reported,
+    *    never silently passed.
+    *  - InMemoryTableScanExec: a `.cache()` leaf hides the cached
+    *    subtree (the plan that FILLS the cache still codegens and
+    *    runs once) — recurse into `relation.cachedPlan` directly.
+    *  - ExternalRDDScanExec (createDataset over a typed RDD): no
+    *    registry exists for it and no catalog query uses one today —
+    *    counted `opaque` so a future unregistered boundary is
+    *    reported rather than passed (r16 ADVICE). */
+  def audit(df: DataFrame): UnitStats = auditPlan(df.queryExecution.executedPlan)
+
+  private def auditPlan(plan: org.apache.spark.sql.execution.SparkPlan): UnitStats = {
+    import org.apache.spark.sql.execution.debug
+    val units = debug.codegenStringSeq(plan)
     val srcMax = if (units.isEmpty) 0 else units.map(_._2.length).max
     val byteMax = units.map(_._3.maxMethodCodeSize) match {
       case s if s.isEmpty => 0
@@ -68,15 +80,18 @@ object CodegenAudit {
     }
     val outer = UnitStats(srcMax, byteMax,
       units.exists(_._3.maxMethodCodeSize < 0))
-    val leaves = df.queryExecution.executedPlan.collect {
-      case r: org.apache.spark.sql.execution.RDDScanExec => r.rdd
-    }
-    leaves.foldLeft(outer) { (acc, rdd) =>
-      org.apache.spark.sql.GraftSqlBridge.innerPlanOf(rdd) match {
-        case Some(inner) => acc.merge(audit(inner))
-        case None => acc.merge(UnitStats(0, 0, failed = false, opaque = 1))
-      }
-    }
+    plan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        org.apache.spark.sql.GraftSqlBridge.innerPlansOf(r.rdd) match {
+          case inner if inner.nonEmpty =>
+            inner.map(audit).reduce(_ merge _)
+          case _ => UnitStats(0, 0, failed = false, opaque = 1)
+        }
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        auditPlan(im.relation.cachedPlan)
+      case _: org.apache.spark.sql.execution.ExternalRDDScanExec[_] =>
+        UnitStats(0, 0, failed = false, opaque = 1)
+    }.foldLeft(outer)(_ merge _)
   }
 
   def main(args: Array[String]): Unit = {

@@ -70,16 +70,38 @@ object Graph {
 
   /** Edge list as a long-keyed pair RDD. Fails loudly on non-integral
     * node columns — a silent cast would null-out string keys. */
-  private def edgeRdd(edges: DataFrame, srcCol: String, dstCol: String): RDD[(Long, Long)] = {
+  /** The SQL half of every kernel: the validated (src, dst) long
+    * projection. Kept as a DataFrame (not consumed straight into the
+    * RDD) so the RDD→DataFrame boundary below can register it for
+    * graft.CodegenAudit — without that, the result's scan leaf hides
+    * the entire scan+join+filter pipeline feeding the kernel (exactly
+    * the gap the r16 ADVICE predicted for ExternalRDDScanExec; live
+    * in all four graph catalog queries until r17). */
+  private def edgeProj(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     Seq(srcCol, dstCol).foreach { c =>
       val dt = edges.schema(c).dataType
       require(IntegralTypes.contains(dt),
         s"Graph: node column '$c' must be integral (got $dt); " +
           "dictionary-encode string keys first (GraphX VertexId contract)")
     }
-    edges
-      .select(col(srcCol).cast(LongType), col(dstCol).cast(LongType))
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    edges.select(col(srcCol).cast(LongType), col(dstCol).cast(LongType))
+  }
+
+  private def edgeRdd(proj: DataFrame): RDD[(Long, Long)] =
+    proj.rdd.map(r => (r.getLong(0), r.getLong(1)))
+
+  /** (Long, Long) kernel result → DataFrame through the AUDITED
+    * boundary: same plan as `result.toDF(c1, c2)` (one scan leaf over
+    * the kernel RDD), but the SQL pipelines that fed the kernel are
+    * registered so the codegen round-gate covers them. */
+  private def longPairDF(sources: Seq[DataFrame], result: RDD[(Long, Long)],
+                         c1: String, c2: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    org.apache.spark.sql.GraftSqlBridge.createDataFrameAudited(
+      sources, result.map(t => Row(t._1, t._2)),
+      StructType(Seq(StructField(c1, LongType, nullable = false),
+        StructField(c2, LongType, nullable = false))))
   }
 
   /** Round-loop partition sizing for the DISTRIBUTED path (which only
@@ -134,10 +156,9 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIterations: Int = 50): DataFrame = {
     val spark = edges.sparkSession
-    import spark.implicits._
     val sc = spark.sparkContext
-    val e = edgeRdd(edges, srcCol, dstCol)
-    val (raw, m, hint) = undirected(e)
+    val proj = edgeProj(edges, srcCol, dstCol)
+    val (raw, m, hint) = undirected(edgeRdd(proj))
 
     val result: RDD[(Long, Long)] =
       if (m <= SmallGraphEdgeThreshold.value) {
@@ -187,7 +208,7 @@ object Graph {
             "(graph diameter exceeds maxIterations)")
         labels
       }
-    result.toDF("node", "component")
+    longPairDF(Seq(proj), result, "node", "component")
   }
 
   // --------------------------------------------------------- BFS levels
@@ -209,14 +230,13 @@ object Graph {
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
                 sources: DataFrame, maxRounds: Int = 10): DataFrame = {
     val spark = edges.sparkSession
-    import spark.implicits._
-    val e = edgeRdd(edges, srcCol, dstCol)
-    val (raw, m, hint) = undirected(e)
+    val proj = edgeProj(edges, srcCol, dstCol)
+    val (raw, m, hint) = undirected(edgeRdd(proj))
     val srcType = sources.schema("node").dataType
     require(IntegralTypes.contains(srcType),
       s"Graph.bfsLevels: source node column must be integral (got $srcType)")
-    val srcRdd = sources.select(col("node").cast(LongType))
-      .rdd.map(_.getLong(0))
+    val srcProj = sources.select(col("node").cast(LongType))
+    val srcRdd = srcProj.rdd.map(_.getLong(0))
 
     val result: RDD[(Long, Long)] =
       if (m <= SmallGraphEdgeThreshold.value) {
@@ -271,7 +291,7 @@ object Graph {
         }
         frames.reduce(_ union _)
       }
-    result.toDF("node", "level")
+    longPairDF(Seq(proj, srcProj), result, "node", "level")
   }
 
   // ----------------------------------------------------------- PageRank
@@ -305,9 +325,8 @@ object Graph {
     * simply evaporates, mirrored exactly in the oracle). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, symmetrize: Boolean = false): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val raw = edgeRdd(edges, srcCol, dstCol)
+    val proj = edgeProj(edges, srcCol, dstCol)
+    val raw = edgeRdd(proj)
     val eC = (if (symmetrize)
         raw.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
           .distinct(math.max(1, raw.getNumPartitions))
@@ -352,7 +371,7 @@ object Graph {
         }
         ranks
       }
-    result.toDF("node", "pr")
+    longPairDF(Seq(proj), result, "node", "pr")
   }
 
   // ------------------------------------------------------ triangle counts
@@ -380,9 +399,8 @@ object Graph {
     * Output: one row per node appearing in ≥1 triangle, with its
     * triangle count. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val e = edgeRdd(edges, srcCol, dstCol).filter { case (s, d) => s != d }
+    val proj = edgeProj(edges, srcCol, dstCol)
+    val e = edgeRdd(proj).filter { case (s, d) => s != d }
     val (raw, m, hint) = undirected(e)
 
     val result: RDD[(Long, Long)] =
@@ -447,6 +465,6 @@ object Graph {
           .flatMap { case ((b, c), (a, _)) => Iterator((a, 1L), (b, 1L), (c, 1L)) }
           .reduceByKey(part, _ + _)
       }
-    result.toDF("node", "triangles")
+    longPairDF(Seq(proj), result, "node", "triangles")
   }
 }

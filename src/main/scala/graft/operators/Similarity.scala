@@ -691,6 +691,15 @@ object Similarity {
     val sorted = cAll.sortWithinPartitions(col("t"), col("s"), col("vec_id"))
     val tOrd = sorted.schema.fieldIndex("t")
     val sOrd = sorted.schema.fieldIndex("s")
+    // The streaming filter below reads t/s positionally with getInt/
+    // getLong; on UnsafeRow a type drift (t widened to long, s emitted
+    // as int by a future tables==1 shortcut) would misread raw bytes
+    // SILENTLY and corrupt bucket grouping only on the capped path —
+    // fail loudly instead (r16 ADVICE).
+    require(sorted.schema(tOrd).dataType == org.apache.spark.sql.types.IntegerType,
+      s"partialBucketCap: column t must be INT, got ${sorted.schema(tOrd).dataType}")
+    require(sorted.schema(sOrd).dataType == org.apache.spark.sql.types.LongType,
+      s"partialBucketCap: column s must be BIGINT, got ${sorted.schema(sOrd).dataType}")
     org.apache.spark.sql.GraftSqlBridge.mapPartitionsInternal(sorted, { it =>
       var started = false
       var curT = 0

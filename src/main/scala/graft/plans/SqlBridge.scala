@@ -30,7 +30,7 @@ object GraftSqlBridge {
         Iterator[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val mapped = df.queryExecution.toRdd.mapPartitions(f, preservesPartitioning = true)
-    innerPlans.put(mapped, df)
+    innerPlans.put(mapped, Seq(df))
     classic.internalCreateDataFrame(mapped, df.schema)
   }
 
@@ -45,12 +45,16 @@ object GraftSqlBridge {
     * entries die with their RDDs. */
   private val innerPlans =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_], DataFrame]())
+      new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_], Seq[DataFrame]]())
 
-  /** The source DataFrame a [[mapPartitionsInternal]] RDD was built
-    * from, if that RDD came from this bridge — audit recursion hook. */
-  def innerPlanOf(rdd: org.apache.spark.rdd.RDD[_]): Option[DataFrame] =
-    Option(innerPlans.get(rdd))
+  /** The source DataFrames an audited-boundary RDD was built from, if
+    * that RDD came from this bridge — audit recursion hook. Usually one
+    * frame; an imperative kernel consuming SEVERAL frames (Graph
+    * .bfsLevels reads an edge projection AND a seed projection)
+    * registers them all, so the audit covers every SQL pipeline feeding
+    * the barrier. Empty = not ours = opaque. */
+  def innerPlansOf(rdd: org.apache.spark.rdd.RDD[_]): Seq[DataFrame] =
+    Option(innerPlans.get(rdd)).getOrElse(Seq.empty)
 
   /** `df.localCheckpoint()` with the checkpoint boundary REGISTERED
     * for graft.CodegenAudit: an eager localCheckpoint materializes to
@@ -65,7 +69,7 @@ object GraftSqlBridge {
     val cp = df.localCheckpoint()
     cp.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        innerPlans.put(lr.rdd, df)
+        innerPlans.put(lr.rdd, Seq(df))
     }
     cp
   }
@@ -78,11 +82,20 @@ object GraftSqlBridge {
     * pipeline instead of stopping at the opaque leaf. */
   def createDataFrameAudited(source: DataFrame,
       rdd: org.apache.spark.rdd.RDD[Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    createDataFrameAudited(Seq(source), rdd, schema)
+
+  /** Multi-source form: an imperative kernel fed by SEVERAL DataFrame
+    * projections (Graph.bfsLevels: edges + seeds) registers them all,
+    * so the audit recurses into every feeding pipeline. */
+  def createDataFrameAudited(sources: Seq[DataFrame],
+      rdd: org.apache.spark.rdd.RDD[Row],
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val out = source.sparkSession.createDataFrame(rdd, schema)
+    require(sources.nonEmpty, "createDataFrameAudited: no source frames")
+    val out = sources.head.sparkSession.createDataFrame(rdd, schema)
     out.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        innerPlans.put(lr.rdd, source)
+        innerPlans.put(lr.rdd, sources)
     }
     out
   }

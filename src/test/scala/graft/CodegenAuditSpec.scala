@@ -83,6 +83,55 @@ class CodegenAuditSpec extends SparkSpec {
       "an unregistered RDD scan must be reported opaque")
   }
 
+  test("NEAR-LIMIT watch-list stays many-small-methods: a refactor that unsplits trips loudly") {
+    // r16 verdict item: q135 (91 KB unit SOURCE), q132, q82 are the
+    // largest generated units in the catalog, safe ONLY because
+    // Catalyst splits them into many sub-JIT-budget methods (byteMax
+    // 0.7–1.7 KB at r16 HEAD). Pin a per-method budget on exactly
+    // those entries so a refactor that accidentally collapses the
+    // split — a single consumeDoConsume body past 8 KB — turns the
+    // suite red instead of shipping an interpreted hot stage.
+    val watchList = Seq("q132_profile", "q135_hll_growth", "q82_setsim_join")
+    watchList.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        fail(s"catalog entry $name missing"))
+      val st = audited(fn(spark, sf))
+      assert(!st.failed, s"$name: FAILED-COMPILE ($st)")
+      assert(st.byteMax <= CodegenAudit.JitBudgetBytes,
+        s"$name: single method ${st.byteMax} B over the " +
+          s"${CodegenAudit.JitBudgetBytes} B JIT budget — the many-small-" +
+          s"methods split that made its ${st.srcMax} B unit safe is gone")
+    }
+    // red direction: a unit of comparable SOURCE size whose statements
+    // sit in ONE method must read HUGE — proves the byteMax probe
+    // distinguishes split from unsplit, not just big from small.
+    val unsplit = org.apache.spark.sql.GraftSqlBridge.column(
+      CodegenAuditSpec.OversizedCodegen(2000))
+    val st = audited(spark.range(1).select(unsplit.as("v")))
+    assert(!st.failed && st.byteMax > CodegenAudit.JitBudgetBytes,
+      s"deliberately unsplit 2000-statement method no longer reads HUGE: $st — detector broke")
+  }
+
+  test("cached subtrees are audited through InMemoryTableScanExec; typed RDD scans read opaque") {
+    // r16 ADVICE: a .cache() leaf (InMemoryTableScanExec) hides the
+    // plan that fills the cache; an ExternalRDDScanExec (createDataset
+    // over a typed RDD) has no registry. Pin both directions: a
+    // FAILED-COMPILE expression under a cache must surface through the
+    // leaf, and a typed-RDD scan must count opaque, never pass.
+    val big = org.apache.spark.sql.GraftSqlBridge.column(
+      CodegenAuditSpec.OversizedCodegen(12000))
+    val cached = spark.range(1).select(big.as("v")).cache()
+    try {
+      val st = audited(cached.select(col("v") + 1))
+      assert(st.failed && st.opaque == 0,
+        s"oversized method under .cache() must surface as FAILED-COMPILE: $st")
+    } finally cached.unpersist()
+    val typed = spark.createDataset(spark.sparkContext.parallelize(Seq(1L, 2L)))(
+      org.apache.spark.sql.Encoders.scalaLong)
+    assert(audited(typed.toDF("id")).opaque == 1,
+      "an ExternalRDDScanExec leaf must be reported opaque")
+  }
+
   test("ANN hot-path family: zero failed compiles, every method JIT-able") {
     // the budget the r16 fusion establishes; names are catalog entries.
     // q42 (fused LSH signature), q62/q63 (PQ encode / ADC), q73/q142

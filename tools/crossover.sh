@@ -180,8 +180,17 @@ for name in sp["cohort"]:
             continue
         s = cell["median"]
         d = duck[name][f"x{f}"]
-        row[f"x{f}"] = {"spark_sec": s, "duck_sec": d,
-                        "ratio": round(s / d, 3) if d > 0 else None}
+        rcell = {"spark_sec": s, "duck_sec": d,
+                 "ratio": round(s / d, 3) if d > 0 else None}
+        # a min-of-fewer-than-N duck sample can only RAISE duck's best
+        # and flatter the ratio — mark the cell itself so a partial
+        # ratio is self-identifying where it is read, not only in the
+        # sibling duck_partial_runs map (r16 ADVICE)
+        part = partials.get(name, {}).get(f"x{f}")
+        if part is not None:
+            rcell["duck_runs_completed"] = part["runs_completed"]
+            rcell["partial"] = True
+        row[f"x{f}"] = rcell
     if row:
         queries[name] = row
 
