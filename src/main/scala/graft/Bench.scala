@@ -102,10 +102,36 @@ object Bench {
     // self-identifying without cross-referencing other artifacts
     val calibStart = HostCalib.seconds(spark)
     val results = names.map(n => n -> run(n))
+    // The streaming family re-stages its file-stream inputs and drives a
+    // state store per run — the most window-sensitive entries in the
+    // sweep (r16 regen read +1.3–1.9 s each vs the committed sweep, none
+    // reproducing under calibration). Re-run each THREE extra times and
+    // record min AND median alongside the sweep sample, so a regen diff
+    // self-adjudicates from the artifact instead of needing a pairing
+    // (r16 verdict item 5). `queries` keeps the sweep sample — the
+    // cross-round comparable number.
+    val streamingFamily = Seq("q141_streaming_runs", "q145_streaming_hll",
+      "q147_streaming_cms", "q148_streaming_dedup", "q149_streaming_bloom",
+      "q150_streaming_quantile")
+    val streamVar = streamingFamily.filter(names.contains).flatMap { n =>
+      val sweep = results.toMap.getOrElse(n, -1.0)
+      if (sweep < 0) None
+      else {
+        val samples = sweep +: (1 to 3).map(_ => runOnce(n)).filter(_ >= 0)
+        val sorted = samples.sorted
+        val median =
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+        Some(n -> (sorted.head, median, samples))
+      }
+    }
     val calibEnd = HostCalib.seconds(spark)
     val loadEnd = loadavg()
 
     def f(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
+    val streamVarJson = streamVar.map { case (n, (mn, med, samples)) =>
+      s""""$n":{"min":${f(mn)},"median":${f(med)},"samples":[${samples.map(f).mkString(",")}]}"""
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -115,7 +141,8 @@ object Bench {
       s""""calib_parallelism":${spark.sparkContext.defaultParallelism},""" +
       s""""calib_note":"HostCalib fixed ALU probe, seconds; idle-host reference ~1.9 AT parallelism 32 — stamps are only comparable at equal calib_parallelism (the probe partitions by it)"}"""
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+        s""""streaming_variance":$streamVarJson,"sf":"$sfDir",$env}"""
     // The FULL per-query map (140 queries ≈ 4 KB) overflows the ~2 KB
     // stdout tail the driver keeps, so its regex never recovered the
     // JSON (BENCH_r07/r08 "parsed": null). Write the full line to a
@@ -131,8 +158,12 @@ object Bench {
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val streamVarShort = streamVar.map { case (n, (mn, med, _)) =>
+      s""""$n":{"min":${f(mn)},"median":${f(med)}}"""
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
       s""""queries":$slowest,"queries_shown":"15 slowest of ${results.size}",""" +
+      s""""streaming_variance":$streamVarShort,""" +
       s""""queries_file":"$outPath","sf":"$sfDir",$env}""")
     Tables.clear(spark)
     spark.stop()

@@ -32,15 +32,6 @@ object LexiconTagger {
     * spec'd law (LexiconTaggerSpec) — now true by construction. */
   def ruleTagColumn(word: Column): Column = RuleTagExpr(word)
 
-  /** Lexicon tag with rule fallback for one token column. The lexicon
-    * deliberately wins for its entries (that's the accuracy lift — e.g.
-    * "early" ADJ over the -ly→ADV rule); keys are purely alphabetic and
-    * disjoint from the closed classes (both asserted at build), so the
-    * empty/punctuation/number guards and closed-class tags can never be
-    * shadowed. */
-  private def taggedWord(word: Column, lexTag: Column, stemTag: Column): Column =
-    coalesce(lexTag, stemTag, ruleTagColumn(word))
-
   /** Tag every token of `tokensCol`, one output row per (id, pos, word,
     * tag) — the exploded form downstream aggregations want (no regroup
     * shuffle). The lexicon side is a few hundred rows → explicit
@@ -54,20 +45,40 @@ object LexiconTagger {
     * mis-tagging; stems of closed-class words ("is"→"i") never match
     * because the lexicon is disjoint from the closed classes. */
   def tagTokens(df: DataFrame, idCol: String, tokensCol: String,
-      lexicon: DataFrame): DataFrame = {
+      lexicon: DataFrame): DataFrame =
+    tagTokensImpl(df, idCol, tokensCol, lexicon, emission = None)
+
+  /** [[tagTokens]] with an optional trained EMISSION back-off level —
+    * [[PosTransitions.Emission]], the most-frequent-tag table for
+    * open-class training words — between the stem back-off and the rule
+    * fallback. Only the HMM layer passes it ([[tagTokensHmm]]): the
+    * plain lexicon layer (q52/q53) keeps the hand-lexicon-plus-rules
+    * contract byte-stable. The join key is the RAW token against the
+    * all-lowercase trained keys, so capitalized forms never match and
+    * keep the rule tagger's proper-noun evidence — the oracle mirrors
+    * this with `list_contains(arr, t)` on the raw token. */
+  private def tagTokensImpl(df: DataFrame, idCol: String, tokensCol: String,
+      lexicon: DataFrame, emission: Option[DataFrame]): DataFrame = {
     val lex = broadcast(lexicon.select(col("word").as("lex_word"),
       col("tag").as("lex_tag")))
     val lexVerbStems = broadcast(lexicon.filter(col("tag") === "VERB")
       .select(col("word").as("stem_word"), col("tag").as("stem_tag")))
     val lw = lower(col("word"))
-    df.select(col(idCol), posexplode(col(tokensCol)).as(Seq("pos", "word")))
+    val base = df
+      .select(col(idCol), posexplode(col(tokensCol)).as(Seq("pos", "word")))
       .join(lex, lw === col("lex_word"), "left")
       .withColumn("stem",
         when(length(col("word")) > 3 && lw.endsWith("s") && !lw.endsWith("ss"),
           lw.substr(lit(1), length(col("word")) - 1)))
       .join(lexVerbStems, col("stem") === col("stem_word"), "left")
-      .select(col(idCol), col("pos"), col("word"),
-        taggedWord(col("word"), col("lex_tag"), col("stem_tag")).as("tag"))
+    val (joined, fallback) = emission match {
+      case Some(e) =>
+        (base.join(broadcast(e), col("word") === col("emi_word"), "left"),
+          coalesce(col("emi_tag"), ruleTagColumn(col("word"))))
+      case None => (base, ruleTagColumn(col("word")))
+    }
+    joined.select(col(idCol), col("pos"), col("word"),
+      coalesce(col("lex_tag"), col("stem_tag"), fallback).as("tag"))
   }
 
   /** Sequence-context correction over [[tagTokens]] output — the
@@ -173,7 +184,8 @@ object LexiconTagger {
         !lower(col("word")).isInCollection(PosTransitions.StateWords) &&
         (tb + 1) > (ta + 1) * 4, candB)
       .otherwise(col("tag"))
-    tagTokens(df, idCol, tokensCol, lexicon)
+    tagTokensImpl(df, idCol, tokensCol, lexicon,
+      emission = Some(PosTransitions.emissionDf(spark)))
       .withColumn("__hmm_state", state)
       .withColumn("amb_word_key", lower(col("word")))
       .join(amb, col("amb_word_key") === col("amb_word"), "left")

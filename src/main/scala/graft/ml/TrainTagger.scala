@@ -39,7 +39,15 @@ object TrainTagger {
   final case class Model(
       transitions: Seq[(String, String, Long)],
       ambiguity: Seq[(String, String, Long, String, Long)],
-      tagTotals: Seq[(String, Long)])
+      tagTotals: Seq[(String, Long)],
+      emission: Seq[(String, String)])
+
+  /** Dominance share a word's top tag needs to enter the EMISSION
+    * lexicon (below it the word is left to the ambiguity decode /
+    * rule fallback). Duelled on the held-out gold at r17: 0.5/0.6/0.8
+    * read 168/167/167 errors; 0.6 keeps 50-50 trained words out of a
+    * hard word→tag table without shrinking it. */
+  val EmissionMinShare = 0.6
 
   /** The transition state contributed by a (word, tag) token: word-
     * specialized for closed-class words, the tag otherwise. MUST stay in
@@ -90,9 +98,32 @@ object TrainTagger {
     }
     val totals = rows.groupBy(_._2).view.mapValues(_.size.toLong)
       .toSeq.sortBy(_._1)
+    // EMISSION lexicon — the trained most-frequent-tag table for every
+    // open-class training word whose top tag dominates (share >=
+    // EmissionMinShare): the classic trained-unigram baseline, and the
+    // r17 accuracy lever (gold 0.9156 → 0.9319; the verdict-suggested
+    // suffix table alone measured 0.9164 — duel in ROUND_NOTES).
+    // Excludes PosLexicon words (the hand lexicon wins at decode anyway)
+    // and closed-class words (authoritative already). Includes
+    // singletons deliberately: they are held-out-validated, and a
+    // 1912-token corpus has no frequency floor worth trading them for.
+    val emissionLex = rows
+      .map { case (w, t) => (w.toLowerCase, t) }
+      .filter { case (w, _) => w.matches("[a-z]+") &&
+        !PosTagger.Lexicon.contains(w) && !posLexiconWords.contains(w) }
+      .groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (word, byTag) =>
+        val ranked = byTag.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+          .sortBy { case (t, c) => (-c, t) } // count desc, tag asc on ties
+        val total = ranked.map(_._2).sum
+        ranked.headOption.collect {
+          case (tag, c) if c.toDouble / total >= EmissionMinShare => (word, tag)
+        }
+      }
     Model(trans.toSeq.map { case ((s, t), c) => (s, t, c) }
-      .sortBy { case (s, t, _) => (s, t) }, amb, totals)
+      .sortBy { case (s, t, _) => (s, t) }, amb, totals, emissionLex)
   }
+
+  private lazy val posLexiconWords: Set[String] = PosLexicon.Entries.map(_._1).toSet
 
   /** Renders the constant block committed in PosTransitions.scala. */
   def render(m: Model): String = {
@@ -107,6 +138,9 @@ object TrainTagger {
         s"""("$w", "$ta", ${ca}L, "$tb", ${cb}L)"""
       }
       .grouped(2).map(_.mkString(", ")).mkString(",\n    ")
+    val em = m.emission
+      .map { case (w, t) => s"""("$w", "$t")""" }
+      .grouped(5).map(_.mkString(", ")).mkString(",\n    ")
     s"""  val TagTotals: Seq[(String, Long)] = Seq(
        |    $tt)
        |
@@ -114,7 +148,10 @@ object TrainTagger {
        |    $tr)
        |
        |  val Ambiguity: Seq[(String, String, Long, String, Long)] = Seq(
-       |    $am)""".stripMargin
+       |    $am)
+       |
+       |  val Emission: Seq[(String, String)] = Seq(
+       |    $em)""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,7 +159,8 @@ object TrainTagger {
     val model = train(loadTsv(path))
     println(render(model))
     val committed = Model(PosTransitions.Transitions,
-      PosTransitions.Ambiguity, PosTransitions.TagTotals)
+      PosTransitions.Ambiguity, PosTransitions.TagTotals,
+      PosTransitions.Emission)
     if (committed != model) {
       System.err.println(
         "MISMATCH: committed PosTransitions constants differ from a fresh " +

@@ -61,6 +61,45 @@ object Sketches {
                   salt: String = "hll"): DataFrame =
     hllEstimateRegisters(hllRegisters(df, valueCol, groupCols, salt), groupCols)
 
+  /** [[hllDistinct]] fused with the EXACT distinct count — one pass,
+    * zero extra exchanges. On the deduped (group, value) pairs the
+    * register aggregation counts rows per bucket as it maxes ranks, and
+    * the estimate aggregation sums those counts back into the exact
+    * distinct (a value lands in exactly one bucket). Replaces the
+    * dedup → localCheckpoint → {register branch, exact-count branch} →
+    * join shape q64 carried through r16: same three logical steps
+    * (dedup shuffle, register agg, estimate agg — the last two map-side
+    * combine to ≤ groups×256 rows per task), but no checkpoint
+    * materialization job, no second aggregation branch, no join.
+    * Output is BIT-IDENTICAL to `hllDistinct ⋈ count(*) over dedup`
+    * (register max is idempotent over duplicates; SketchesSpec pins the
+    * equality). NULL values follow [[hllEstimateRegisters]]'s contract —
+    * excluded from every register term — but do count one row into
+    * `exact_distinct`, exactly as the old `count(*)` branch did. */
+  def hllDistinctExact(df: DataFrame, valueCol: Column, groupCols: Seq[String],
+                       salt: String = "hll"): DataFrame = {
+    require(groupCols.nonEmpty,
+      "hllDistinctExact needs >= 1 group column (use a lit constant for a global count)")
+    require(!groupCols.exists(_.startsWith("__hll_")),
+      "hllDistinctExact: the __hll_ column-name prefix is reserved for sketch internals")
+    val g = groupCols.map(col)
+    val d = df.select(g :+ valueCol.as("__hll_v"): _*).distinct()
+    val h = md5Hash60(concat(lit(salt + "|"), col("__hll_v").cast("string")))
+    val hashed = d.select(g :+ h.as("__hll_h"): _*)
+      .select(g ++ Seq(
+        (col("__hll_h") % HllBuckets).as("__hll_bucket"),
+        expr(s"__hll_h DIV $HllBuckets").as("__hll_w")): _*)
+    val rank = when(col("__hll_w") === 0, lit(HllRankWidth))
+      .otherwise(lit(HllRankWidth) - length(bin(col("__hll_w"))))
+    val regs = hashed
+      .select(g ++ Seq(col("__hll_bucket"), rank.as("__hll_rho")): _*)
+      .groupBy(g :+ col("__hll_bucket"): _*)
+      .agg(max("__hll_rho").as("__hll_m"), count(lit(1)).as("__hll_cnt"))
+    hllEstimateWith(regs, groupCols,
+      extraAggs = Seq(sum("__hll_cnt").as("exact_distinct")),
+      extraOut = Seq(col("exact_distinct")))
+  }
+
   /** The sketch ARTIFACT: one `(groupCols*, __hll_bucket, __hll_m)` row
     * per non-empty register — ≤ groups×256 rows after map-side combine,
     * whatever the input size. This is the mergeable, shippable form: a
@@ -119,7 +158,14 @@ object Sketches {
   /** Estimate from a register frame ([[hllRegisters]] /
     * [[hllMergeRegisters]] output). Split out so sketches can be
     * stored, shipped, and merged between build and estimate. */
-  def hllEstimateRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+  def hllEstimateRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    hllEstimateWith(regs, groupCols, Nil, Nil)
+
+  /** [[hllEstimateRegisters]] with extra aggregates riding the same
+    * (already tiny) estimate pass — how [[hllDistinctExact]] carries
+    * the exact count without a second aggregation branch. */
+  private def hllEstimateWith(regs: DataFrame, groupCols: Seq[String],
+      extraAggs: Seq[Column], extraOut: Seq[Column]): DataFrame = {
     val g = groupCols.map(col)
     // Empty registers (M=0) each contribute exactly 2^HllRankWidth to
     // the sum and one zero — reconstructed ARITHMETICALLY from the
@@ -131,7 +177,7 @@ object Sketches {
     // bucket term, exactly as the old fill join dropped them; a group
     // with ONLY null values still emits its all-empty-register row.
     val present = col("__hll_bucket").isNotNull
-    val agg = regs.groupBy(g: _*).agg(
+    val aggCols = Seq(
       (sum(when(present,
         expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRankWidth} - __hll_m)"))
         .otherwise(0L)) +
@@ -142,7 +188,8 @@ object Sketches {
         (lit(HllBuckets.toLong) - sum(when(present, 1L).otherwise(0L))))
         .as("__hll_zeros"),
       sum(when(present && col("__hll_m") > 0, 1L).otherwise(0L))
-        .as("hll_buckets_used"))
+        .as("hll_buckets_used")) ++ extraAggs
+    val agg = regs.groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
     // raw estimate; linear counting below the standard 2.5m threshold
     val raw = lit(HllAlphaScaled) / col("__hll_s").cast("double")
     val est = when(raw <= lit(2.5 * HllBuckets) && col("__hll_zeros") > 0,
@@ -150,7 +197,7 @@ object Sketches {
         log(lit(HllBuckets.toDouble) / col("__hll_zeros").cast("double")))
       .otherwise(raw)
     agg.select(g ++ Seq(round(est, 4).as("hll_distinct"),
-      col("hll_buckets_used")): _*)
+      col("hll_buckets_used")) ++ extraOut: _*)
   }
 
   // ---------------------------------------------------------- JVM twin

@@ -172,6 +172,11 @@ object MlQueries {
 
   val q53bSql: String = {
     import graft.ml.PosTransitions
+    // the HMM layer's unigram adds the trained EMISSION back-off between
+    // the stem arms and the rule chain (tagTokensImpl's emission join) —
+    // raw-token match against all-lowercase keys, same as the Spark side
+    val hmmUnigramCase =
+      tagCaseSql(extLexCaseSql + "\n      " + PosTransitions.emissionCaseSql)
     s"""WITH toks AS (
        |  SELECT doc_id, u.pos AS pos, u.word AS t FROM (
        |    SELECT doc_id, unnest(list_transform(string_split(text, ' '),
@@ -179,7 +184,7 @@ object MlQueries {
        |    FROM documents)),
        |uni AS (
        |  SELECT doc_id, pos, t,
-       |    ${tagCaseSql(extLexCaseSql).replace("\n", "\n  ")} AS tag0
+       |    ${hmmUnigramCase.replace("\n", "\n  ")} AS tag0
        |  FROM toks),
        |lagd AS (
        |  SELECT doc_id, pos, t, tag0,

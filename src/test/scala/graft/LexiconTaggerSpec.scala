@@ -141,6 +141,13 @@ class LexiconTaggerSpec extends SparkSpec {
     assert(model.transitions == PosTransitions.Transitions)
     assert(model.ambiguity == PosTransitions.Ambiguity)
     assert(model.tagTotals == PosTransitions.TagTotals)
+    assert(model.emission == PosTransitions.Emission)
+    // the emission lexicon's own invariants: all-lowercase alphabetic
+    // keys, disjoint from both hand lexicons (so decode precedence
+    // between the tables never matters)
+    assert(PosTransitions.Emission.forall(_._1.matches("[a-z]+")))
+    assert(!PosTransitions.Emission.exists { case (w, _) =>
+      PosTagger.Lexicon.contains(w) || PosLexicon.Entries.exists(_._1 == w) })
   }
 
   test("HMM layer disambiguates by learned context, both directions") {
@@ -181,12 +188,14 @@ class LexiconTaggerSpec extends SparkSpec {
     val hmm = run(LexiconTagger.tagTokensHmm(docDf, "doc_id", "words", lex))
     info(f"unigram $uni%.4f, hand-rule context $ctx%.4f, trained HMM $hmm%.4f on ${goldTags.length} tokens")
     assert(hmm >= ctx, s"trained layer regressed below hand rules: $hmm < $ctx")
-    // measured 0.8952 / 0.9103 / 0.9156 on the 2453-token gold sample
-    // (the r16 +1103-token extension is harder than the original 1350:
-    // the old 0.92 floor was calibrated there at measured 0.9326). The
-    // computation is deterministic on fixed data, so the floor sits a
-    // hair under measured; it breaks only when CODE changes behavior.
-    assert(hmm > 0.91, s"trained HMM accuracy collapsed: $hmm")
+    // measured 0.8952 / 0.9103 / 0.9319 on the 2453-token gold sample
+    // (r17: the trained EMISSION back-off — PosTransitions.Emission in
+    // the HMM layer's unigram — moved HMM 0.9156 → 0.9319; the r16
+    // verdict's suggested suffix table was duelled first and measured
+    // only 0.9164, table in ROUND_NOTES). The computation is
+    // deterministic on fixed data, so the floor sits a hair under
+    // measured; it breaks only when CODE changes behavior.
+    assert(hmm > 0.92, s"trained HMM accuracy collapsed: $hmm")
   }
 
   test("tagArray aligns tags positionally and preserves empty docs") {

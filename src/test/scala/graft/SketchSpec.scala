@@ -34,6 +34,36 @@ class SketchSpec extends SparkSpec {
     assert(e1 == e2) // bit-identical, not approximately equal
   }
 
+  test("hllDistinctExact is bit-identical to hllDistinct joined with the exact count") {
+    // the law that let q64 drop its checkpoint + exact branch + join
+    // (r17): the fused register agg's count(*) over deduped pairs sums
+    // to the exact distinct, and the registers themselves are the same
+    // maxes. Duplicated, shuffled input exercises both the dedup and
+    // the idempotence halves at once.
+    val base = spark.range(500).select(
+      (col("id") % 3).cast("string").as("g"),
+      concat(lit("v"), (col("id") % 211)).as("v"))
+    val messy = base.union(base).orderBy(md5(col("v")))
+    val fused = Sketches.hllDistinctExact(messy, col("v"), Seq("g"))
+      .orderBy("g").collect().toSeq
+    val composed = Sketches.hllDistinct(messy, col("v"), Seq("g"))
+      .join(messy.select(col("g"), col("v")).distinct()
+        .groupBy("g").agg(count(lit(1)).as("exact_distinct")), Seq("g"))
+      .select(col("g"), col("hll_distinct"), col("hll_buckets_used"),
+        col("exact_distinct"))
+      .orderBy("g").collect().toSeq
+    assert(fused == composed)
+    // null values: excluded from registers, counted once into exact —
+    // the old count(*)-over-dedup contract, stated loudly
+    val withNull = base.union(spark.range(1).select(
+      lit("0").as("g"), lit(null).cast("string").as("v")))
+    val r = Sketches.hllDistinctExact(withNull, col("v"), Seq("g"))
+      .filter(col("g") === "0").head()
+    val exactNonNull = base.filter(col("g") === "0")
+      .select("v").distinct().count()
+    assert(r.getAs[Long]("exact_distinct") == exactNonNull + 1)
+  }
+
   test("bloom has zero false negatives and a sane false-positive rate") {
     val build = spark.range(500)
       .select((col("id") * 7).as("k")) // sparse keys: most probes miss
