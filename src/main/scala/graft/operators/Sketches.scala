@@ -80,25 +80,45 @@ object Sketches {
                        salt: String = "hll"): DataFrame = {
     require(groupCols.nonEmpty,
       "hllDistinctExact needs >= 1 group column (use a lit constant for a global count)")
+    val d = df.select(groupCols.map(col) :+ valueCol.as("__hll_v"): _*).distinct()
+    hllEstimateExact(
+      hllRegistersUnique(d, col("__hll_v"), groupCols, salt), groupCols)
+  }
+
+  /** [[hllRegisters]] PLUS the per-bucket row count `__hll_cnt` — the
+    * exact-count currency of the fused forms. CONTRACT: the input's
+    * (groupCols, value) rows must already be UNIQUE (a `distinct`
+    * upstream, or rows unique by construction like q72's exploded
+    * collect_set pairs); over duplicated rows the counts are garbage
+    * while the registers stay right, which no output would flag —
+    * hence the loud name. */
+  def hllRegistersUnique(dUnique: DataFrame, valueCol: Column,
+      groupCols: Seq[String], salt: String = "hll"): DataFrame = {
+    require(groupCols.nonEmpty,
+      "hllRegistersUnique needs >= 1 group column (use a lit constant for a global count)")
     require(!groupCols.exists(_.startsWith("__hll_")),
-      "hllDistinctExact: the __hll_ column-name prefix is reserved for sketch internals")
+      "hllRegistersUnique: the __hll_ column-name prefix is reserved for sketch internals")
     val g = groupCols.map(col)
-    val d = df.select(g :+ valueCol.as("__hll_v"): _*).distinct()
-    val h = md5Hash60(concat(lit(salt + "|"), col("__hll_v").cast("string")))
-    val hashed = d.select(g :+ h.as("__hll_h"): _*)
+    val h = md5Hash60(concat(lit(salt + "|"), valueCol.cast("string")))
+    val hashed = dUnique.select(g :+ h.as("__hll_h"): _*)
       .select(g ++ Seq(
         (col("__hll_h") % HllBuckets).as("__hll_bucket"),
         expr(s"__hll_h DIV $HllBuckets").as("__hll_w")): _*)
     val rank = when(col("__hll_w") === 0, lit(HllRankWidth))
       .otherwise(lit(HllRankWidth) - length(bin(col("__hll_w"))))
-    val regs = hashed
+    hashed
       .select(g ++ Seq(col("__hll_bucket"), rank.as("__hll_rho")): _*)
       .groupBy(g :+ col("__hll_bucket"): _*)
       .agg(max("__hll_rho").as("__hll_m"), count(lit(1)).as("__hll_cnt"))
+  }
+
+  /** Estimate from a [[hllRegistersUnique]] frame, with the exact
+    * distinct count (`sum(__hll_cnt)` — a value lands in exactly one
+    * bucket) riding the same pass as `exact_distinct`. */
+  def hllEstimateExact(regs: DataFrame, groupCols: Seq[String]): DataFrame =
     hllEstimateWith(regs, groupCols,
       extraAggs = Seq(sum("__hll_cnt").as("exact_distinct")),
       extraOut = Seq(col("exact_distinct")))
-  }
 
   /** The sketch ARTIFACT: one `(groupCols*, __hll_bucket, __hll_m)` row
     * per non-empty register — ≤ groups×256 rows after map-side combine,
