@@ -68,11 +68,11 @@ object Graph {
   private val IntegralTypes: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType)
 
-  /** Edge list as a long-keyed pair RDD. Fails loudly on non-integral
-    * node columns — a silent cast would null-out string keys. */
   /** The SQL half of every kernel: the validated (src, dst) long
-    * projection. Kept as a DataFrame (not consumed straight into the
-    * RDD) so the RDD→DataFrame boundary below can register it for
+    * projection — fails loudly on non-integral node columns (a silent
+    * cast would null-out string keys). Kept as a DataFrame (not
+    * consumed straight into the RDD) so the RDD→DataFrame boundary
+    * below can register it for
     * graft.CodegenAudit — without that, the result's scan leaf hides
     * the entire scan+join+filter pipeline feeding the kernel (exactly
     * the gap the r16 ADVICE predicted for ExternalRDDScanExec; live
