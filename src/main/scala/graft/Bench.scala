@@ -101,36 +101,65 @@ object Bench {
     // a fixed in-JVM probe at both ends makes a slow-window sweep
     // self-identifying without cross-referencing other artifacts
     val calibStart = HostCalib.seconds(spark)
+    // Idle-window gate (r17 verdict item 8): a sweep started on a loaded
+    // host produced a 252 s total and a 44.8 s q82 cell that two same-HEAD
+    // pairing runs refuted — only the calib/load stamps rescued the
+    // reading. Make the artifact self-adjudicating: compare calib_start
+    // against the idle reference (~1.9 s at parallelism 32 — only
+    // meaningful at that parallelism) and stamp `window_ok` into env.
+    // SPARK_GRAFT_REQUIRE_IDLE=1 refuses outright (manual regen mode);
+    // the default loudly marks so the driver's automated run never breaks.
+    val idleRef = sys.env.getOrElse("SPARK_GRAFT_IDLE_REF", "1.9").toDouble
+    val windowOk = spark.sparkContext.defaultParallelism != 32 ||
+      calibStart <= idleRef * 1.15
+    if (!windowOk) {
+      System.err.println(f"[bench] WINDOW-CONTAMINATED calib_start=$calibStart%.3f " +
+        f"> 1.15 x idle_ref=$idleRef%.2f — absolute cells from this sweep are " +
+        "inflated; re-run on an idle host or read PAIRING ratios instead")
+      if (sys.env.get("SPARK_GRAFT_REQUIRE_IDLE").contains("1")) {
+        System.err.println("[bench] SPARK_GRAFT_REQUIRE_IDLE=1 — refusing to sweep")
+        spark.stop(); sys.exit(3)
+      }
+    }
     val results = names.map(n => n -> run(n))
-    // The streaming family re-stages its file-stream inputs and drives a
-    // state store per run — the most window-sensitive entries in the
-    // sweep (r16 regen read +1.3–1.9 s each vs the committed sweep, none
-    // reproducing under calibration). Re-run each THREE extra times and
-    // record min AND median alongside the sweep sample, so a regen diff
-    // self-adjudicates from the artifact instead of needing a pairing
-    // (r16 verdict item 5). `queries` keeps the sweep sample — the
-    // cross-round comparable number.
+    // Variance instrument (r16 item 5, generalized per r17 verdict item
+    // 1): single-shot sweep cells for cache-materializing and streaming
+    // queries are window-variance-dominated (q82 read 44.8 s in the r17
+    // sweep vs 2.56/2.79 s cold in both same-HEAD pairings — a reader of
+    // BENCH alone would call it a 2.5x regression). Re-sample the heavy
+    // tail — the 15 slowest sweep cells plus the streaming six — and
+    // record min AND median so a regen diff self-adjudicates from the
+    // artifact. Samples are HOMOGENEOUS single cold runs (r17 ADVICE):
+    // in cold mode (warm=0) the sweep cell IS one runOnce and joins the
+    // sample set; in warm mode it is a min-of-(warm+1) and is recorded
+    // separately under "sweep", never mixed into min/median.
     val streamingFamily = Seq("q141_streaming_runs", "q145_streaming_hll",
       "q147_streaming_cms", "q148_streaming_dedup", "q149_streaming_bloom",
       "q150_streaming_quantile")
-    val streamVar = streamingFamily.filter(names.contains).flatMap { n =>
-      val sweep = results.toMap.getOrElse(n, -1.0)
+    val slowest15 = results.filter(_._2 >= 0).sortBy(-_._2).take(15).map(_._1)
+    val varianceTargets =
+      (slowest15 ++ streamingFamily.filter(names.contains)).distinct.sorted
+    val resultMap = results.toMap
+    val queryVar = varianceTargets.flatMap { n =>
+      val sweep = resultMap.getOrElse(n, -1.0)
       if (sweep < 0) None
       else {
-        val samples = sweep +: (1 to 3).map(_ => runOnce(n)).filter(_ >= 0)
+        val extraRuns = if (warm == 0) 2 else 3
+        val extras = (1 to extraRuns).map(_ => runOnce(n)).filter(_ >= 0)
+        val samples = if (warm == 0) sweep +: extras else extras
         val sorted = samples.sorted
         val median =
           if (sorted.size % 2 == 1) sorted(sorted.size / 2)
           else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-        Some(n -> (sorted.head, median, samples))
+        Some(n -> (sweep, sorted.head, median, samples))
       }
     }
     val calibEnd = HostCalib.seconds(spark)
     val loadEnd = loadavg()
 
     def f(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
-    val streamVarJson = streamVar.map { case (n, (mn, med, samples)) =>
-      s""""$n":{"min":${f(mn)},"median":${f(med)},"samples":[${samples.map(f).mkString(",")}]}"""
+    val queryVarJson = queryVar.map { case (n, (sw, mn, med, samples)) =>
+      s""""$n":{"sweep":${f(sw)},"min":${f(mn)},"median":${f(med)},"samples":[${samples.map(f).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }
       .mkString("{", ",", "}")
@@ -139,10 +168,11 @@ object Bench {
       s""""warm":$warm,"load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""calib_start":${f(calibStart)},"calib_end":${f(calibEnd)},""" +
       s""""calib_parallelism":${spark.sparkContext.defaultParallelism},""" +
-      s""""calib_note":"HostCalib fixed ALU probe, seconds; idle-host reference ~1.9 AT parallelism 32 — stamps are only comparable at equal calib_parallelism (the probe partitions by it)"}"""
+      s""""window_ok":$windowOk,"idle_ref":$idleRef,""" +
+      s""""calib_note":"HostCalib fixed ALU probe, seconds; idle-host reference ~1.9 AT parallelism 32 — stamps are only comparable at equal calib_parallelism (the probe partitions by it); window_ok = calib_start within 1.15x idle_ref"}"""
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-        s""""streaming_variance":$streamVarJson,"sf":"$sfDir",$env}"""
+        s""""query_variance":$queryVarJson,"sf":"$sfDir",$env}"""
     // The FULL per-query map (140 queries ≈ 4 KB) overflows the ~2 KB
     // stdout tail the driver keeps, so its regex never recovered the
     // JSON (BENCH_r07/r08 "parsed": null). Write the full line to a
@@ -158,12 +188,12 @@ object Bench {
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
-    val streamVarShort = streamVar.map { case (n, (mn, med, _)) =>
+    val queryVarShort = queryVar.map { case (n, (_, mn, med, _)) =>
       s""""$n":{"min":${f(mn)},"median":${f(med)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
       s""""queries":$slowest,"queries_shown":"15 slowest of ${results.size}",""" +
-      s""""streaming_variance":$streamVarShort,""" +
+      s""""query_variance":$queryVarShort,""" +
       s""""queries_file":"$outPath","sf":"$sfDir",$env}""")
     Tables.clear(spark)
     spark.stop()

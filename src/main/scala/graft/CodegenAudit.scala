@@ -67,7 +67,13 @@ object CodegenAudit {
     *  - ExternalRDDScanExec (createDataset over a typed RDD): no
     *    registry exists for it and no catalog query uses one today —
     *    counted `opaque` so a future unregistered boundary is
-    *    reported rather than passed (r16 ADVICE). */
+    *    reported rather than passed (r16 ADVICE).
+    *
+    * Leaf accounting covers SUBQUERY plans too (r17 ADVICE): the main
+    * `plan.collect` walks only the main tree, so auditPlan also
+    * recurses over every node's `subqueries` — a plan-hiding leaf
+    * inside a scalar/IN/EXISTS subquery gets the same
+    * audited-through/opaque treatment as a main-tree one. */
   def audit(df: DataFrame): UnitStats = auditPlan(df.queryExecution.executedPlan)
 
   private def auditPlan(plan: org.apache.spark.sql.execution.SparkPlan): UnitStats = {
@@ -80,7 +86,7 @@ object CodegenAudit {
     }
     val outer = UnitStats(srcMax, byteMax,
       units.exists(_._3.maxMethodCodeSize < 0))
-    plan.collect {
+    val leafStats = plan.collect {
       case r: org.apache.spark.sql.execution.RDDScanExec =>
         org.apache.spark.sql.GraftSqlBridge.innerPlansOf(r.rdd) match {
           case inner if inner.nonEmpty =>
@@ -91,7 +97,18 @@ object CodegenAudit {
         auditPlan(im.relation.cachedPlan)
       case _: org.apache.spark.sql.execution.ExternalRDDScanExec[_] =>
         UnitStats(0, 0, failed = false, opaque = 1)
-    }.foldLeft(outer)(_ merge _)
+    }
+    // Subquery plans (scalar/IN/EXISTS): codegenStringSeq already
+    // recurses into them in Spark 4.x, so their UNITS are in `outer` —
+    // but `plan.collect` walks only the main tree, so an RDD-scan /
+    // cache leaf EMBEDDED IN a subquery would be silently passed
+    // rather than audited-through or opaque-counted (r17 ADVICE).
+    // Recurse auditPlan over each node's immediate subqueries (nested
+    // subqueries are reached by the recursion); the unit stats come
+    // back a second time, which the max/or merge absorbs, while the
+    // leaf accounting becomes tree-complete.
+    val subStats = plan.collect { case p => p.subqueries }.flatten.map(auditPlan)
+    (leafStats ++ subStats).foldLeft(outer)(_ merge _)
   }
 
   def main(args: Array[String]): Unit = {

@@ -124,6 +124,21 @@ object Crossover {
     // host-window stamp after the corpora are ensured (synthesis I/O
     // would contaminate the reading) — see HostCalib
     val calibStart = HostCalib.seconds(spark)
+    // Idle-window gate (r17 verdict item 8): CROSSOVER_r17 ran at
+    // load_end 15.8/21.8 and a contaminated window inverted a q72 duel
+    // verdict once that round — mark (or refuse, under
+    // SPARK_GRAFT_REQUIRE_IDLE=1) instead of relying on the reader.
+    val idleRef = sys.env.getOrElse("SPARK_GRAFT_IDLE_REF", "1.9").toDouble
+    val windowOk = spark.sparkContext.defaultParallelism != 32 ||
+      calibStart <= idleRef * 1.15
+    if (!windowOk) {
+      System.err.println(f"[crossover] WINDOW-CONTAMINATED calib_start=" +
+        f"$calibStart%.3f > 1.15 x idle_ref=$idleRef%.2f")
+      if (sys.env.get("SPARK_GRAFT_REQUIRE_IDLE").contains("1")) {
+        System.err.println("[crossover] SPARK_GRAFT_REQUIRE_IDLE=1 — refusing to sweep")
+        spark.stop(); sys.exit(3)
+      }
+    }
 
     val Reps = 5 // first dropped as warmup, median of the remaining 4
     val runs = scala.collection.mutable.LinkedHashMap[(String, Int), Seq[Double]]()
@@ -183,7 +198,7 @@ object Crossover {
          |  "corpora": "ScaleBench replicated documents (synth v${ScaleBench.SynthVersion}), same cache as the scaling table"
          |},
          |"corpora": {$corporaJson},
-         |"env": {"cpus": ${Runtime.getRuntime.availableProcessors()}, "load_start": $loadStart, "load_end": $loadEnd, "calib_start": ${fmt(calibStart)}, "calib_end": ${fmt(calibEnd)}, "calib_parallelism": ${spark.sparkContext.defaultParallelism}, "calib_note": "HostCalib fixed ALU probe, seconds; idle-host reference ~1.9 AT parallelism 32 — stamps are only comparable at equal calib_parallelism (the probe partitions by it)"},
+         |"env": {"cpus": ${Runtime.getRuntime.availableProcessors()}, "load_start": $loadStart, "load_end": $loadEnd, "calib_start": ${fmt(calibStart)}, "calib_end": ${fmt(calibEnd)}, "calib_parallelism": ${spark.sparkContext.defaultParallelism}, "window_ok": $windowOk, "idle_ref": $idleRef, "calib_note": "HostCalib fixed ALU probe, seconds; idle-host reference ~1.9 AT parallelism 32 — stamps are only comparable at equal calib_parallelism (the probe partitions by it); window_ok = calib_start within 1.15x idle_ref"},
          |"spark": {
          |  $sparkJson
          |},

@@ -91,8 +91,11 @@ object Sketches {
     * upstream, or rows unique by construction like q72's exploded
     * collect_set pairs); over duplicated rows the counts are garbage
     * while the registers stay right, which no output would flag —
-    * hence the loud name. */
-  def hllRegistersUnique(dUnique: DataFrame, valueCol: Column,
+    * hence the loud name AND the package-private visibility (r17
+    * ADVICE): external callers go through [[hllDistinctExact]], which
+    * encapsulates the distinct; in-package callers (q72's exploded
+    * collect_set pairs, the duel tools) own the uniqueness proof. */
+  private[graft] def hllRegistersUnique(dUnique: DataFrame, valueCol: Column,
       groupCols: Seq[String], salt: String = "hll"): DataFrame = {
     require(groupCols.nonEmpty,
       "hllRegistersUnique needs >= 1 group column (use a lit constant for a global count)")

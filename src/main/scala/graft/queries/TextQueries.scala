@@ -1333,8 +1333,8 @@ object TextQueries {
     * Only pairs with n_shared ≥ 1 appear. */
   def q97SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     // Round-10 shape: the source membership of each shingle hash is a
-    // BITMASK, not a set object. The source names are collected once
-    // (a |sources|-row distinct — provenance labels, not data), each
+    // BITMASK, not a set object. The source names come from ONE bounded
+    // probe (≤ 127 rows — see q97TierProbe), each
     // mapped to one bit; the per-hash collapse is then `bit_or` over a
     // long — a primitive-typed, codegen'd aggregate where the round-9
     // collect_set form allocated a set object per hash. The mask
@@ -1359,10 +1359,9 @@ object TextQueries {
     //          source labels, and the set fallback costs an
     //          object-heavy collect_set;
     //   > 126 → per-hash sorted source SETS (q97SetExplode below).
-    val d0 = docs(spark, dir)
-    val names = d0.select("source").distinct().collect()
-      .map(_.getString(0)).sorted
-    if (names.length > 126) return q97SetExplode(spark, dir)
+    val probe = q97TierProbe(spark, dir)
+    if (probe.length > 126) return q97SetExplode(spark, dir)
+    val names = probe.sorted
     val s = names.length
     val maskCensus = q97MaskCensus(spark, dir, names)
     import spark.implicits._
@@ -1435,6 +1434,21 @@ object TextQueries {
           (col("n_a") + col("n_b") - col("n_shared")), 4))
       .orderBy("source_a", "source_b")
   }
+
+  /** Bounded tier-dispatch probe for [[q97SourceOverlap]]: at most 127
+    * distinct source names ever reach the driver. The `limit(127)` is a
+    * plan-level `GlobalLimit` ABOVE the distinct, so the fetch is capped
+    * before collect regardless of label cardinality. ≤ 126 names → the
+    * probe IS the full label set (the packed-bitmask tiers need it
+    * anyway); 127 names → the caller hands off to the set-explode tier
+    * WITHOUT the driver ever holding the full label list. The > 126
+    * tier exists precisely for high-cardinality provenance labels (a
+    * crawl corpus can carry millions of source strings), so the
+    * dispatcher must not OOM collecting them before reaching it — the
+    * one unbounded driver fetch flagged by the r17 review. */
+  private[graft] def q97TierProbe(spark: SparkSession, dir: String): Array[String] =
+    docs(spark, dir).select("source").distinct().limit(127).collect()
+      .map(_.getString(0))
 
   /** The corpus-side stage of [[q97SourceOverlap]]: per-hash source
     * bitmask collapse → ≤|distinct masks|-row census. Exposed

@@ -132,6 +132,41 @@ class CodegenAuditSpec extends SparkSpec {
       "an ExternalRDDScanExec leaf must be reported opaque")
   }
 
+  test("subquery-embedded leaves get the same audited-through/opaque treatment") {
+    // r17 ADVICE: auditPlan's leaf collect walked only the main tree,
+    // so a plan-hiding leaf inside a scalar subquery was silently
+    // passed (its codegen UNITS were covered — Spark 4.x
+    // codegenStringSeq recurses into subqueries — but the
+    // audited-through/opaque accounting was main-tree-only). Pin both
+    // directions through a scalar subquery: an unregistered typed-RDD
+    // leaf must opaque-count, and a FAILED-COMPILE expression under a
+    // .cache() must surface through the subquery's cache leaf.
+    val typed = spark.createDataset(spark.sparkContext.parallelize(Seq(1L, 2L)))(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("v")
+    typed.createOrReplaceTempView("audit_sub_typed")
+    try {
+      val df = spark.range(3).selectExpr("id",
+        "(select max(v) from audit_sub_typed) as m")
+      assert(audited(df).opaque == 1,
+        "an ExternalRDDScanExec inside a scalar subquery must be opaque-counted")
+    } finally spark.catalog.dropTempView("audit_sub_typed")
+
+    val big = org.apache.spark.sql.GraftSqlBridge.column(
+      CodegenAuditSpec.OversizedCodegen(12000))
+    val cached = spark.range(1).select(big.as("v")).cache()
+    cached.createOrReplaceTempView("audit_sub_cached")
+    try {
+      val df = spark.range(3).selectExpr("id",
+        "(select max(v) from audit_sub_cached) as m")
+      val st = audited(df)
+      assert(st.failed && st.opaque == 0,
+        s"FAILED-COMPILE under a cache inside a subquery must surface: $st")
+    } finally {
+      spark.catalog.dropTempView("audit_sub_cached")
+      cached.unpersist()
+    }
+  }
+
   test("ANN hot-path family: zero failed compiles, every method JIT-able") {
     // the budget the r16 fusion establishes; names are catalog entries.
     // q42 (fused LSH signature), q62/q63 (PQ encode / ADC), q73/q142

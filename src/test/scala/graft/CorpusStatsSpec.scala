@@ -298,6 +298,31 @@ class CorpusStatsSpec extends SparkSpec {
     checkWide(127)
   }
 
+  test("q97 dispatch probe is bounded: 127 names max reach the driver") {
+    // r17 verdict item 2: the old dispatcher collected ALL distinct
+    // source names before checking the > 126 handoff — on a corpus with
+    // millions of provenance labels the driver would OOM before
+    // reaching the tier built for exactly that case. The probe must cap
+    // the fetch at 127 rows (enough to decide the tier, and the full
+    // list when ≤ 126) and its plan must carry the limit.
+    val dir = wideSourceDir(200)
+    val probe = TextQueries.q97TierProbe(spark, dir)
+    assert(probe.length == 127, s"probe returned ${probe.length} of 200")
+    // plan pin: the cap is a GlobalLimit in the plan, not a driver-side
+    // truncation of an unbounded collect
+    val plan = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct()
+      .limit(127).queryExecution.executedPlan.toString
+    assert(plan.contains("Limit") || plan.contains("TakeOrderedAndProject"),
+      s"probe plan lost its limit:\n${plan.take(800)}")
+    // and a > 126-source corpus still answers correctly end-to-end via
+    // the set-explode tier (dispatch + arithmetic in one)
+    val got = TextQueries.q97SourceOverlap(spark, dir)
+      .select("n_a", "n_b", "n_shared").distinct()
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((9L, 9L, 1L)), s"set-explode tier arithmetic: $got")
+  }
+
   test("q97: randomized corpora match a driver-side brute force across all four tiers") {
     // independent of the constructed-corpus arithmetic above: seeded
     // random corpora with genuine cross-source window sharing, expected
