@@ -72,6 +72,19 @@ object Crossover {
     val outDir = args.headOption.getOrElse("/tmp/crossover")
     val factors =
       if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10, 100)
+    // SPARK_GRAFT_CROSSOVER_COHORT=q72_hll_merge,q107_frequent_pairs
+    // narrows the duel to the named queries — a focused re-cert at a
+    // higher factor (e.g. 300x for a floor-crossing demonstration)
+    // shouldn't pay for the whole cohort at that scale. Unset = full
+    // cohort, the per-round artifact mode.
+    val cohort = sys.env.get("SPARK_GRAFT_CROSSOVER_COHORT") match {
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- Cohort.toSet
+        require(unknown.isEmpty, s"unknown cohort entries: $unknown")
+        Cohort.filter(want)
+      case None => Cohort
+    }
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadStart = Files.readString(Paths.get("/proc/loadavg")).split(" ")(0)
     val spark = SparkSession.builder()
@@ -143,7 +156,7 @@ object Crossover {
     val Reps = 5 // first dropped as warmup, median of the remaining 4
     val runs = scala.collection.mutable.LinkedHashMap[(String, Int), Seq[Double]]()
     factors.foreach { factor =>
-      Cohort.foreach { name =>
+      cohort.foreach { name =>
         val dir = corpora(factor)
         try {
           val ts = (1 to Reps).map(_ => time(buildQuery(name, factor, dir)))
@@ -168,7 +181,7 @@ object Crossover {
       val s = ts.drop(1).sorted
       (s(1) + s(2)) / 2.0
     }
-    val done: Seq[String] = Cohort.filter(n => factors.exists(f => runs.contains((n, f))))
+    val done: Seq[String] = cohort.filter(n => factors.exists(f => runs.contains((n, f))))
     val sparkJson = done.map { name =>
       val perFactor = factors.flatMap { f =>
         runs.get((name, f)).map { ts =>
@@ -191,7 +204,7 @@ object Crossover {
       s"""{
          |"base": ${jsonStr(baseDir)},
          |"factors": [${factors.mkString(", ")}],
-         |"cohort": [${Cohort.map(jsonStr).mkString(", ")}],
+         |"cohort": [${cohort.map(jsonStr).mkString(", ")}],
          |"protocol": {
          |  "spark": "local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}], shuffle.partitions=32, AQE, noop sink, 5 reps (first dropped as warmup) -> median of 4, clearCache+unpersist+System.gc between reps",
          |  "q107_support": "MinPairSupport * factor (replication multiplies every pair's support by the factor; a fixed threshold would promote the whole vocabulary into the frequent set)",
