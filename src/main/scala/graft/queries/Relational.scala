@@ -668,16 +668,24 @@ object Relational {
     * feasible at corpus scale. Two tiers on the frequent-set size
     * (q97's discipline): a set within [[FreqLiteralCap]] rides into
     * the scan as ONE kernel reference
-    * ([[graft.plans.FrequentPairsExpr]] — pairs are a per-row fact
-    * once the set is known, so the pair pass is one corpus scan with
-    * a map-side-combined pair census and ZERO pre-aggregation
+    * ([[graft.plans.FrequentPairCodesExpr]] — pairs are a per-row
+    * fact once the set is known, so the pair pass is one corpus scan
+    * with a map-side-combined pair census and ZERO pre-aggregation
     * exchange), while a larger set keeps the broadcast semi-join +
     * doc_id self-join plan, which never ships the set through the
-    * driver. Measured warm sf0.1 (min of 6): join plan 0.81 s,
-    * array_intersect+nested-transform HOF 1.10 s, kernel tier ~0.3 s.
-    * The census fetch is limit-bounded (cap + 1 rows), so the driver
-    * read stays O(cap) even when the fallback fires. Counts all
-    * integer.
+    * driver. The kernel emits PACKED INT CODES `a*K + b` over the
+    * sorted set, not string structs (r18 duel): the census exchange
+    * keys one 4-byte int instead of re-hashing two strings at every
+    * partial/final agg, and only the ≤ 50 survivors decode back to
+    * tokens via `element_at` on one array literal. Measured warm
+    * sf0.1 (min of 6, r9): join plan 0.81 s, HOF 1.10 s, struct
+    * kernel ~0.3 s; r18 interleaved duel, struct vs codes census:
+    * x1 0.638/0.671 → 0.461/0.505 min/med, ×100-replicated corpus
+    * 2.153/2.203 → 1.456/1.502 — bit-identical output at four
+    * corpora, −25–32% everywhere, and under the DuckDB oracle's
+    * 2.29 s at 100×. The census fetch is limit-bounded (cap + 1
+    * rows), so the driver read stays O(cap) even when the fallback
+    * fires. Counts all integer.
     *
     * EAGER MATERIALIZATION: building this DataFrame runs the
     * frequent-item census as a Spark job AT PLAN-CONSTRUCTION TIME —
@@ -706,26 +714,42 @@ object Relational {
       .filter(col("df") >= support)
       .select("token")
     val freqHead = freq.limit(cap + 1).collect().map(_.getString(0))
-    val pairs =
-      if (freqHead.length <= cap) {
-        Tables(spark, dir).documents
-          .select(explode(graft.plans.FrequentPairsExpr.column(
-            toks, freqHead.sorted.toSeq)).as("p"))
-          .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
-      } else {
-        val ft = tok.join(broadcast(freq), "token")
-        ft.select(col("doc_id"), col("token").as("tok_a"))
-          .join(ft.select(col("doc_id"), col("token").as("tok_b")),
-            Seq("doc_id"))
-          .filter(col("tok_a") < col("tok_b"))
-          .select("tok_a", "tok_b")
-      }
-    pairs
-      .groupBy("tok_a", "tok_b")
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= support)
-      .orderBy(col("support").desc, col("tok_a").asc, col("tok_b").asc)
-      .limit(50)
+    if (freqHead.length <= cap) {
+      // kernel tier: int-code census. The set is sorted by UTF8 BINARY
+      // order (not String's UTF-16 order — they differ for
+      // supplementary-plane tokens), so code order == (tok_a, tok_b)
+      // binary order and `ORDER BY support DESC, code` IS the output
+      // ordering contract; the decode touches only the 50 survivors.
+      // `typedLit` keeps the decode array ONE literal reference, never
+      // a 2048-element CreateArray (the janino-cliff-safe form).
+      val sortedSet =
+        freqHead.sorted(graft.plans.FrequentPairsExpr.Utf8BinaryOrdering).toSeq
+      val k = sortedSet.length
+      val tokLit = typedLit(sortedSet)
+      Tables(spark, dir).documents
+        .select(explode(graft.plans.FrequentPairCodesExpr.column(
+          toks, sortedSet)).as("code"))
+        .groupBy("code").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= support)
+        .orderBy(col("support").desc, col("code").asc)
+        .limit(50)
+        .select(
+          element_at(tokLit, expr(s"CAST(code DIV $k AS INT) + 1")).as("tok_a"),
+          element_at(tokLit, expr(s"CAST(code % $k AS INT) + 1")).as("tok_b"),
+          col("support"))
+    } else {
+      val ft = tok.join(broadcast(freq), "token")
+      ft.select(col("doc_id"), col("token").as("tok_a"))
+        .join(ft.select(col("doc_id"), col("token").as("tok_b")),
+          Seq("doc_id"))
+        .filter(col("tok_a") < col("tok_b"))
+        .select("tok_a", "tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= support)
+        .orderBy(col("support").desc, col("tok_a").asc, col("tok_b").asc)
+        .limit(50)
+    }
   }
 
   /** [[q107Sql]] with the support threshold injectable — the crossover

@@ -206,20 +206,26 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
-  test("frequent_pairs kernel == broadcast self-join plan — corpus and edges") {
+  test("frequent_pair_codes kernel == broadcast self-join plan — corpus and edges") {
     // q107's literal-set tier against the join tier it replaces: same
     // (tok_a, tok_b) pair multiset over every doc at sf0.001, binary
-    // pair order, duplicates within a doc collapsed
+    // pair order, duplicates within a doc collapsed. Codes decode with
+    // the SAME sorted set the kernel was built from (the a*K+b
+    // contract).
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), split(col("text"), " ").as("l"))
     val freqSet = docs.select(explode(array_distinct(col("l"))).as("t"))
       .groupBy("t").count().filter(col("count") >= 5)
-      .collect().map(_.getString(0)).sorted.toSeq
+      .collect().map(_.getString(0))
+      .sorted(graft.plans.FrequentPairsExpr.Utf8BinaryOrdering).toSeq
     assert(freqSet.nonEmpty)
+    val k = freqSet.length
     val fast = docs.select(col("doc_id"),
-        explode(graft.plans.FrequentPairsExpr.column(col("l"), freqSet))
-          .as("p"))
-      .select(col("doc_id"), col("p.tok_a").as("a"), col("p.tok_b").as("b"))
+        explode(graft.plans.FrequentPairCodesExpr.column(col("l"), freqSet))
+          .as("code"))
+      .select(col("doc_id"),
+        element_at(typedLit(freqSet), expr(s"CAST(code DIV $k AS INT) + 1")).as("a"),
+        element_at(typedLit(freqSet), expr(s"CAST(code % $k AS INT) + 1")).as("b"))
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(col("l"))).as("t"))
       .filter(col("t").isin(freqSet: _*))
@@ -228,25 +234,40 @@ class TextFunctionsSpec extends SparkSpec {
       .filter(col("a") < col("b"))
     assert(fast.exceptAll(slow).count() == 0 &&
       slow.exceptAll(fast).count() == 0)
-    // edges: repeats collapse, < 2 matches emit nothing, null-safe
+    // edges: repeats collapse, < 2 matches emit nothing, null-safe;
+    // codes enumerate in (a, b) ascending order by construction
     val edge = Seq(Seq("x", "y", "x", "z", "q"), Seq("x"), Seq[String]())
       .toDF("l")
     val got = edge.select(
-      graft.plans.FrequentPairsExpr.column(col("l"), Seq("x", "y", "z"))
-        .as("p")).collect().map(_.getSeq[org.apache.spark.sql.Row](0)
-        .map(r => (r.getString(0), r.getString(1))))
-    assert(got(0) == Seq(("x", "y"), ("x", "z"), ("y", "z")))
+      graft.plans.FrequentPairCodesExpr.column(col("l"), Seq("x", "y", "z"))
+        .as("p")).collect().map(_.getSeq[Int](0))
+    // set {x,y,z} sorted: x=0 y=1 z=2, K=3 → (x,y)=1 (x,z)=2 (y,z)=5
+    assert(got(0) == Seq(1, 2, 5))
     assert(got(1).isEmpty && got(2).isEmpty)
   }
 
-  test("frequent_pairs rejects an oversized literal set at construction") {
-    // the kernel tier's worst-case row is k*(k-1)/2 structs; the cap is
-    // a loud require, not the caller's discipline alone
-    val big = (0 to graft.plans.FrequentPairsExpr.MaxTokens).map(i => s"t$i")
+  test("frequent_pair_codes rejects oversized and unsorted literal sets at construction") {
+    // the kernel tier's worst-case row is k*(k-1)/2 codes and a*K+b
+    // must stay inside an int; both caps are loud requires, not the
+    // caller's discipline alone
+    val big = (0 to graft.plans.FrequentPairCodesExpr.MaxCodeTokens)
+      .map(i => s"t$i")
     val e = intercept[IllegalArgumentException] {
-      graft.plans.FrequentPairsExpr.column(lit(Array("a")), big)
+      graft.plans.FrequentPairCodesExpr.column(lit(Array("a")), big)
     }
-    assert(e.getMessage.contains("MaxTokens"))
+    assert(e.getMessage.contains("MaxCodeTokens"))
+    // decode is index arithmetic over the SORTED set — an unsorted (or
+    // duplicated) set silently mis-decodes, so construction refuses it
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.FrequentPairCodesExpr.column(lit(Array("a")),
+        Seq("b", "a"))
+    }
+    assert(e2.getMessage.contains("sorted") || e2.getMessage.contains("ascending"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.plans.FrequentPairCodesExpr.column(lit(Array("a")),
+        Seq("a", "a"))
+    }
+    assert(e3.getMessage.contains("ascending"))
   }
 
   test("postings and frequent_pairs raise descriptively on null array elements") {
@@ -263,11 +284,11 @@ class TextFunctionsSpec extends SparkSpec {
     assert(chainHas(e1, "null array element"),
       s"postings null-element error not descriptive: $e1")
     val e2 = intercept[Exception] {
-      nullToks.select(graft.plans.FrequentPairsExpr.column(col("l"),
+      nullToks.select(graft.plans.FrequentPairCodesExpr.column(col("l"),
         Seq("a", "b"))).collect()
     }
     assert(chainHas(e2, "null array element"),
-      s"frequent_pairs null-element error not descriptive: $e2")
+      s"frequent_pair_codes null-element error not descriptive: $e2")
   }
 
   test("postings and frequent-pairs kernels: randomized driver-side recompute (unicode, repeats, empties)") {
@@ -282,6 +303,7 @@ class TextFunctionsSpec extends SparkSpec {
     }
     val df = docs.toDF("doc_id", "l")
     val freqSet = Seq("a", "héllo", "漢字", "", "zzz")
+      .sorted(graft.plans.FrequentPairsExpr.Utf8BinaryOrdering)
     val gotPost = df.select(col("doc_id"),
         explode(graft.plans.PostingsExpr.column(col("l"))).as("p"))
       .select(col("doc_id"), col("p.token"), col("p.tf"), col("p.positions"))
@@ -289,12 +311,16 @@ class TextFunctionsSpec extends SparkSpec {
       .groupBy(_.getLong(0))
       .view.mapValues(_.map(r =>
         (r.getString(1), r.getLong(2), r.getString(3))).toSet).toMap
+    val kSet = freqSet.length
     val gotPairs = df.select(col("doc_id"),
-        explode(graft.plans.FrequentPairsExpr.column(col("l"), freqSet)).as("p"))
-      .select(col("doc_id"), col("p.tok_a"), col("p.tok_b"))
+        explode(graft.plans.FrequentPairCodesExpr.column(col("l"), freqSet))
+          .as("code"))
       .collect()
       .groupBy(_.getLong(0))
-      .view.mapValues(_.map(r => (r.getString(1), r.getString(2))).toSet).toMap
+      .view.mapValues(_.map { r =>
+        val code = r.getInt(1)
+        (freqSet(code / kSet), freqSet(code % kSet))
+      }.toSet).toMap
     docs.foreach { case (id, toks) =>
       val expPost = toks.zipWithIndex.groupBy(_._1).map { case (t, occ) =>
         (t, occ.size.toLong, occ.map(_._2).mkString(","))
@@ -327,9 +353,9 @@ class TextFunctionsSpec extends SparkSpec {
         .select(col("doc_id"), col("p.token"), col("p.tf"),
           col("p.positions")).collect().toSeq,
       df.select(col("doc_id"),
-          explode(graft.plans.FrequentPairsExpr.column(col("l"),
-            Seq("a", "b", "x", "y"))).as("p"))
-        .select(col("doc_id"), col("p.tok_a"), col("p.tok_b"))
+          explode(graft.plans.FrequentPairCodesExpr.column(col("l"),
+            Seq("a", "b", "x", "y"))).as("code"))
+        .select(col("doc_id"), col("code"))
         .collect().toSeq)
     val codegen = run()
     val keys = Seq("spark.sql.codegen.wholeStage",
