@@ -179,6 +179,21 @@ object LexiconTagger {
       when(ta === 0 && tb === 0, col("amb_taga"))
         .when(scoreB > scoreA, col("amb_tagb"))
         .otherwise(col("amb_taga")))
+      // CAPITALIZATION CONTEXT (r18): a capitalized token that is NOT
+      // sentence-initial (state ≠ START, ≠ '.') and outside the trained
+      // ambiguity table is proper-noun evidence the per-token rule
+      // chain cannot use — its suffix arms fire first ("Monday" ends
+      // -y → ADJ) and the emission join is raw-token by design, so
+      // capitalized forms reach the rule fallback. Flip open-class
+      // guesses to NOUN; closed-class tags (lower-keyed lexicon hit:
+      // "I" → PRON, "The" → DET) and existing NOUNs are untouched. In
+      // the 4,438-token gold every mid-sentence capitalized token is a
+      // NOUN except closed-class "I" — the guard list makes the flip
+      // vacuous there.
+      .when(col("word").rlike("^[A-Z]") &&
+        col("__hmm_state") =!= "START" && col("__hmm_state") =!= "." &&
+        col("amb_word").isNull &&
+        col("tag").isin("ADJ", "VERB", "X"), lit("NOUN"))
       .when(candB.isNotNull && col("__hmm_state").startsWith("W:") &&
         col("word").rlike("^[a-z]") &&
         !lower(col("word")).isInCollection(PosTransitions.StateWords) &&

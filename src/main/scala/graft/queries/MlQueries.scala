@@ -220,6 +220,11 @@ object MlQueries {
        |                > CAST(COALESCE(ta.c, 0) + 1 AS BIGINT) * cand.a_ca * cand.a_ctb
        |               THEN cand.a_tb
        |             ELSE cand.a_ta END
+       |      WHEN regexp_matches(cand.t, '^[A-Z]')
+       |        AND cand.state <> 'START' AND cand.state <> '.'
+       |        AND cand.amb_word IS NULL
+       |        AND list_contains(['ADJ', 'VERB', 'X'], cand.tag0)
+       |        THEN 'NOUN'
        |      WHEN cand.cand_b IS NOT NULL AND cand.state LIKE 'W:%'
        |        AND regexp_matches(cand.t, '^[a-z]')
        |        AND NOT list_contains(${PosTransitions.stateWordsSqlArr},

@@ -70,17 +70,17 @@ class LexiconTaggerSpec extends SparkSpec {
     val ruleAcc = ruleCorrect / n
     info(f"rule accuracy $ruleAcc%.3f, lexicon accuracy $lexAcc%.3f on ${n.toInt} tokens")
     assert(lexAcc > ruleAcc, s"no lift: lexicon $lexAcc vs rules $ruleAcc")
-    // floors a hair under the measured values (0.807 / 0.895 on the
-    // 2453-token sample; the r16 +1103-token extension was authored as
-    // genuinely held-out prose — its error scan found only tagger OOV
-    // limitations; two post-scan typos a careless sed introduced
-    // (stone/drone briefly NUM) were caught in review and fixed, and
-    // the fixture is verified byte-equal to the regenerated source +
-    // validator in tools/pos_gold_extend.py) so regressions fail
-    // loudly. The rule floor TIGHTENS 0.77 -> 0.80 with the larger
-    // sample; the lexicon floor holds at 0.89 against the harder text.
-    assert(ruleAcc > 0.80, s"rule accuracy collapsed: $ruleAcc")
-    assert(lexAcc > 0.89, s"lexicon accuracy collapsed: $lexAcc")
+    // floors a hair under the measured values (0.817 / 0.888 on the
+    // 4438-token sample — the r18 +1985-token extension in
+    // tools/pos_gold_extend_r18.py, authored as held-out prose under
+    // the same validator, follows the r16 extension's provenance
+    // discipline) so regressions fail loudly. The rule floor TIGHTENS
+    // 0.80 -> 0.81 with the larger sample; the HAND-lexicon layer
+    // (no trained emission) reads 0.8882 on the harder text, so its
+    // floor steps 0.89 -> 0.88 — the trained layers' floors below are
+    // the ones that ratchet upward.
+    assert(ruleAcc > 0.81, s"rule accuracy collapsed: $ruleAcc")
+    assert(lexAcc > 0.88, s"lexicon accuracy collapsed: $lexAcc")
   }
 
   test("verb stem back-off: 3rd-person -s forms resolve, plurals and 'news' stay nouns") {
@@ -173,6 +173,26 @@ class LexiconTaggerSpec extends SparkSpec {
     assert(tagOf(6L, "visit") == "NOUN")
   }
 
+  test("capitalization context: mid-sentence capitalized OOV flips to NOUN; guards hold") {
+    // r18 branch: "Monday" ends -y so the rule chain reads ADJ and the
+    // emission join is raw-token by design (capitalized forms skip it)
+    // — mid-sentence capitalization is the proper-noun evidence that
+    // overrides both. Sentence starts and post-punctuation positions
+    // carry no signal (every sentence capitalizes there), and
+    // closed-class tags are never touched.
+    def tags(words: Seq[String]): Map[Int, String] =
+      LexiconTagger.tagTokensHmm(Seq((0L, words)).toDF("doc_id", "words"),
+          "doc_id", "words", PosLexicon.asDataFrame(spark))
+        .select("pos", "tag").as[(Int, String)].collect().toMap
+    val t1 = tags(Seq("Closed", "until", "Monday", ".", "Monday", "rain", "fell"))
+    assert(t1(2) == "NOUN", s"mid-sentence Monday must flip ADJ->NOUN: ${t1(2)}")
+    assert(t1(4) == "ADJ", s"post-'.' Monday carries no signal, stays ADJ: ${t1(4)}")
+    val t2 = tags(Seq("she", "and", "I", "left"))
+    assert(t2(2) == "PRON", s"capitalized closed-class I must stay PRON: ${t2(2)}")
+    val t3 = tags(Seq("the", "train", "to", "Paris", "waits"))
+    assert(t3(3) == "NOUN", "mid-sentence default-NOUN capitalized word unchanged")
+  }
+
   test("trained HMM layer beats the hand-rule context layer on gold") {
     val docDf = Seq((0L, gold.select("token").as[String].collect().toSeq)).toDF("doc_id", "words")
     val goldTags = gold.select("token", "tag").as[(String, String)].collect()
@@ -188,14 +208,17 @@ class LexiconTaggerSpec extends SparkSpec {
     val hmm = run(LexiconTagger.tagTokensHmm(docDf, "doc_id", "words", lex))
     info(f"unigram $uni%.4f, hand-rule context $ctx%.4f, trained HMM $hmm%.4f on ${goldTags.length} tokens")
     assert(hmm >= ctx, s"trained layer regressed below hand rules: $hmm < $ctx")
-    // measured 0.8952 / 0.9103 / 0.9319 on the 2453-token gold sample
-    // (r17: the trained EMISSION back-off — PosTransitions.Emission in
-    // the HMM layer's unigram — moved HMM 0.9156 → 0.9319; the r16
-    // verdict's suggested suffix table was duelled first and measured
-    // only 0.9164, table in ROUND_NOTES). The computation is
-    // deterministic on fixed data, so the floor sits a hair under
-    // measured; it breaks only when CODE changes behavior.
-    assert(hmm > 0.92, s"trained HMM accuracy collapsed: $hmm")
+    // measured 0.8882 / 0.9029 / 0.9387 on the 4438-token gold sample
+    // (r18, two duelled levers both adopted: the ~doubled training
+    // corpus — tools/pos_train_extend_r18.py, emission lexicon 358 →
+    // ~800 forms — moved HMM 0.9227 → 0.9376 on the extended gold, and
+    // the capitalization-context decode branch added 0.9376 → 0.9387;
+    // r17 history: emission back-off 0.9156 → 0.9319 on the old
+    // 2453-token gold, suffix table duelled and rejected at 0.9164).
+    // The computation is deterministic on fixed data, so the floor
+    // sits a hair under measured; it breaks only when CODE changes
+    // behavior.
+    assert(hmm > 0.935, s"trained HMM accuracy collapsed: $hmm")
   }
 
   test("tagArray aligns tags positionally and preserves empty docs") {
