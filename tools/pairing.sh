@@ -16,7 +16,7 @@ fi
 for i in 1 2 3 4; do
   if [ -f $OUT/cold$i.json ]; then echo "=== cold sweep $i: already done"; continue; fi
   echo "=== cold sweep $i $(date +%T) load=$(cut -d' ' -f1 /proc/loadavg)"
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_WARM=0 \
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_WARM=0 SPARK_GRAFT_VARIANCE=0 \
     SPARK_GRAFT_BENCH_OUT=$OUT/cold$i.json \
     sbt -batch "runMain graft.Bench" > $OUT/cold$i.log 2>&1
   tail -1 $OUT/cold$i.log
@@ -24,7 +24,7 @@ done
 for i in 1 2; do
   if [ -f $OUT/warm$i.json ]; then echo "=== warm sweep $i: already done"; continue; fi
   echo "=== warm sweep $i $(date +%T) load=$(cut -d' ' -f1 /proc/loadavg)"
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_WARM=2 \
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_WARM=2 SPARK_GRAFT_VARIANCE=0 \
     SPARK_GRAFT_BENCH_OUT=$OUT/warm$i.json \
     sbt -batch "runMain graft.Bench" > $OUT/warm$i.log 2>&1
   tail -1 $OUT/warm$i.log
