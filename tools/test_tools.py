@@ -40,6 +40,29 @@ def test_floor_resident_base_mismatch_skipped(tmp=None):
                                                           "/data/sf9") == {}
 
 
+def test_pinned_floors_attached_to_warm_residue():
+    # a warm over-2x entry with a PINNED_FLOORS row gets the committed
+    # adjudication attached; entries without one don't; the weak set
+    # itself is unchanged (the bar is the bar)
+    import json, tempfile
+    with tempfile.TemporaryDirectory() as d:
+        dur = {"q72_hll_merge": 0.3, "q95_other": 0.3, "q01_fast": 1.0}
+        cold = {"queries": {k: 0.5 for k in dur}, "env": {"warm": 0}}
+        warm = {"queries": {"q72_hll_merge": 0.9, "q95_other": 0.9,
+                            "q01_fast": 0.5}, "env": {"warm": 2}}
+        paths = []
+        for i, b in enumerate((cold, warm)):
+            p = os.path.join(d, f"b{i}.json")
+            json.dump(b, open(p, "w"))
+            paths.append(p)
+        out_path = os.path.join(d, "pairing.json")
+        duck_bench.write_pairing(dur, paths, out_path, "/data/sf-none", 3)
+        got = json.load(open(out_path))["summary"]["warm"]
+        assert got["over_2x_nontrivial"] == ["q72_hll_merge", "q95_other"], got
+        assert list(got["pinned_floors"]) == ["q72_hll_merge"], got
+        assert "300x" in got["pinned_floors"]["q72_hll_merge"]
+
+
 def test_scalebench_cell_missing_key():
     best = {1: {"vocab_df": 1.0}, 10: {}, 100: {"vocab_df": 3.0}}
     assert scalebench_table.cell(best, "vocab_df", 1) == "1.0s"
@@ -51,5 +74,6 @@ def test_scalebench_cell_missing_key():
 if __name__ == "__main__":
     test_crossover_candidates_numeric_order()
     test_floor_resident_base_mismatch_skipped()
+    test_pinned_floors_attached_to_warm_residue()
     test_scalebench_cell_missing_key()
     print("OK")
