@@ -71,14 +71,22 @@ object LexiconTagger {
         when(length(col("word")) > 3 && lw.endsWith("s") && !lw.endsWith("ss"),
           lw.substr(lit(1), length(col("word")) - 1)))
       .join(lexVerbStems, col("stem") === col("stem_word"), "left")
-    val (joined, fallback) = emission match {
+    emission match {
       case Some(e) =>
-        (base.join(broadcast(e), col("word") === col("emi_word"), "left"),
-          coalesce(col("emi_tag"), ruleTagColumn(col("word"))))
-      case None => (base, ruleTagColumn(col("word")))
+        // The HMM layer also needs to know WHICH tokens fell through to
+        // the rule chain (its bilateral OOV lever scores exactly those)
+        // — carried as an internal flag the decode drops before output.
+        base.join(broadcast(e), col("word") === col("emi_word"), "left")
+          .select(col(idCol), col("pos"), col("word"),
+            coalesce(col("lex_tag"), col("stem_tag"), col("emi_tag"),
+              ruleTagColumn(col("word"))).as("tag"),
+            (col("lex_tag").isNull && col("stem_tag").isNull &&
+              col("emi_tag").isNull).as("__rule_fb"))
+      case None =>
+        base.select(col(idCol), col("pos"), col("word"),
+          coalesce(col("lex_tag"), col("stem_tag"),
+            ruleTagColumn(col("word"))).as("tag"))
     }
-    joined.select(col(idCol), col("pos"), col("word"),
-      coalesce(col("lex_tag"), col("stem_tag"), fallback).as("tag"))
   }
 
   /** Sequence-context correction over [[tagTokens]] output — the
@@ -128,11 +136,20 @@ object LexiconTagger {
     * oracle reproduces it bit-for-bit. Tokens outside the ambiguity
     * table keep their unigram tag.
     *
+    * Tokens with NO evidence anywhere (no lexicon/stem/emission hit,
+    * outside the ambiguity table, not closed-class) go through the
+    * BILATERAL OOV decode instead: all four open-class tags scored by
+    * left transition × right transition (a lead() over the same
+    * window), normalized per tag, boosted toward the rule-chain prior
+    * (-en participles prior ADJ; -ing drops the ADJ candidate) — see
+    * PosTransitions' "bilateral OOV decode" block for the arithmetic
+    * and LexiconTaggerSpec for the measured gold accuracy.
+    *
     * Plan shape: the unigram layer's narrow pass + broadcast lexicon
-    * join, ONE lag window (the shuffle any sequence operator needs),
-    * then three broadcast joins (ambiguity table ~90 rows, transition
-    * table ~150 rows twice) — no additional shuffle, corpus side never
-    * widens beyond a few working columns. */
+    * join, ONE window shuffle computing both lag and lead, then five
+    * broadcast joins (ambiguity ~90 rows, transition ~150 rows twice,
+    * the two ~dozen-row open-tag pivots) — no additional shuffle,
+    * corpus side never widens beyond a few working columns. */
   def tagTokensHmm(df: DataFrame, idCol: String, tokensCol: String,
       lexicon: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -145,6 +162,7 @@ object LexiconTagger {
         .when(prevWord.isInCollection(PosTransitions.StateWords),
           concat(lit("W:"), prevWord))
         .otherwise(prevTag)
+    val nextUni = lead(col("tag"), 1).over(w)
     val amb = broadcast(PosTransitions.ambiguityDf(spark))
     val transA = broadcast(PosTransitions.transitionsDf(spark)
       .select(col("t_state").as("__ta_state"), col("t_tag").as("__ta_tag"),
@@ -152,6 +170,8 @@ object LexiconTagger {
     val transB = broadcast(PosTransitions.transitionsDf(spark)
       .select(col("t_state").as("__tb_state"), col("t_tag").as("__tb_tag"),
         col("t_cnt").as("__tb_cnt")))
+    val openL = broadcast(PosTransitions.openLeftDf(spark))
+    val openR = broadcast(PosTransitions.openRightDf(spark))
     // Candidate pair: trained (tagA, tagB) for ambiguity-table words;
     // for OOV open-class words the pair is (unigram tag, its NOUN↔VERB
     // opposite) — the axis the fallback rules actually get wrong.
@@ -175,6 +195,45 @@ object LexiconTagger {
     // (capitalization is NOUN evidence the transition table cannot see),
     // and never applied to closed-class words, whose unigram tag is
     // authoritative, not a fallback guess.
+    // ---- bilateral OOV lever pieces (constants from PosTransitions) --
+    val lw = lower(col("word"))
+    val adjAllowed = !lw.endsWith("ing")
+    val oovPrior =
+      when(lw.endsWith("en") && length(col("word")) > 4, lit("ADJ"))
+        .otherwise(col("tag"))
+    def oovScore(t: String, l: Column, r: Column): Column = {
+      val left = coalesce(l, lit(0L)) + lit(1L)
+      val right = when(col("__next_uni").isNull, lit(1L))
+        .otherwise(coalesce(r, lit(0L)) + lit(1L))
+      val boost = when(oovPrior === t, lit(PosTransitions.OovBoost))
+        .otherwise(lit(1L))
+      left * right * boost * lit(PosTransitions.openCross(t))
+    }
+    val sN = oovScore("NOUN", col("ol_noun"), col("or_noun"))
+    val sV = oovScore("VERB", col("ol_verb"), col("or_verb"))
+    val sA = oovScore("ADJ", col("ol_adj"), col("or_adj"))
+    val sD = oovScore("ADV", col("ol_adv"), col("or_adv"))
+    // Sequential argmax, ties to the earlier candidate (OpenTags order).
+    val b2 = when(sV > sN, lit("VERB")).otherwise(lit("NOUN"))
+    val s2 = when(sV > sN, sV).otherwise(sN)
+    val b3 = when(adjAllowed && sA > s2, lit("ADJ")).otherwise(b2)
+    val s3 = when(adjAllowed && sA > s2, sA).otherwise(s2)
+    val b4 = when(sD > s3, lit("ADV")).otherwise(b3)
+    val s4 = when(sD > s3, sD).otherwise(s3)
+    val tagInCands = col("tag").isin("NOUN", "VERB", "ADV") ||
+      (col("tag") === "ADJ" && adjAllowed)
+    val sTag = when(col("tag") === "NOUN", sN)
+      .when(col("tag") === "VERB", sV)
+      .when(col("tag") === "ADJ", sA)
+      .otherwise(sD)
+    val oovLevered =
+      when(tagInCands && b4 =!= col("tag") &&
+        s4 < lit(PosTransitions.OovMargin) * sTag, col("tag"))
+        .otherwise(b4)
+    val oovLeverApplies = col("__rule_fb") && col("amb_word").isNull &&
+      col("word").rlike("^[a-z]") &&
+      !lw.isInCollection(PosTransitions.StateWords) &&
+      col("tag").isin("NOUN", "VERB", "ADJ", "ADV", "X")
     val decoded = when(col("amb_word").isNotNull,
       when(ta === 0 && tb === 0, col("amb_taga"))
         .when(scoreB > scoreA, col("amb_tagb"))
@@ -194,6 +253,22 @@ object LexiconTagger {
         col("__hmm_state") =!= "START" && col("__hmm_state") =!= "." &&
         col("amb_word").isNull &&
         col("tag").isin("ADJ", "VERB", "X"), lit("NOUN"))
+      // BILATERAL OOV DECODE (r18 second lever): a lowercase token with
+      // NO evidence anywhere — no lexicon/stem/emission hit (__rule_fb),
+      // outside the ambiguity table, not closed-class — carries only
+      // its rule-chain guess. Score all four open-class tags by left
+      // transition × right transition (the lead() unigram of the NEXT
+      // token), normalized per tag and boosted toward a morphological
+      // prior: the rule tag, except -en participles (wooden, hidden),
+      // whose prior is ADJ; -ing gerund-modifiers drop the ADJ
+      // candidate entirely (gold convention reads "the fishing boat"
+      // as NOUN compound). A flip must beat the prior-weighted rule
+      // tag by ×OovMargin. All-long common-denominator arithmetic —
+      // the q53b oracle reproduces it bit-for-bit. Measured on the
+      // 4,438-token gold: 0.9387 → 0.9538 (272 → 205 errors), both
+      // halves improving (+1.4pp / +1.6pp) and the training corpus
+      // not regressing (58 → 55 errors) — structure, not gold-fit.
+      .when(oovLeverApplies, oovLevered)
       .when(candB.isNotNull && col("__hmm_state").startsWith("W:") &&
         col("word").rlike("^[a-z]") &&
         !lower(col("word")).isInCollection(PosTransitions.StateWords) &&
@@ -202,6 +277,7 @@ object LexiconTagger {
     tagTokensImpl(df, idCol, tokensCol, lexicon,
       emission = Some(PosTransitions.emissionDf(spark)))
       .withColumn("__hmm_state", state)
+      .withColumn("__next_uni", nextUni)
       .withColumn("amb_word_key", lower(col("word")))
       .join(amb, col("amb_word_key") === col("amb_word"), "left")
       .withColumn("__cand_a", candA)
@@ -210,6 +286,8 @@ object LexiconTagger {
         col("__cand_a") === col("__ta_tag"), "left")
       .join(transB, col("__hmm_state") === col("__tb_state") &&
         col("__cand_b") === col("__tb_tag"), "left")
+      .join(openL, col("__hmm_state") === col("ol_state"), "left")
+      .join(openR, col("__next_uni") === col("or_tag"), "left")
       .select(col(idCol), col("pos"), col("word"), decoded.as("tag"))
   }
 

@@ -177,6 +177,24 @@ object MlQueries {
     // raw-token match against all-lowercase keys, same as the Spark side
     val hmmUnigramCase =
       tagCaseSql(extLexCaseSql + "\n      " + PosTransitions.emissionCaseSql)
+    // "no evidence anywhere" flag for the bilateral OOV lever: mirrors
+    // tagTokensImpl's __rule_fb (no PosLexicon exact / verb-stem /
+    // emission hit; the closed-class and ambiguity guards live in the
+    // decode arm, exactly as on the Spark side)
+    val allLexArr = PosLexicon.Entries.map(_._1).sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val verbArr = PosLexicon.Entries.filter(_._2 == "VERB").map(_._1).sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val cN = PosTransitions.openCross("NOUN")
+    val cV = PosTransitions.openCross("VERB")
+    val cA = PosTransitions.openCross("ADJ")
+    val cD = PosTransitions.openCross("ADV")
+    val boost = PosTransitions.OovBoost
+    val margin = PosTransitions.OovMargin
+    def scoreSql(l: String, r: String, tag: String, cross: Long): String =
+      s"""CAST(COALESCE($l, 0) + 1 AS BIGINT)
+         |      * (CASE WHEN next_uni IS NULL THEN 1 ELSE COALESCE($r, 0) + 1 END)
+         |      * (CASE WHEN prior = '$tag' THEN $boost ELSE 1 END) * $cross""".stripMargin
     s"""WITH toks AS (
        |  SELECT doc_id, u.pos AS pos, u.word AS t FROM (
        |    SELECT doc_id, unnest(list_transform(string_split(text, ' '),
@@ -184,10 +202,15 @@ object MlQueries {
        |    FROM documents)),
        |uni AS (
        |  SELECT doc_id, pos, t,
-       |    ${hmmUnigramCase.replace("\n", "\n  ")} AS tag0
+       |    ${hmmUnigramCase.replace("\n", "\n  ")} AS tag0,
+       |    NOT (list_contains($allLexArr, lower(t))
+       |      OR (len(t) > 3 AND ends_with(lower(t), 's')
+       |          AND NOT ends_with(lower(t), 'ss')
+       |          AND list_contains($verbArr, substr(lower(t), 1, len(t) - 1)))
+       |      OR list_contains(${PosTransitions.emissionWordsSqlArr}, t)) AS oov
        |  FROM toks),
        |lagd AS (
-       |  SELECT doc_id, pos, t, tag0,
+       |  SELECT doc_id, pos, t, tag0, oov,
        |    CASE
        |      WHEN lag(tag0) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
        |        THEN 'START'
@@ -195,7 +218,8 @@ object MlQueries {
        |          lower(lag(t) OVER (PARTITION BY doc_id ORDER BY pos)))
        |        THEN 'W:' || lower(lag(t) OVER (PARTITION BY doc_id ORDER BY pos))
        |      ELSE lag(tag0) OVER (PARTITION BY doc_id ORDER BY pos)
-       |    END AS state
+       |    END AS state,
+       |    lead(tag0) OVER (PARTITION BY doc_id ORDER BY pos) AS next_uni
        |  FROM uni),
        |amb AS (SELECT * FROM (VALUES
        |      ${PosTransitions.ambValuesSql})
@@ -203,6 +227,12 @@ object MlQueries {
        |trans AS (SELECT * FROM (VALUES
        |      ${PosTransitions.transValuesSql})
        |    AS v(s, tg, c)),
+       |tl AS (SELECT * FROM (VALUES
+       |      ${PosTransitions.openLeftValuesSql})
+       |    AS v(s, n, v, a, d)),
+       |tr AS (SELECT * FROM (VALUES
+       |      ${PosTransitions.openRightValuesSql})
+       |    AS v(tg, n, v, a, d)),
        |cand AS (
        |  SELECT lagd.*, amb.word AS amb_word,
        |    amb.ta AS a_ta, amb.ca AS a_ca, amb.cta AS a_cta,
@@ -211,30 +241,75 @@ object MlQueries {
        |    COALESCE(amb.tb, CASE WHEN tag0 = 'NOUN' THEN 'VERB'
        |                          WHEN tag0 = 'VERB' THEN 'NOUN' END) AS cand_b
        |  FROM lagd LEFT JOIN amb ON lower(lagd.t) = amb.word),
-       |dec AS (
-       |  SELECT CASE
-       |      WHEN cand.amb_word IS NOT NULL THEN
-       |        CASE WHEN COALESCE(ta.c, 0) = 0 AND COALESCE(tb.c, 0) = 0
-       |               THEN cand.a_ta
-       |             WHEN CAST(COALESCE(tb.c, 0) + 1 AS BIGINT) * cand.a_cb * cand.a_cta
-       |                > CAST(COALESCE(ta.c, 0) + 1 AS BIGINT) * cand.a_ca * cand.a_ctb
-       |               THEN cand.a_tb
-       |             ELSE cand.a_ta END
-       |      WHEN regexp_matches(cand.t, '^[A-Z]')
-       |        AND cand.state <> 'START' AND cand.state <> '.'
-       |        AND cand.amb_word IS NULL
-       |        AND list_contains(['ADJ', 'VERB', 'X'], cand.tag0)
-       |        THEN 'NOUN'
-       |      WHEN cand.cand_b IS NOT NULL AND cand.state LIKE 'W:%'
-       |        AND regexp_matches(cand.t, '^[a-z]')
-       |        AND NOT list_contains(${PosTransitions.stateWordsSqlArr},
-       |          lower(cand.t))
-       |        AND COALESCE(tb.c, 0) + 1 > (COALESCE(ta.c, 0) + 1) * 4
-       |        THEN cand.cand_b
-       |      ELSE cand.tag0 END AS tag
+       |sc0 AS (
+       |  SELECT cand.*, ta.c AS ta_c, tb.c AS tb_c,
+       |    tl.n AS tl_n, tl.v AS tl_v, tl.a AS tl_a, tl.d AS tl_d,
+       |    tr.n AS tr_n, tr.v AS tr_v, tr.a AS tr_a, tr.d AS tr_d,
+       |    CASE WHEN ends_with(lower(cand.t), 'en') AND len(cand.t) > 4
+       |         THEN 'ADJ' ELSE cand.tag0 END AS prior,
+       |    NOT ends_with(lower(cand.t), 'ing') AS adj_ok
        |  FROM cand
        |  LEFT JOIN trans ta ON ta.s = cand.state AND ta.tg = cand.cand_a
-       |  LEFT JOIN trans tb ON tb.s = cand.state AND tb.tg = cand.cand_b)
+       |  LEFT JOIN trans tb ON tb.s = cand.state AND tb.tg = cand.cand_b
+       |  LEFT JOIN tl ON tl.s = cand.state
+       |  LEFT JOIN tr ON tr.tg = cand.next_uni),
+       |sco AS (
+       |  SELECT sc0.*,
+       |    ${scoreSql("tl_n", "tr_n", "NOUN", cN).replace("\n", "\n  ")} AS s_n,
+       |    ${scoreSql("tl_v", "tr_v", "VERB", cV).replace("\n", "\n  ")} AS s_v,
+       |    ${scoreSql("tl_a", "tr_a", "ADJ", cA).replace("\n", "\n  ")} AS s_a,
+       |    ${scoreSql("tl_d", "tr_d", "ADV", cD).replace("\n", "\n  ")} AS s_d
+       |  FROM sc0),
+       |ag1 AS (
+       |  SELECT sco.*,
+       |    CASE WHEN s_v > s_n THEN 'VERB' ELSE 'NOUN' END AS b2,
+       |    CASE WHEN s_v > s_n THEN s_v ELSE s_n END AS sb2
+       |  FROM sco),
+       |ag2 AS (
+       |  SELECT ag1.*,
+       |    CASE WHEN adj_ok AND s_a > sb2 THEN 'ADJ' ELSE b2 END AS b3,
+       |    CASE WHEN adj_ok AND s_a > sb2 THEN s_a ELSE sb2 END AS sb3
+       |  FROM ag1),
+       |ag3 AS (
+       |  SELECT ag2.*,
+       |    CASE WHEN s_d > sb3 THEN 'ADV' ELSE b3 END AS best,
+       |    CASE WHEN s_d > sb3 THEN s_d ELSE sb3 END AS s_best,
+       |    CASE tag0 WHEN 'NOUN' THEN s_n WHEN 'VERB' THEN s_v
+       |              WHEN 'ADJ' THEN s_a ELSE s_d END AS s_tag
+       |  FROM ag2),
+       |dec AS (
+       |  SELECT CASE
+       |      WHEN amb_word IS NOT NULL THEN
+       |        CASE WHEN COALESCE(ta_c, 0) = 0 AND COALESCE(tb_c, 0) = 0
+       |               THEN a_ta
+       |             WHEN CAST(COALESCE(tb_c, 0) + 1 AS BIGINT) * a_cb * a_cta
+       |                > CAST(COALESCE(ta_c, 0) + 1 AS BIGINT) * a_ca * a_ctb
+       |               THEN a_tb
+       |             ELSE a_ta END
+       |      WHEN regexp_matches(t, '^[A-Z]')
+       |        AND state <> 'START' AND state <> '.'
+       |        AND amb_word IS NULL
+       |        AND list_contains(['ADJ', 'VERB', 'X'], tag0)
+       |        THEN 'NOUN'
+       |      WHEN oov AND amb_word IS NULL
+       |        AND regexp_matches(t, '^[a-z]')
+       |        AND NOT list_contains(${PosTransitions.stateWordsSqlArr},
+       |          lower(t))
+       |        AND list_contains(['NOUN', 'VERB', 'ADJ', 'ADV', 'X'], tag0)
+       |        THEN CASE
+       |          WHEN (tag0 IN ('NOUN', 'VERB', 'ADV')
+       |                OR (tag0 = 'ADJ' AND adj_ok))
+       |            AND best <> tag0 AND s_best < $margin * s_tag
+       |            THEN tag0
+       |          ELSE best END
+       |      WHEN cand_b IS NOT NULL AND state LIKE 'W:%'
+       |        AND regexp_matches(t, '^[a-z]')
+       |        AND NOT list_contains(${PosTransitions.stateWordsSqlArr},
+       |          lower(t))
+       |        AND COALESCE(tb_c, 0) + 1 > (COALESCE(ta_c, 0) + 1) * 4
+       |        THEN cand_b
+       |      ELSE tag0 END AS tag
+       |  FROM ag3)
        |SELECT tag, count(*) AS cnt FROM dec GROUP BY tag ORDER BY tag""".stripMargin
   }
 

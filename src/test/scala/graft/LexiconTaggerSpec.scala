@@ -193,6 +193,35 @@ class LexiconTaggerSpec extends SparkSpec {
     assert(t3(3) == "NOUN", "mid-sentence default-NOUN capitalized word unchanged")
   }
 
+  test("bilateral OOV decode: both flip directions and both guards") {
+    // r18 second lever: tokens with no lexicon/stem/emission/ambiguity
+    // evidence score all four open tags by left x right transition
+    // (expectations pinned against the offline reference decode that
+    // the hyperparameter duel validated; see the floor comment below).
+    def tags(words: Seq[String]): Map[String, String] =
+      LexiconTagger.tagTokensHmm(Seq((0L, words)).toDF("doc_id", "words"),
+          "doc_id", "words", PosLexicon.asDataFrame(spark))
+        .select("word", "tag").as[(String, String)].collect().toMap
+    val t1 = tags(Seq("the", "wooden", "box", "sat", "empty"))
+    assert(t1("wooden") == "ADJ", s"-en participle prior: ${t1("wooden")}")
+    assert(t1("box") == "NOUN", "NP head stays NOUN")
+    val t2 = tags(Seq("the", "swollen", "thumb", "healed"))
+    assert(t2("swollen") == "ADJ")
+    val t3 = tags(Seq("the", "fishing", "boat", "left", "early"))
+    assert(t3("fishing") == "NOUN", "-ing drops the ADJ candidate; " +
+      s"W:the favors NOUN: ${t3("fishing")}")
+    assert(t3("left") == "VERB", s"bilateral NOUN->VERB flip: ${t3("left")}")
+    // margin guard: 'gentle' (OOV, no -en/-ing morphology) after W:a
+    // scores ADJ best but NOT by the x3 margin over the boosted rule
+    // tag -> the unigram NOUN stands
+    val t4 = tags(Seq("a", "gentle", "breeze", "moved", "it"))
+    assert(t4("gentle") == "NOUN", s"margin must hold: ${t4("gentle")}")
+    // closed-class words never enter the lever even when OOV-shaped
+    val t5 = tags(Seq("they", "still", "argue", "now"))
+    assert(t5("still") == "ADV" && t5("now") == "ADV",
+      s"closed-class untouched: ${t5("still")} ${t5("now")}")
+  }
+
   test("trained HMM layer beats the hand-rule context layer on gold") {
     val docDf = Seq((0L, gold.select("token").as[String].collect().toSeq)).toDF("doc_id", "words")
     val goldTags = gold.select("token", "tag").as[(String, String)].collect()
@@ -208,17 +237,23 @@ class LexiconTaggerSpec extends SparkSpec {
     val hmm = run(LexiconTagger.tagTokensHmm(docDf, "doc_id", "words", lex))
     info(f"unigram $uni%.4f, hand-rule context $ctx%.4f, trained HMM $hmm%.4f on ${goldTags.length} tokens")
     assert(hmm >= ctx, s"trained layer regressed below hand rules: $hmm < $ctx")
-    // measured 0.8882 / 0.9029 / 0.9387 on the 4438-token gold sample
-    // (r18, two duelled levers both adopted: the ~doubled training
+    // measured 0.8882 / 0.9029 / 0.9538 on the 4438-token gold sample
+    // (r18, three duelled levers all adopted: the ~doubled training
     // corpus — tools/pos_train_extend_r18.py, emission lexicon 358 →
-    // ~800 forms — moved HMM 0.9227 → 0.9376 on the extended gold, and
-    // the capitalization-context decode branch added 0.9376 → 0.9387;
+    // ~800 forms — moved HMM 0.9227 → 0.9376 on the extended gold; the
+    // capitalization-context decode branch added 0.9376 → 0.9387; and
+    // the bilateral OOV decode — left × right transition scoring of
+    // all four open tags with -en/-ing morphological priors — added
+    // 0.9387 → 0.9538 (272 → 205 errors), validated structural before
+    // adoption: both gold halves improve (+1.4pp / +1.6pp) and the
+    // training corpus does not regress (58 → 55 errors); boost 4–10 ×
+    // margin 2–4 all read within 6 errors of the adopted 6/3 cell.
     // r17 history: emission back-off 0.9156 → 0.9319 on the old
-    // 2453-token gold, suffix table duelled and rejected at 0.9164).
+    // 2453-token gold, suffix table duelled and rejected at 0.9164.
     // The computation is deterministic on fixed data, so the floor
     // sits a hair under measured; it breaks only when CODE changes
     // behavior.
-    assert(hmm > 0.935, s"trained HMM accuracy collapsed: $hmm")
+    assert(hmm > 0.95, s"trained HMM accuracy collapsed: $hmm")
   }
 
   test("tagArray aligns tags positionally and preserves empty docs") {

@@ -22,6 +22,8 @@ object PosDump {
     sb ++= ",\"tag_totals\":" + PosTransitions.TagTotals.map { case (t, c) =>
       s"""["$t",$c]""" }.mkString("[", ",", "]")
     sb ++= ",\"state_words\":" + sj(PosTransitions.StateWords)
+    sb ++= ",\"emission\":" + PosTransitions.Emission.map { case (w, t) =>
+      s"""["${esc(w)}","$t"]""" }.mkString("[", ",", "]")
     sb ++= "}"
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/pos_model.json"),
       sb.toString.getBytes("UTF-8"))
