@@ -209,17 +209,27 @@ object LexiconTagger {
         .otherwise(lit(1L))
       left * right * boost * lit(PosTransitions.openCross(t))
     }
-    val sN = oovScore("NOUN", col("ol_noun"), col("or_noun"))
-    val sV = oovScore("VERB", col("ol_verb"), col("or_verb"))
-    val sA = oovScore("ADJ", col("ol_adj"), col("or_adj"))
-    val sD = oovScore("ADV", col("ol_adv"), col("or_adv"))
-    // Sequential argmax, ties to the earlier candidate (OpenTags order).
-    val b2 = when(sV > sN, lit("VERB")).otherwise(lit("NOUN"))
-    val s2 = when(sV > sN, sV).otherwise(sN)
-    val b3 = when(adjAllowed && sA > s2, lit("ADJ")).otherwise(b2)
-    val s3 = when(adjAllowed && sA > s2, sA).otherwise(s2)
-    val b4 = when(sD > s3, lit("ADV")).otherwise(b3)
-    val s4 = when(sD > s3, sD).otherwise(s3)
+    // The four scores are materialized as COLUMNS (not inlined
+    // expressions): the argmax below references each one several times,
+    // and a nested when-chain over inlined copies blows the codegen
+    // unit up exponentially (first cut read 441 KB source / 30 KB
+    // bytecode — the JIT-disabling q42-precursor state; the audit
+    // caught it). As multiply-referenced non-trivial aliases they
+    // survive CollapseProject, so codegen evaluates each once.
+    // Argmax via greatest() + an equality chain in OpenTags order —
+    // the FIRST candidate reaching the max wins ties, exactly the
+    // reference decode's strict-greater iteration. The -ing exclusion
+    // substitutes -1 for ADJ (scores are always positive), so an
+    // excluded ADJ can never equal the max.
+    val sN = col("__oov_sn")
+    val sV = col("__oov_sv")
+    val sA = when(adjAllowed, col("__oov_sa")).otherwise(lit(-1L))
+    val sD = col("__oov_sd")
+    val sBest = greatest(sN, sV, sA, sD)
+    val bestTag = when(sN === sBest, lit("NOUN"))
+      .when(sV === sBest, lit("VERB"))
+      .when(sA === sBest, lit("ADJ"))
+      .otherwise(lit("ADV"))
     val tagInCands = col("tag").isin("NOUN", "VERB", "ADV") ||
       (col("tag") === "ADJ" && adjAllowed)
     val sTag = when(col("tag") === "NOUN", sN)
@@ -227,9 +237,9 @@ object LexiconTagger {
       .when(col("tag") === "ADJ", sA)
       .otherwise(sD)
     val oovLevered =
-      when(tagInCands && b4 =!= col("tag") &&
-        s4 < lit(PosTransitions.OovMargin) * sTag, col("tag"))
-        .otherwise(b4)
+      when(tagInCands && bestTag =!= col("tag") &&
+        sBest < lit(PosTransitions.OovMargin) * sTag, col("tag"))
+        .otherwise(bestTag)
     val oovLeverApplies = col("__rule_fb") && col("amb_word").isNull &&
       col("word").rlike("^[a-z]") &&
       !lw.isInCollection(PosTransitions.StateWords) &&
@@ -288,6 +298,10 @@ object LexiconTagger {
         col("__cand_b") === col("__tb_tag"), "left")
       .join(openL, col("__hmm_state") === col("ol_state"), "left")
       .join(openR, col("__next_uni") === col("or_tag"), "left")
+      .withColumn("__oov_sn", oovScore("NOUN", col("ol_noun"), col("or_noun")))
+      .withColumn("__oov_sv", oovScore("VERB", col("ol_verb"), col("or_verb")))
+      .withColumn("__oov_sa", oovScore("ADJ", col("ol_adj"), col("or_adj")))
+      .withColumn("__oov_sd", oovScore("ADV", col("ol_adv"), col("or_adv")))
       .select(col(idCol), col("pos"), col("word"), decoded.as("tag"))
   }
 

@@ -91,7 +91,16 @@ class CodegenAuditSpec extends SparkSpec {
     // those entries so a refactor that accidentally collapses the
     // split — a single consumeDoConsume body past 8 KB — turns the
     // suite red instead of shipping an interpreted hot stage.
-    val watchList = Seq("q132_profile", "q135_hll_growth", "q82_setsim_join")
+    // q53b joined the tier in r18: the bilateral OOV decode lands in
+    // the tag-rollup's hashAgg consume method (the window barrier puts
+    // the whole join+decode chain in one unit), reading 114 KB source /
+    // 7.8 KB bytecode at adoption — under the 8 KB JIT budget but with
+    // the thinnest margin in the catalog, exactly what this tripwire
+    // exists to watch. (Its first cut DID trip the audit at 441 KB /
+    // 30 KB from an exponentially-inlined argmax; the score columns
+    // are materialized now — see LexiconTagger's lever comment.)
+    val watchList = Seq("q132_profile", "q135_hll_growth",
+      "q53b_pos_hmm_dist", "q82_setsim_join")
     watchList.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         fail(s"catalog entry $name missing"))
