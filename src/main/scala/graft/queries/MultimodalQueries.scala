@@ -169,6 +169,12 @@ object MultimodalQueries {
     }
     // registered boundary: the audit recurses into src (r16)
     org.apache.spark.sql.GraftSqlBridge.createDataFrameAudited(src, rdd, schema)
+      // hash-repartition (r18): the decode RDD has no shuffle anywhere in
+      // its lineage, so the orderBy's range sampler re-ran the ENTIRE
+      // encode+decode pipeline; one hash exchange of the 4-long decoded
+      // rows materializes it once (1.488 -> measured below) and the
+      // sampler reads shuffle files instead
+      .repartition(col("media_id"))
       .orderBy("media_id")
   }
 

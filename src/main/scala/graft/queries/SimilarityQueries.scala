@@ -49,11 +49,13 @@ object SimilarityQueries {
   /** Per-vector L2 norm — the scalar kernel under every cosine. */
   def q31EmbedNorm(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
+      // sort-first (r18): range sampling re-executes an exchange-free
+      // child; sort the bare scan so the vector math runs once, above it
+      .orderBy("vec_id")
       .select(
         col("vec_id"),
         col("label").cast("long").as("label"),
         Similarity.l2Norm(Similarity.asDouble(col("embedding"))).as("l2_norm"))
-      .orderBy("vec_id")
 
   val q31Sql: String =
     """SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -507,12 +509,12 @@ object SimilarityQueries {
     * Double.toString values the plan embeds, and both engines fold
     * distances in identical order. */
   def q62PqEncode(spark: SparkSession, dir: String): DataFrame =
-    Similarity.pqEncode(Tables(spark, dir).embeddings)
+    Similarity.pqEncode(Tables(spark, dir).embeddings
+        .orderBy("vec_id")) // sort-first (r18): see q31EmbedNorm
       .select(col("vec_id") +:
         (0 until Similarity.PqSubspaces)
           .map(s => element_at(col("codes"), s + 1).as(s"code_$s")) :+
         col("recon_err"): _*)
-      .orderBy("vec_id")
 
   /** A double emitted as a SQL literal DuckDB types as DOUBLE. A plain
     * decimal literal ("-0.07921218128118823") parses as DECIMAL(38,x)
@@ -993,6 +995,7 @@ object SimilarityQueries {
     * persists. */
   def q151Int8Quant(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
+      .orderBy("vec_id") // sort-first (r18): see q31EmbedNorm
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("x"))
       .withColumn("mn", array_min(col("x")))
       .withColumn("sc", (array_max(col("x")) - col("mn")) / lit(255.0))
@@ -1006,7 +1009,6 @@ object SimilarityQueries {
           "aggregate(zip_with(x, codes, " +
             "(v, c) -> (v - (mn + c * sc)) * (v - (mn + c * sc))), " +
             "0D, (a, d) -> a + d)") / size(col("codes")), 8).as("mse"))
-      .orderBy("vec_id")
 
   val q151Sql: String =
     """WITH p AS (
