@@ -38,13 +38,16 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** Hamming distance of two equal-length string columns: zip the char
-    * arrays, count mismatches. Codegen'd HOFs, no UDF. */
+  /** Hamming distance of two string columns — the verification kernel,
+    * evaluated once per join CANDIDATE (the dist filter is pushed into
+    * the join condition) plus once per result row. r18: the composed
+    * `aggregate(zip_with(split, split))` form allocated two codepoint
+    * arrays and three lambdas per evaluation; now a zero-allocation
+    * codegen'd byte walk with the identical contract (bit-equivalence
+    * incl. the unequal-length and empty-string edges pinned in
+    * FuzzyJoinSpec over randomized multi-byte corpora). */
   def hammingDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(split(a, ""), split(b, ""),
-        (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    graft.plans.HammingDistExpr.column(a, b)
 
   /** Candidate pairs (a_id < b_id, keys carried) from the masked-variant
     * equi-join — exposed for the overgeneration spec: on sentinel-free

@@ -150,4 +150,54 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  /** The r18 replacement of the composed hamming form must keep its
+    * EXACT contract, including the edge Java's split("", -1) bakes in:
+    * one trailing "" element per side, so differing codepoint COUNTS
+    * contribute exactly one extra mismatch, and "" vs nonempty reads 1.
+    * Pinned over a randomized multi-byte corpus (ASCII, 2-byte, 3-byte,
+    * 4-byte/astral codepoints, empties, shared prefixes). */
+  test("hammingDist kernel == composed zip_with/split form, multi-byte + length edges") {
+    def composed(a: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(
+        zip_with(split(a, ""), split(b, ""),
+          (x, y) => when(x =!= y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    val rnd = new scala.util.Random(18)
+    val alphabet: IndexedSeq[String] =
+      ("ab9 " .map(_.toString)) ++ Seq("\u00e9", "\u4e16", "\ud83d\ude00") // 1/2/3/4-byte
+    def word(): String =
+      Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.size))).mkString
+    val pairs = Seq(("", ""), ("", "a"), ("a", ""), ("abc", "ab"),
+      ("ab", "abc"), ("\u4e16a", "\u4e16b"), ("\ud83d\ude00", "a")) ++
+      Seq.fill(400)((word(), word()))
+    val df = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "ka", "kb")
+    def run(): Seq[(Long, Int)] =
+      df.select(col("id"),
+          FuzzyJoin.hammingDist(col("ka"), col("kb")).as("d"))
+        .as[(Long, Int)].collect().toSeq.sorted
+    val exp = df.select(col("id"), composed(col("ka"), col("kb")).as("d"))
+      .as[(Long, Int)].collect().toSeq.sorted
+    val codegen = run()
+    assert(codegen == exp)
+    // interpreted path agrees with codegen (audit convention)
+    val keys = Seq("spark.sql.codegen.wholeStage",
+      "spark.sql.codegen.factoryMode")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "false")
+    spark.conf.set(keys(1), "NO_CODEGEN")
+    try assert(run() == codegen)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // null propagation matches the composed form (split(null) -> null)
+    val nulls = Seq((1L, null, "a"), (2L, "a", null), (3L, null, null))
+      .toDF("id", "ka", "kb")
+    val gotN = nulls.select(col("id"),
+        FuzzyJoin.hammingDist(col("ka"), col("kb"))).collect()
+    assert(gotN.forall(_.isNullAt(1)))
+  }
 }
