@@ -152,12 +152,19 @@ object GlobalRank {
 
   /** bucket = #boundaries strictly below this row's key tuple — a
     * codegen'd sum of lexicographic comparisons against literals,
-    * monotone in the sort order by construction. */
+    * monotone in the sort order by construction. The boundary constants
+    * are [[graft.plans.StableLit]]s, NOT plain literals: boundary values
+    * come from a row-order-dependent sample and change between runs, and
+    * inlined primitives would make every run's generated source unique —
+    * a codegen-cache miss plus a fresh JIT warm-up per run (r19: q82's
+    * bimodal in-JVM reps traced to exactly this). StableLit routes the
+    * value through the references array, so the source text — and the
+    * compiled, JIT-warm class — is shared across runs. */
   private def bucketExpr(keys: Seq[Key], boundaries: Seq[Seq[Any]]): Column = {
     def gtBoundary(b: Seq[Any]): Column = {
       def rec(i: Int): Column = {
         val k = keys(i)
-        val l = lit(b(i))
+        val l = graft.plans.StableLit.column(b(i))
         val strict = if (k.asc) k.col > l else k.col < l
         if (i == keys.size - 1) strict
         else strict || (k.col === l && rec(i + 1))
