@@ -151,15 +151,28 @@ object Dedup {
       .repartition(col("doc_id"))
       .localCheckpointAudited()
 
-    var labels = banded.select("doc_id").distinct()
-      .withColumn("canonical_id", col("doc_id"))
-      .localCheckpointAudited()
+    // r19: round 1 used to join an IDENTITY label frame
+    // (canonical_id = doc_id, one distinct + one localCheckpoint job) —
+    // a no-op join, since min(canonical_id) over identity labels is
+    // min(doc_id). Fold it away: round 1's bucket minimum aggregates
+    // banded directly, its convergence check is a plain
+    // canonical≠doc_id filter (no join), and the identity frame is
+    // never materialized. One fewer eager checkpoint job and one fewer
+    // join per call (q45/q99/q113 all pay it); labels after round 1 are
+    // bit-identical by construction.
+    var labels: DataFrame =
+      if (iterations > 0) null
+      else banded.select("doc_id").distinct()
+        .withColumn("canonical_id", col("doc_id"))
     var round = 0
     var converged = false
     while (round < iterations && !converged) {
-      val bucketMin = banded.join(labels, "doc_id")
-        .groupBy("band", "sig")
-        .agg(min("canonical_id").as("bucket_min"))
+      val bucketMin =
+        if (round == 0) banded.groupBy("band", "sig")
+          .agg(min("doc_id").as("bucket_min"))
+        else banded.join(labels, "doc_id")
+          .groupBy("band", "sig")
+          .agg(min("canonical_id").as("bucket_min"))
       val next = banded.join(bucketMin, Seq("band", "sig"))
         .groupBy("doc_id")
         .agg(min("bucket_min").as("canonical_id"))
@@ -167,14 +180,19 @@ object Dedup {
       // labels only ever decrease, so a round that changes nothing makes
       // every later round the identity — exact-dup clusters converge in
       // round 1 and the remaining rounds are pure waste without this.
-      // The check is one narrow join over two checkpointed (id, label)
-      // frames — far cheaper than a wasted propagation round. After the
-      // FINAL round the loop exits regardless, so the check job is
-      // skipped there.
-      converged = round + 1 < iterations &&
-        next.join(labels.withColumnRenamed("canonical_id", "prev"), "doc_id")
-          .filter(col("canonical_id") =!= col("prev"))
-          .isEmpty
+      // The check is one narrow filter (round 1: against the identity
+      // labeling) or join over two checkpointed (id, label) frames —
+      // far cheaper than a wasted propagation round. After the FINAL
+      // round the loop exits regardless, so the check job is skipped
+      // there.
+      converged = round + 1 < iterations && {
+        if (round == 0)
+          next.filter(col("canonical_id") =!= col("doc_id")).isEmpty
+        else
+          next.join(labels.withColumnRenamed("canonical_id", "prev"), "doc_id")
+            .filter(col("canonical_id") =!= col("prev"))
+            .isEmpty
+      }
       labels = next
       round += 1
     }
