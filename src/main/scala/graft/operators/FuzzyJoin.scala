@@ -97,8 +97,23 @@ object FuzzyJoin {
   def hammingSelfJoin(df: DataFrame, idCol: String, keyCol: String,
                       maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1 (use equality for 0)")
+    // r19 single evaluation: a plain `withColumn(dist).filter(dist<=k)`
+    // gets the filter pushed into the variant join's condition with the
+    // kernel expression substituted, so hamming_dist ran once per
+    // CANDIDATE row in the join plus once per result row (r18 plan
+    // lines 87/109). But the variant equi-join already IS the distance
+    // test — same-position masked agreement ⟺ dist ≤ k — so that
+    // condition eval rejects only md5 collisions and sentinel-bearing
+    // keys (≈ none); it is a correctness backstop, not a prune.
+    // Evaluate the kernel ONCE per distinct pair instead, under an
+    // explode(array(·)) generate: a filter on a generator output cannot
+    // be substituted through the Generate, so the backstop reads the
+    // computed column and the output projection reuses it. Plan after:
+    // ONE hamming_dist, inside Generate; none in the join condition.
     hammingCandidates(df, idCol, keyCol, maxDist)
-      .withColumn("dist", hammingDist(col("a_key"), col("b_key")).cast("long"))
+      .select(col("a_id"), col("b_id"),
+        explode(array(hammingDist(col("a_key"), col("b_key")).cast("long")))
+          .as("dist"))
       .filter(col("dist") <= maxDist)
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("dist"))
   }
@@ -133,7 +148,14 @@ object FuzzyJoin {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_key"), col("b_key"))
       .distinct() // a pair sharing several variant keys appears once
-      .withColumn("dist", levenshtein(col("a_key"), col("b_key")).cast("long"))
+      // same single-evaluation barrier as hammingSelfJoin: without it
+      // the dist filter is pushed into the variant join's condition and
+      // levenshtein runs per COLLISION ROW plus per result row; the
+      // deletion neighborhood overgenerates little, so one evaluation
+      // per distinct pair is the cheaper placement (duelled both ways)
+      .select(col("a_id"), col("b_id"),
+        explode(array(levenshtein(col("a_key"), col("b_key")).cast("long")))
+          .as("dist"))
       .filter(col("dist") <= 1)
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("dist"))
   }
