@@ -78,6 +78,14 @@ object TextFunctions {
   def removeStopwords(tokens: Column, stopwords: Seq[String] = NltkStopwords): Column =
     filter(tokens, t => !isStopword(t, stopwords))
 
+  /** `size(removeStopwords(tokens))` as one codegen'd pass
+    * ([[graft.plans.StopwordCountExpr]]): higher-order `filter` runs on
+    * the expression interpreter and materializes an array that only
+    * ever feeds size(). Same per-element semantics (see the
+    * expression's scaladoc). */
+  def nonStopwordCount(tokens: Column, stopwords: Seq[String] = NltkStopwords): Column =
+    graft.plans.StopwordCountExpr.column(tokens, stopwords, matchStopwords = false)
+
   /** Reference P9: per-document distinct tokens. */
   def distinctTokens(tokens: Column): Column = array_distinct(tokens)
 
@@ -229,9 +237,12 @@ object TextFunctions {
     aggregate(tokens, lit(0L), (acc, t) => acc + length(t))
       .cast("double") / size(tokens)
 
-  /** Stopword ratio — fraction of tokens that are (NLTK) stopwords. */
+  /** Stopword ratio — fraction of tokens that are (NLTK) stopwords.
+    * Counted by the codegen'd [[graft.plans.StopwordCountExpr]] kernel
+    * (was an interpreted higher-order filter + size). */
   def stopwordRatio(tokens: Column, stopwords: Seq[String] = NltkStopwords): Column =
-    size(filter(tokens, t => isStopword(t, stopwords))).cast("double") / size(tokens)
+    graft.plans.StopwordCountExpr.column(tokens, stopwords, matchStopwords = true)
+      .cast("double") / size(tokens)
 
   /** Duplicate n-gram ratio — the Gopher-style repetition signal
     * ("repetitious documents", Rae et al. 2021, §A1.1): fraction of

@@ -117,9 +117,18 @@ object Dedup {
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b"))))
+      // single evaluation per pair (r19, same barrier as FuzzyJoin): a
+      // plain withColumn + filter gets the threshold predicate pushed
+      // into the join condition with BOTH set ops substituted, so the
+      // intersect+union pair ran once per candidate in the condition
+      // plus again per surviving row. A filter on a generator output
+      // cannot be substituted through the Generate, so the one
+      // evaluation feeds both. The value and the double comparison are
+      // unchanged (same expression, same rounding).
+      .select(col("id_a"), col("id_b"),
+        explode(array(
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+            size(array_union(col("hs_a"), col("hs_b"))))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -37,6 +37,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class HammingDistExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Intentionally STRICT typing (r19, ADVICE note): the composed form
+  // would implicitly cast non-string inputs to string; this expression
+  // hard-fails analysis for anything but (StringType, StringType) —
+  // including non-default-collation strings, whose comparison semantics
+  // the byte-walk kernel does not implement. Every catalog caller
+  // passes plain string key columns; a future non-string caller should
+  // cast explicitly rather than inherit a silent stringification.
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess

@@ -102,7 +102,7 @@ object TextQueries {
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        size(removeStopwords(col("toks"))).cast("long").as("n_content"))
+        nonStopwordCount(col("toks")).cast("long").as("n_content"))
 
   val q23Sql: String =
     s"""SELECT doc_id,

@@ -152,9 +152,16 @@ class FuzzyJoinSpec extends SparkSpec {
   }
 
   /** The r18 replacement of the composed hamming form must keep its
-    * EXACT contract, including the edge Java's split("", -1) bakes in:
-    * one trailing "" element per side, so differing codepoint COUNTS
-    * contribute exactly one extra mismatch, and "" vs nonempty reads 1.
+    * EXACT contract (the assertions compare against the live composed
+    * form, so the pinned semantics are whatever Spark's split/zip_with
+    * actually do): Spark's `split(str, "")` yields one codepoint per
+    * element with NO trailing empty — except "" itself, which yields
+    * [""] — and zip_with pads the shorter array with nulls whose
+    * comparisons contribute 0. So tail codepoints past the shorter side
+    * contribute NOTHING (dist("abc","ab") = 0) and only the
+    * empty-vs-nonempty edge contributes the one [""] slot (dist("","a")
+    * = 1). Mirrors the HammingDistExpr scaladoc (r19, ADVICE fix: the
+    * previous comment here claimed the opposite length-edge behavior).
     * Pinned over a randomized multi-byte corpus (ASCII, 2-byte, 3-byte,
     * 4-byte/astral codepoints, empties, shared prefixes). */
   test("hammingDist kernel == composed zip_with/split form, multi-byte + length edges") {

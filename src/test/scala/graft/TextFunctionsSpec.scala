@@ -396,4 +396,44 @@ class TextFunctionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
+
+  /** r19: the StopwordCountExpr kernel must count exactly what the
+    * composed interpreted forms counted —
+    * size(filter(toks, t => [!]isStopword(t))) — including the edges:
+    * case-insensitivity, duplicates kept, NULL elements excluded from
+    * BOTH counts (the lambda's null predicate drops them), null array
+    * propagating null, empty array → 0. Randomized corpus + fixed
+    * edges, both counts compared against the live composed form. */
+  test("stopword count kernel == composed filter/size forms, nulls and case") {
+    val rnd = new Random(19)
+    val words = Vector("the", "The", "THE", "movie", "is", "a", "An",
+      "great", "i", "Me", "waterfall", "", "O'nEill", "don't", "itself")
+    def arr(): Seq[String] =
+      Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+    val rows: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("the"), Seq("xyz")) ++ Seq.fill(300)(arr())
+    val withNulls: Seq[Seq[String]] =
+      rows.map(r => if (rnd.nextBoolean()) r else
+        (r ++ Seq(null.asInstanceOf[String])).sortBy(_ == null))
+    val df = withNulls.zipWithIndex.map(_.swap).toDF("id", "toks")
+    val got = df.select(
+        col("id"),
+        nonStopwordCount(col("toks")).as("nc"),
+        graft.plans.StopwordCountExpr
+          .column(col("toks"), NltkStopwords, matchStopwords = true).as("sc"))
+      .as[(Int, Int, Int)].collect().map { case (k, a, b) => k -> (a, b) }.toMap
+    val want = df.select(
+        col("id"),
+        size(filter(col("toks"), t => !isStopword(t))).as("nc"),
+        size(filter(col("toks"), t => isStopword(t))).as("sc"))
+      .as[(Int, Int, Int)].collect().map { case (k, a, b) => k -> (a, b) }.toMap
+    assert(got == want && got.nonEmpty)
+    // null array propagates null in both forms
+    val nullRow = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("toks")
+    assert(nullRow.select(nonStopwordCount(col("toks"))).first().isNullAt(0))
+    // the kernel must actually be in the codegen'd plan, not a UDF
+    val plan = df.select(nonStopwordCount(col("toks")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("non_stopword_count"), plan)
+  }
 }
