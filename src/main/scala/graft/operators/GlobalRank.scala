@@ -252,9 +252,22 @@ object GlobalRank {
       else math.max(1L, math.min(conf.toLong,
         (total + RowsPerRankTask - 1) / RowsPerRankTask)).toInt
     val boundariesPerSpec: Seq[Seq[Seq[Any]]] = specs.indices.map { i =>
-      pickBoundaries(
+      val picked = pickBoundaries(
         sample.map { case (t, w) => (t.slice(slices(i), slices(i + 1)), w) },
         tupleOrdering(allKeys(i).map(_.asc)), p)
+      // Pad to a FIXED arity of p−1 by repeating the last boundary
+      // (r19): pickBoundaries can emit fewer splits when duplicated
+      // keys hold a quantile target, and since the emitted count sets
+      // the NUMBER of comparison branches in bucketExpr, a run-varying
+      // count changes the generated source and re-pays janino + JIT
+      // warm-up even with StableLit values (arity is outside what a
+      // reference can stabilize). A repeated boundary is harmless for
+      // EXACTNESS: bucket = #boundaries strictly below the key stays
+      // monotone, the duplicate merely leaves an empty bucket whose
+      // census count is 0 and whose offset collapses onto its
+      // neighbor's. Balance is whatever the sample gave, as before.
+      if (picked.isEmpty) picked
+      else picked ++ Seq.fill(p - 1 - picked.size)(picked.last)
     }
     val bucketCols = specs.indices.map(i => s"_gr_bucket_$i")
     val bucketed = specs.indices.foldLeft(df) { (d, i) =>
